@@ -1,0 +1,100 @@
+"""Aggregation operators A1-A11 (SURVEY.md §2.4) + deterministic numerics.
+
+Covers the reference's global max/min/sum/count/avg
+(``/root/reference/elt/prescriptive/prescriptive_logic.py:78,109,133``),
+the dashboard's conditional percentage, grouped counts, time-bucketed
+averages and distinct counts
+(``docker/metabase_backup_utf8.sql:11113,11126,11116,11097``).
+
+Deterministic-numerics policy (oracle parity AND reproducibility at scale):
+floating-point addition is not associative, so a double SUM over a shuffled
+dataset is run-order dependent. Any aggregate over *non-integer-valued*
+doubles is routed through DECIMAL (exact, order-independent) and converted
+back at the edge. Integer-valued doubles (counts, quantities) sum exactly in
+binary FP and need no detour. Per-row expressions are deterministic already.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_sum(col: str | Column, scale: int = 2, precision: int = 18) -> Column:
+    """Order-independent SUM of a fractional double column.
+
+    DECIMAL partial aggregates are exact, so map-side combine + any reduce
+    order give bit-identical results — required for the DuckDB oracle and
+    for run-to-run reproducibility on a 1000-executor shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    d = f"decimal({precision},{scale})"
+    return F.sum(c.cast(d)).cast("double")
+
+
+def exact_avg(col: str | Column, scale: int = 2, precision: int = 18) -> Column:
+    """Order-independent AVG: exact decimal SUM, double division at the edge."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = f"decimal({precision},{scale})"
+    return F.sum(c.cast(d)).cast("double") / F.count(c)
+
+
+def quantize(col: Column, digits: int = 2) -> Column:
+    """floor(x*10^d + 0.5)/10^d — a rounding that is bit-identical across
+    engines.
+
+    ``round()`` on doubles differs between engines on boundary values
+    (Spark rounds the shortest decimal representation, DuckDB the binary
+    value); floor/multiply/divide are single exact-or-correctly-rounded FP
+    ops, so any engine evaluating this expression tree gets the same bits.
+    """
+    p = float(10**digits)
+    return F.floor(col * p + F.lit(0.5)) / p
+
+
+def conditional_pct(df: DataFrame, cond: Column, alias: str) -> DataFrame:
+    """A5: ``ROUND(100.0*SUM(CASE WHEN cond THEN 1 ELSE 0 END)/COUNT(*),2)``
+    (card 54, ``metabase_backup_utf8.sql:11113``). Integer sum and count are
+    exact; one double division + quantize."""
+    pct = (
+        F.lit(100.0)
+        * F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1)).cast("double")
+    )
+    return df.agg(quantize(pct, 2).alias(alias))
+
+
+def group_count_ordered(df: DataFrame, key: str, alias: str = "total") -> DataFrame:
+    """A6: frequency distribution (card 51, ``:11126``). Partial (map-side)
+    count + final hash aggregate; ORDER BY on the tiny grouped result only."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias(alias))
+        .orderBy(F.desc(alias), F.col(key))
+    )
+
+
+def time_bucket_agg(
+    df: DataFrame, ts: str, unit: str, aggs: dict[str, Column]
+) -> DataFrame:
+    """A7: DATE_TRUNC bucketing + aggregates (cards 41/45/58,
+    ``metabase_backup_utf8.sql:11116,11128,11072``).
+
+    ``date_trunc`` is a deterministic per-row expression, so the groupBy
+    hash-partitions on the bucket — at 100 TB this is ONE shuffle keyed on
+    the bucket, with map-side partial aggregation shrinking it first.
+    """
+    bucket = F.date_trunc(unit, F.col(ts)).alias("bucket")
+    return df.groupBy(bucket).agg(*[c.alias(a) for a, c in aggs.items()])
+
+
+def distinct_count(df: DataFrame, col: str, alias: str, approx: bool = False) -> DataFrame:
+    """A11: COUNT(DISTINCT x); ``approx=True`` switches to HyperLogLog
+    (``approx_count_distinct``) — the 100 TB default, one pass, no
+    distinct-shuffle."""
+    agg = (
+        F.approx_count_distinct(col).alias(alias)
+        if approx
+        else F.countDistinct(col).alias(alias)
+    )
+    return df.agg(agg)

@@ -1,0 +1,92 @@
+"""Cleaning operators P1-P7 (SURVEY.md §2.2).
+
+Reference behaviors re-expressed as native column expressions:
+- column-name normalization (``/root/reference/elt/clean_sheets.py:59-68``)
+- coerce-to-NULL timestamp/numeric casts (``elt/clean_sheets.py:104-121``:
+  ``pd.to_datetime/to_numeric(errors="coerce")``)
+- null-drop on required columns (``elt/clean_sheets.py:111,123``)
+- serving projection (``elt/load/load_aktivitas_to_neon.py:65-72``)
+
+All of these are pure Catalyst expressions — they stay inside whole-stage
+codegen, push down through scans, and never leave the JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_name(name: str) -> str:
+    """lower_snake_case a single column name (P1).
+
+    Mirrors strip → lower → internal-whitespace→_ → BOM strip
+    (``elt/clean_sheets.py:59-68``), applied to the *schema*, driver-side —
+    zero cost at any data scale.
+    """
+    cleaned = name.replace("﻿", "").strip().lower()
+    return "_".join(cleaned.split())
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """P1: normalize every column name. Pure metadata op, no job triggered."""
+    return df.toDF(*[normalize_name(c) for c in df.columns])
+
+
+def cast_timestamp(df: DataFrame, cols: Iterable[str], fmt: str | None = None) -> DataFrame:
+    """P2: coerce string columns to timestamp; unparseable → NULL.
+
+    ``try_to_timestamp`` keeps the coerce-to-NULL contract even under ANSI
+    mode (Spark 4 defaults ANSI on).
+    """
+    out = df
+    for c in cols:
+        expr = (
+            F.try_to_timestamp(F.col(c), F.lit(fmt)) if fmt else F.try_to_timestamp(F.col(c))
+        )
+        out = out.withColumn(c, expr)
+    return out
+
+
+def cast_numeric(df: DataFrame, cols: Iterable[str], dtype: str = "double") -> DataFrame:
+    """P3: coerce string columns to numeric; garbage → NULL (try_cast)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.col(c).try_cast(dtype))
+    return out
+
+
+def drop_null_rows(df: DataFrame, required: Iterable[str]) -> DataFrame:
+    """P4: drop rows whose required columns are NULL.
+
+    The NOT NULL predicates push down to the Parquet scan (visible as
+    ``PushedFilters: [IsNotNull(...)]`` in the formatted plan).
+    """
+    return df.na.drop(subset=list(required))
+
+
+def project(df: DataFrame, cols: Iterable[str]) -> DataFrame:
+    """P7: explicit serving projection → Catalyst column pruning reaches the
+    scan (ReadSchema shrinks to exactly these columns)."""
+    return df.select(*cols)
+
+
+def rename_as(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P5: canonical renames (e.g. ``waktu_mandi`` → ``timestamp``)."""
+    out = df
+    for src, dst in mapping.items():
+        out = out.withColumnRenamed(src, dst)
+    return out
+
+
+def compound_predicate(
+    metric: Column, threshold: float, label: Column, needle: str
+) -> Column:
+    """P9: the reference's ``filter_bau`` row-UDF
+    (``elt/prescriptive/prescriptive_logic.py:124-132``: keep rows with
+    ``skor_met > 3.0 OR "outdoor" in lower(category)``) de-UDF'd into a
+    native predicate — JVM-side, pushdown-eligible, ~100× a Python row UDF.
+    """
+    return (metric > F.lit(threshold)) | F.lower(label).contains(needle)

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference pins a timezone by hand (tz-stripping after Delta reads,
+``/root/reference/elt/prescriptive/prescriptive_logic.py:43-47`` and faking
+WITA local time at ``:57-59``). Our engine pins the *session* timezone once,
+here, and treats every stored timestamp as timezone-naive UTC — so results
+collected from Spark match a naive-timestamp oracle (DuckDB) bit for bit.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime partition coalescing + skew-join splitting.
+- ``spark.sql.shuffle.partitions`` is a *local* default; on a real cluster
+  AQE's ``advisoryPartitionSizeInBytes`` governs post-shuffle sizing.
+- ANSI mode off: the reference's semantics are coerce-to-NULL
+  (``pd.to_numeric(errors="coerce")``); we additionally use try_cast /
+  try_to_timestamp everywhere so the operators are correct under either
+  ANSI setting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data-lakehouse-hygiene-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on a session we did not create.
+
+    The verification driver owns its own SparkSession; correctness of our
+    declared queries must not depend on its defaults. Everything set here is
+    runtime-configurable (no SparkContext restart needed).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,65 @@
+"""Sinks S4/S7/S9-S11 (SURVEY.md §2.1).
+
+The reference writes Delta with ``mode="overwrite", schema_mode="overwrite"``
+(``/root/reference/elt/clean_sheets.py:70-82``) and Postgres serving tables
+with pandas ``to_sql`` append/replace
+(``elt/load/load_prescriptive_to_sql.py:51-56``,
+``load_aktivitas_to_neon.py:81-86``).
+
+Spark-first: Delta when the ``delta-spark`` package is importable, Parquet
+otherwise (same layout semantics for tests); JDBC writers map append/replace
+to save modes. Overwrites are atomic per-directory via Spark's commit
+protocol; at scale prefer ``replaceWhere``/MERGE over whole-table overwrite
+(single-writer assumption flagged in SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # Delta is optional in this environment
+    from delta import DeltaTable  # type: ignore  # noqa: F401
+
+    _HAS_DELTA = True
+except Exception:  # pragma: no cover
+    _HAS_DELTA = False
+
+_FORMAT = "delta" if _HAS_DELTA else "parquet"
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """S7: full-refresh table write (clean-zone semantics)."""
+    df.write.format(_FORMAT).mode("overwrite").save(path)
+
+
+def append_snapshot(df: DataFrame, path: str, ingest_ts: str) -> None:
+    """S4: append-log write, partitioned by ingest timestamp — replaces the
+    reference's one-object-per-run filename convention; ``latest_ingest``
+    prunes to the newest partition on read."""
+    (
+        df.withColumn("ingest_ts", F.lit(ingest_ts))
+        .write.format(_FORMAT)
+        .mode("append")
+        .partitionBy("ingest_ts")
+        .save(path)
+    )
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.format(_FORMAT).load(path)
+
+
+def jdbc_write(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
+    """S9/S10: serving-layer JDBC sink; ``mode='overwrite'`` = the
+    reference's ``if_exists='replace'`` full refresh."""
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(
+        **options
+    ).mode(mode).save()
+
+
+def csv_log(df: DataFrame, path: str) -> None:
+    """S11: single-file CSV result log (``prescriptive_logic.py:190-197``).
+    ``coalesce(1)`` is only sane for tiny curated outputs — documented
+    deliberately; never use on large data."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
