@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the `noop` datasource sink (full
+computation on executors, no driver collect / toPandas overhead), which is
+what per-query wall time would mean on a real cluster. One warmup pass of a
+tiny query amortizes JVM/codegen startup out of the measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_lakehouse_hygiene_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the queries that do
+# real distributed work at scale (joins, aggs, dedup, similarity) rather than
+# metadata-only projections.
+HEADLINE = [
+    "hygiene_score",
+    "fact_dim_join",
+    "since_last_event",
+    "group_count_ordered",
+    "time_bucket_avg",
+    "global_sum",
+    "distinct_count",
+    "latest_snapshot",
+    "full_sort",
+    "explode_tokens",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warmup: run the cheapest query once to JIT/codegen-warm the session.
+    _force(qs["global_count"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
