@@ -465,20 +465,16 @@ def q_hygiene_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = activity master dim, events.value = env readings)."""
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer")
-    markers = ev.where(F.col("event_type") == "signup")
-    return scoring.hygiene_result(
+    return scoring.hygiene_result_single_source(
         activities=ev,
         dims=cust,
-        markers=markers,
-        env=ev,
+        marker_pred=F.col("event_type") == "signup",
         act_ts="ts",
         act_value="value",
         act_key="user_id",
         dim_key="c_custkey",
         dim_met="c_acctbal",
         dim_category="c_mktsegment",
-        marker_ts="ts",
-        env_value="value",
     )
 
 

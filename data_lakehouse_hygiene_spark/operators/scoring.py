@@ -63,6 +63,100 @@ def case_classify(score: Column, odor: Column) -> Column:
     )
 
 
+def hygiene_result_single_source(
+    activities: DataFrame,
+    dims: DataFrame,
+    marker_pred: Column,
+    *,
+    act_ts: str,
+    act_value: str,
+    act_key: str,
+    dim_key: str,
+    dim_met: str,
+    dim_category: str,
+) -> DataFrame:
+    """``hygiene_result`` specialized for markers/env drawn from the
+    activities table itself (the driver-fixture mapping): all four scalar
+    aggregates — clock, last-marker, env sum/count — collapse into ONE
+    conditional-aggregate scan, so the fact table is read exactly twice
+    (scalars pass + window pass) instead of four times. At 100 TB that is
+    the difference between 2 and 4 full-table scans per run.
+    """
+    # One conditional-aggregate scan produces all four scalars; collecting the
+    # single row driver-side (the reference's own pattern for env factors,
+    # prescriptive_logic.py:99-101) turns the window bound into a LITERAL
+    # predicate — which pushes down to the Parquet scan (rowgroup/partition
+    # skipping on ts), instead of a non-pushable broadcast theta-join.
+    s = activities.agg(
+        F.max(F.col(act_ts)).alias("__now"),
+        F.max(F.when(marker_pred, F.col(act_ts))).alias("__last"),
+        exact_sum(F.col(act_value), scale=2).alias("__env_sum"),
+        F.count(F.lit(1)).alias("__env_n"),
+    ).collect()[0]
+
+    def _ts_lit(v):
+        return F.lit(v).cast("timestamp_ntz")
+
+    # P8: pushable window predicate. NULL marker (no marker rows) → NULL
+    # predicate → empty window, matching the SQL `ts > NULL` semantics.
+    win = activities.where(F.col(act_ts) > _ts_lit(s["__last"]))
+    if act_key == dim_key:
+        joined = dim_join(win, dims, on=act_key)
+    else:
+        joined = win.join(
+            F.broadcast(dims), on=win[act_key] == dims[dim_key], how="left"
+        )
+
+    met = F.col(dim_met) / F.lit(1000.0)
+    score = row_score(F.col(act_value), met, F.col(dim_category))
+    sweaty = (F.col(dim_met) > F.lit(5000.0)) | F.lower(
+        F.col(dim_category)
+    ).contains("building")
+
+    agg = joined.agg(
+        exact_sum(quantize(score, 2), scale=2).alias("__sum_score"),
+        F.sum(F.when(sweaty, 1).otherwise(0)).alias("__n_sweaty"),
+        F.count(F.lit(1)).alias("__n_acts"),
+    )
+    one = agg.select(
+        "*",
+        _ts_lit(s["__now"]).alias("__now"),
+        _ts_lit(s["__last"]).alias("__last"),
+        F.lit(s["__env_sum"]).cast("double").alias("__env_sum"),
+        F.lit(s["__env_n"]).cast("bigint").alias("__env_n"),
+    )
+    return _finalize(one)
+
+
+def _finalize(one: DataFrame) -> DataFrame:
+    """Shared tail: scalar algebra + CASE ladder over the 1-row frame with
+    columns __now/__last/__env_sum/__env_n/__sum_score/__n_sweaty/__n_acts."""
+    hours = (
+        F.unix_timestamp(F.col("__now")) - F.unix_timestamp(F.col("__last"))
+    ) / F.lit(3600.0)
+    env_avg = F.col("__env_sum") / F.col("__env_n")
+    env_factor = F.greatest(F.lit(1.0), env_avg / F.lit(100.0))
+
+    skor_kekotoran = clamp10(F.col("__sum_score") / F.lit(15.0))
+    skor_bau = clamp10(F.col("__n_sweaty").cast("double") * env_factor / F.lit(2.0))
+    skor_aqi = clamp10(env_avg / F.lit(50.0))
+    skor_final = (
+        F.lit(0.4) * skor_kekotoran + F.lit(0.4) * skor_bau + F.lit(0.2) * skor_aqi
+    )
+    return one.select(
+        F.col("__last").alias("waktu_mandi_terakhir"),
+        quantize(hours, 2).alias("jam_sejak_mandi"),
+        quantize(skor_kekotoran, 2).alias("skor_kekotoran"),
+        quantize(skor_bau, 2).alias("skor_bau"),
+        quantize(skor_aqi, 2).alias("skor_aqi"),
+        quantize(skor_final, 2).alias("skor_final"),
+        case_classify(quantize(skor_final, 2), quantize(skor_bau, 2)).alias(
+            "rekomendasi"
+        ),
+        F.col("__n_acts").alias("jumlah_aktivitas"),
+    )
+
+
 def hygiene_result(
     activities: DataFrame,
     dims: DataFrame,
@@ -125,29 +219,4 @@ def hygiene_result(
         .join(F.broadcast(marker))
         .join(F.broadcast(env1))
     )
-
-    hours = (
-        F.unix_timestamp(F.col("__now")) - F.unix_timestamp(F.col("__last"))
-    ) / F.lit(3600.0)
-    env_avg = F.col("__env_sum") / F.col("__env_n")
-    env_factor = F.greatest(F.lit(1.0), env_avg / F.lit(100.0))
-
-    skor_kekotoran = clamp10(F.col("__sum_score") / F.lit(15.0))
-    skor_bau = clamp10(F.col("__n_sweaty").cast("double") * env_factor / F.lit(2.0))
-    skor_aqi = clamp10(env_avg / F.lit(50.0))
-    skor_final = (
-        F.lit(0.4) * skor_kekotoran + F.lit(0.4) * skor_bau + F.lit(0.2) * skor_aqi
-    )
-
-    return one.select(
-        F.col("__last").alias("waktu_mandi_terakhir"),
-        quantize(hours, 2).alias("jam_sejak_mandi"),
-        quantize(skor_kekotoran, 2).alias("skor_kekotoran"),
-        quantize(skor_bau, 2).alias("skor_bau"),
-        quantize(skor_aqi, 2).alias("skor_aqi"),
-        quantize(skor_final, 2).alias("skor_final"),
-        case_classify(quantize(skor_final, 2), quantize(skor_bau, 2)).alias(
-            "rekomendasi"
-        ),
-        F.col("__n_acts").alias("jumlah_aktivitas"),
-    )
+    return _finalize(one)
