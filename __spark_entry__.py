@@ -534,6 +534,423 @@ FROM q
 
 
 # ---------------------------------------------------------------------------
+# North-star LLM-pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+from data_lakehouse_hygiene_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+    text as text_ops,
+)
+
+_HEX = "0123456789abcdef"
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content digest."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(lower(trim(text))) AS digest,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (pure projection)."""
+    return text_ops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{text_ops.BPE_REGEX}')) AS n_bpe_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword quality heuristic + CASE bucket."""
+    return text_ops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in text_ops.STOPWORDS) + "]"
+
+SQL_QUALITY_SCORE = f"""
+WITH base AS (
+  SELECT doc_id, n_chars, text,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text) AS nc,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_SW_LIST}, x))) AS n_stop,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT doc_id, n_chars, n_tok,
+         CAST(nc - (n_tok - 1) AS DOUBLE) / n_tok AS avg_tok_len,
+         CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+         CAST(n_punct AS DOUBLE) / nc AS punct_ratio
+  FROM base),
+s AS (
+  SELECT *,
+         floor((least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4
+               + least(avg_tok_len/8.0, 1.0)*0.3
+               + (1.0 - least(stop_ratio*4.0, 1.0))*0.2
+               + (1.0 - least(punct_ratio*10.0, 1.0))*0.1)*10000.0 + 0.5)/10000.0
+           AS q
+  FROM m)
+SELECT doc_id, n_chars, n_tok AS n_tokens,
+       floor(avg_tok_len*10000.0 + 0.5)/10000.0 AS avg_token_len,
+       floor(stop_ratio*10000.0 + 0.5)/10000.0 AS stopword_ratio,
+       floor(punct_ratio*10000.0 + 0.5)/10000.0 AS punct_ratio,
+       q AS quality_score,
+       CASE WHEN q >= 0.75 THEN 'high'
+            WHEN q >= 0.5 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic."""
+    return text_ops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    hit_exprs = ",\n         ".join(
+        "len(list_filter(string_split(text, ' '), x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"], x))) AS hits_{lang}"
+        for lang, words in text_ops.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in text_ops.LANG_MARKERS]
+    best = "greatest(" + ", ".join(f"hits_{x}" for x in langs) + ")"
+    ladder = " ".join(
+        f"WHEN hits_{x} = {best} THEN '{x}'" for x in langs
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         {hit_exprs}
+  FROM documents)
+SELECT doc_id, {', '.join(f'hits_{x}' for x in langs)},
+       CASE WHEN {best} = 0 THEN 'und' {ladder} END AS pred_lang
+FROM h
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text md5 + rolling 5-token min-hash fingerprint."""
+    return text_ops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+roll AS (
+  SELECT t.doc_id, min(md5(array_to_string(t.ts[g.i:g.i+4], ' '))) AS mn
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts) - 3)) AS i) g
+  WHERE len(t.ts) >= 5
+  GROUP BY t.doc_id)
+SELECT t.doc_id, md5(t.text) AS exact_md5,
+       coalesce(r.mn, md5(t.text)) AS rolling_fp
+FROM tok t LEFT JOIN roll r ON t.doc_id = r.doc_id
+"""
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures -> LSH band buckets -> candidate pairs -> est Jaccard."""
+    return dedup.minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_minhash() -> str:
+    nh, nb, rpb = dedup.N_HASHES, dedup.N_BANDS, dedup.ROWS_PER_BAND
+    mins = ",\n         ".join(
+        f"min(md5('{j}:' || s)) AS h{j}" for j in range(nh)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(nb)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(nh)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT t.doc_id, t.ts[g.i] || ' ' || t.ts[g.i+1] || ' ' || t.ts[g.i+2] AS s
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts) - 1)) AS i) g
+  WHERE len(t.ts) >= 3
+  UNION
+  SELECT doc_id, text AS s FROM tok WHERE len(ts) < 3),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id),
+bands AS (
+{band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST({eq_terms} AS DOUBLE) / {nh}.0 AS est_jaccard
+FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+WHERE CAST({eq_terms} AS DOUBLE) / {nh}.0 >= 0.5
+"""
+
+
+SQL_MINHASH_NEAR_DUP = _sql_minhash()
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard via shingle equi-join."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT t.doc_id, t.ts[g.i] || ' ' || t.ts[g.i+1] || ' ' || t.ts[g.i+2] AS s
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts) - 1)) AS i) g
+  WHERE len(t.ts) >= 3
+  UNION
+  SELECT doc_id, text AS s FROM tok WHERE len(ts) < 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       floor(CAST(i AS DOUBLE)/(sa.n + sb.n - i)*1000000.0 + 0.5)/1000000.0
+         AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE floor(CAST(i AS DOUBLE)/(sa.n + sb.n - i)*1000000.0 + 0.5)/1000000.0 >= 0.5
+"""
+
+
+def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (bit-string form)."""
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_cte() -> str:
+    sums = ",\n         ".join(
+        f"sum(((strpos('{_HEX}', substr(hh, {j // 4 + 1}, 1)) - 1)"
+        f" // {2 ** (j % 4)}) % 2 * 2 - 1) AS s{j}"
+        for j in range(64)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(64)
+    )
+    return f"""
+tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+shg AS (
+  SELECT DISTINCT t.doc_id, t.ts[g.i] || ' ' || t.ts[g.i+1] || ' ' || t.ts[g.i+2] AS t
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts) - 1)) AS i) g
+  WHERE len(t.ts) >= 3
+  UNION
+  SELECT doc_id, text AS t FROM tok WHERE len(ts) < 3),
+h AS (SELECT doc_id, md5(t) AS hh FROM shg),
+sm AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {bits} AS simhash_bits FROM sm)"""
+
+
+SQL_SIMHASH_FP = f"""
+WITH {_simhash_cte()}
+SELECT doc_id, simhash_bits FROM sig
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs, blocked by source."""
+    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_simhash_near_dup() -> str:
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.simhash_bits, {j + 1}, 1)"
+        f" != substr(b.simhash_bits, {j + 1}, 1) THEN 1 ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+WITH {_simhash_cte()},
+sb AS (SELECT s.doc_id, s.simhash_bits, d.source
+       FROM sig s JOIN documents d ON s.doc_id = d.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+FROM sb a JOIN sb b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE {ham} <= 16
+"""
+
+
+SQL_SIMHASH_NEAR_DUP = _sql_simhash_near_dup()
+
+_DOT = (
+    "CAST(floor(CAST({a}[g.i] AS DOUBLE) * CAST({b}[g.i] AS DOUBLE)"
+    " * 1000000000000.0 + 0.5) AS HUGEINT)"
+)
+
+_SQL_NORMS = f"""
+comp AS (
+  SELECT e.vec_id, e.embedding, g.i AS i, CAST(e.embedding[g.i] AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) g),
+nrm AS (
+  SELECT vec_id, any_value(embedding) AS embedding,
+         sqrt(CAST(sum(CAST(floor(x * x * 1000000000000.0 + 0.5) AS HUGEINT))
+              AS DOUBLE) / 1000000000000.0) AS norm
+  FROM comp GROUP BY vec_id)"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force baseline)."""
+    return similarity.cosine_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH {_SQL_NORMS},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm AS na, b.norm AS nb,
+         a.embedding AS ea, b.embedding AS eb
+  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id),
+dots AS (
+  SELECT vec_a, vec_b, any_value(na) AS na, any_value(nb) AS nb,
+         CAST(sum({_DOT.format(a='p.ea', b='p.eb')}) AS DOUBLE)
+           / 1000000000000.0 AS dot
+  FROM pairs p,
+       LATERAL (SELECT unnest(range(1, len(p.ea) + 1)) AS i) g
+  GROUP BY vec_a, vec_b)
+SELECT vec_a, vec_b,
+       floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM dots
+WHERE floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 >= 0.45
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 3."""
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_COSINE_TOPK = f"""
+WITH {_SQL_NORMS},
+q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qnorm
+      FROM nrm WHERE vec_id < 3),
+prs AS (
+  SELECT q.query_id, n.vec_id, q.qnorm, n.norm, q.qv, n.embedding AS ev
+  FROM nrm n, q WHERE n.vec_id != q.query_id),
+dots AS (
+  SELECT query_id, vec_id, any_value(qnorm) AS qnorm, any_value(norm) AS norm,
+         CAST(sum({_DOT.format(a='p.qv', b='p.ev')}) AS DOUBLE)
+           / 1000000000000.0 AS dot
+  FROM prs p,
+       LATERAL (SELECT unnest(range(1, len(p.qv) + 1)) AS i) g
+  GROUP BY query_id, vec_id),
+scored AS (
+  SELECT query_id, vec_id,
+         floor(dot / (qnorm * norm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM dots),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed ANN (top-5 within bucket)."""
+    return similarity.lsh_ann(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_lsh_ann() -> str:
+    plane = (
+        f"(CAST(strpos('{_HEX}', substr(md5({{p}} || ':' ||"
+        " CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5)"
+    )
+    projs = ",\n         ".join(
+        "sum(CAST(floor(x * {pl} * 1000000000000.0 + 0.5) AS HUGEINT)) AS p{p}".format(
+            pl=plane.format(p=f"'{p}'"), p=p
+        )
+        for p in range(similarity.N_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN p{p} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(similarity.N_PLANES)
+    )
+    return f"""
+WITH comp AS (
+  SELECT e.vec_id, e.embedding, g.i AS i, CAST(e.embedding[g.i] AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) g),
+proj AS (
+  SELECT vec_id, any_value(embedding) AS embedding,
+         sqrt(CAST(sum(CAST(floor(x * x * 1000000000000.0 + 0.5) AS HUGEINT))
+              AS DOUBLE) / 1000000000000.0) AS norm,
+         {projs}
+  FROM comp GROUP BY vec_id),
+bkt AS (
+  SELECT vec_id, embedding, norm, {bucket} AS bucket FROM proj),
+q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qnorm, bucket
+      FROM bkt WHERE vec_id < 3),
+prs AS (
+  SELECT q.query_id, n.vec_id, q.qnorm, n.norm, q.qv, n.embedding AS ev
+  FROM bkt n JOIN q ON n.bucket = q.bucket AND n.vec_id != q.query_id),
+dots AS (
+  SELECT query_id, vec_id, any_value(qnorm) AS qnorm, any_value(norm) AS norm,
+         CAST(sum({_DOT.format(a='p.qv', b='p.ev')}) AS DOUBLE)
+           / 1000000000000.0 AS dot
+  FROM prs p,
+       LATERAL (SELECT unnest(range(1, len(p.qv) + 1)) AS i) g
+  GROUP BY query_id, vec_id),
+scored AS (
+  SELECT query_id, vec_id,
+         floor(dot / (qnorm * norm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM dots),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_LSH_ANN = _sql_lsh_ann()
+
+
+def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text -> binary payload -> mapInPandas features."""
+    media = multimodal.to_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+SQL_BINARY_FEATURES = """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+       CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT)
+         AS n_marker_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -563,6 +980,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "full_sort": (q_full_sort, SQL_FULL_SORT),
     "latest_row": (q_latest_row, SQL_LATEST_ROW),
     "hygiene_score": (q_hygiene_score, SQL_HYGIENE_SCORE),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash_fp": (q_simhash_fp, SQL_SIMHASH_FP),
+    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
+    "binary_features": (q_binary_features, SQL_BINARY_FEATURES),
 }
 
 

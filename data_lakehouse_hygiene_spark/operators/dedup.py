@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has no dedup (its tables are single-user scale); these are the
+first-class LLM-pipeline extensions. All hashing is md5-hex (bit-identical
+in Spark and DuckDB) so every operator is oracle-checkable.
+
+Scale design (100 TB corpus):
+- Exact dedup: hash-groupBy on a digest — one shuffle of (digest, doc_id),
+  map-side partial aggregation, no text movement.
+- MinHash: signatures are per-document aggregates over *array-local*
+  distinct shingles (``array_distinct`` before explode — no pre-shuffle
+  dedup); one shuffle by doc_id, then the LSH band explode is narrow.
+  Candidate pairs come from an equi-join on (band, band_key) — never an
+  O(n²) cross join. Hot buckets (identical band keys shared by k docs)
+  produce k² pair rows; at scale, salt or cap bucket size before the join.
+- n-gram Jaccard: shingle equi-join + aggregation — O(total shingle
+  multiplicity), not O(n²).
+- SimHash: per-row 64-bit signature (pure projection), near-dup via
+  blocked pair join + Hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .aggregates import quantize
+from .text import tokens
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+HEX = "0123456789abcdef"
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest: one row per distinct normalized text,
+    keeping the smallest doc_id as canonical representative."""
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a single-space-joined text column.
+
+    Documents shorter than ``n`` tokens contribute the whole text as one
+    shingle (so they still participate in dedup).
+    """
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(text_col)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """MinHash signature per document: component j = min over shingles of
+    md5(j ':' shingle). String-min over md5 hex is engine-portable."""
+    ex = df.select(
+        "doc_id", F.explode(shingles(F.col(text_col))).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """Explode a signature frame into (doc_id, band, band_key, sig array)."""
+    sig_arr = F.array(*[F.col(f"h{j}") for j in range(N_HASHES)])
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", sig_arr.alias("sig"), F.explode(bands).alias("bk")
+    ).select("doc_id", "sig", "bk.band", "bk.band_key")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: docs sharing ≥1 LSH band bucket,
+    scored by estimated Jaccard (fraction of equal signature components).
+
+    The band equi-join is the scale path: only docs agreeing on a full band
+    ever meet. est_jaccard is identical for every band a pair collides in,
+    so the de-dup of candidate pairs is a plain groupBy max.
+    """
+    b = lsh_bands(minhash_signatures(df, text_col))
+    left = b.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "band_key",
+    )
+    right = b.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_key",
+    )
+    pairs = left.join(right, on=["band", "band_key"]).where(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    est = eq.cast("double") / F.lit(float(N_HASHES))
+    return (
+        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via a shingle equi-join (never a
+    cross join): |A∩B| from the join, |A|,|B| from per-doc counts."""
+    sh = df.select("doc_id", F.explode(shingles(F.col(text_col))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document as a 64-char bit string.
+
+    Features are distinct word 3-gram shingles (not unigram tokens: on a
+    small shared vocabulary every document uses nearly the same token SET,
+    which collapses unigram SimHash — shingles carry sequence information).
+    Per shingle, md5 supplies 64 bits; bit j of the signature is the
+    majority vote (sum of ±1). Pure projection + one groupBy — the 64
+    conditional sums fold into a single hash-aggregate pass.
+    """
+    ex = df.select(
+        "doc_id", F.explode(shingles(F.col(text_col))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("__h"))
+    sums = []
+    for j in range(64):
+        digit = F.instr(F.lit(HEX), F.substring("__h", j // 4 + 1, 1)) - F.lit(1)
+        bit = F.floor(digit / F.lit(2 ** (j % 4))) % F.lit(2)
+        sums.append(F.sum(bit * 2 - F.lit(1)).alias(f"s{j}"))
+    agg = ex.groupBy("doc_id").agg(*sums)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(64)
+        ]
+    )
+    return agg.select("doc_id", bits.alias("simhash_bits"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    block_col: str = "source",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: Hamming distance over signatures, with a blocking
+    column bounding the pair join (at scale: block on simhash prefix bands
+    instead of a domain column)."""
+    sig = simhash_signatures(df, text_col).join(
+        df.select("doc_id", block_col), "doc_id"
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_bits").alias("bits_a"),
+        block_col,
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_bits").alias("bits_b"),
+        block_col,
+    )
+    pairs = a.join(b, on=block_col).where(F.col("doc_a") < F.col("doc_b"))
+    hamming = sum(
+        F.when(
+            F.substring("bits_a", j + 1, 1) != F.substring("bits_b", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(64)
+    )
+    return pairs.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

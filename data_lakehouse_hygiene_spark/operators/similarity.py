@@ -1,0 +1,200 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and a
+random-hyperplane LSH-bucketed variant (the scale path), plus cosine
+near-duplicate pairs.
+
+Determinism / oracle parity: float32 components are cast to double (exact),
+each pairwise product is floor-quantized to 12 decimals and summed as an
+integer DECIMAL — an order-independent exact sum, so Spark and DuckDB agree
+bit-for-bit regardless of aggregation order. sqrt/division are IEEE
+correctly-rounded, hence identical. Final cosines are quantized to 6
+decimals before any threshold/rank comparison.
+
+Scale design (1e9+ vectors):
+- Brute force is O(n·q) — fine for a broadcast-able query set (q ≤ ~1e4),
+  the fact side streams through one scan, top-k via per-partition partial
+  rank (window) after a shuffle on query_id.
+- LSH: 8 deterministic hyperplanes → 256 buckets; candidates meet via a
+  bucket equi-join; recall/latency tuned by planes and multi-probe. An IVF
+  variant would replace hyperplanes with k-means centroids (Spark MLlib)
+  — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .aggregates import quantize
+
+DOT_SCALE = int(1e12)
+N_PLANES = 8
+HEX = "0123456789abcdef"
+
+
+def _qprod(x: Column, y: Column) -> Column:
+    """floor-quantized product of two float components, as integer units of
+    1e-12 — exact and order-independent under integer-decimal summation."""
+    return F.floor(
+        x.cast("double") * y.cast("double") * F.lit(float(DOT_SCALE)) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent dot product of two array<float> columns (double)."""
+    acc = F.aggregate(
+        F.zip_with(a, b, _qprod),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda s, v: s + v,
+    )
+    return acc.cast("double") / F.lit(float(DOT_SCALE))
+
+
+def norms(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector L2 norm, computed once and joined — never recomputed per
+    pair."""
+    v = F.col(vec_col)
+    return df.select(
+        "vec_id", v.alias(vec_col), F.sqrt(dot_exact(v, v)).alias("norm")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame, vec_col: str = "embedding", threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b) above a threshold.
+
+    Brute-force O(n²) pair enumeration — the correctness baseline. At scale
+    use ``lsh_ann`` (bucketed candidates) with this as the in-bucket scorer.
+    """
+    n = norms(df, vec_col)
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    cos = dot_exact(F.col("va"), F.col("vb")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return pairs.select(
+        "vec_a", "vec_b", quantize(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    non-identical vectors, deterministically tie-broken by vec_id."""
+    from pyspark.sql.window import Window
+
+    if query_pred is None:
+        query_pred = F.col("vec_id") < 3
+    n = norms(df, vec_col)
+    q = n.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = dot_exact(F.col("qv"), F.col(vec_col)) / (
+        F.col("qnorm") * F.col("norm")
+    )
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", quantize(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _plane_component(p: int, i: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
+    hex-digit value of md5('p:i') minus 7.5. Reproducible in any engine
+    with md5 — no RNG seed to disagree on."""
+    digit = (
+        F.instr(
+            F.lit(HEX),
+            F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 1),
+        )
+        - F.lit(1)
+    )
+    return digit.cast("double") - F.lit(7.5)
+
+
+def lsh_bucket(vec_col: str = "embedding") -> Column:
+    """Random-hyperplane LSH bucket id (0..2^N_PLANES-1) for a vector:
+    bit p = sign of <v, plane_p>. Pure projection — no shuffle."""
+    v = F.col(vec_col)
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda i: _plane_component(p, i),
+                ),
+                _qprod,
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda s, x: s + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors: queries only meet
+    candidates in their own hyperplane bucket (equi-join on bucket id),
+    then exact cosine + top-k within the bucket.
+
+    Trades recall for candidate-set size; at 1e9 vectors the bucket join
+    touches ~n/256 candidates per query instead of n.
+    """
+    from pyspark.sql.window import Window
+
+    if query_pred is None:
+        query_pred = F.col("vec_id") < 3
+    n = norms(df, vec_col).withColumn("bucket", lsh_bucket(vec_col))
+    q = n.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    cos = dot_exact(F.col("qv"), F.col(vec_col)) / (
+        F.col("qnorm") * F.col("norm")
+    )
+    scored = (
+        n.join(F.broadcast(q), on="bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", quantize(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

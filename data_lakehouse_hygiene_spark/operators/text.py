@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's capability surface (it has no text analytics —
+the closest is category-label matching at
+``/root/reference/elt/prescriptive/prescriptive_logic.py:106,128``) with the
+operators an LLM-data pipeline needs: token counting, quality scoring,
+language ID, and document fingerprinting.
+
+Engineering rules:
+- Everything is native ``pyspark.sql.functions`` column algebra — JVM-side,
+  whole-stage-codegen, no Python in the hot path. At 100 TB these run at
+  scan speed with zero shuffles (all per-row).
+- Every derived value is deterministic and expressible in ANSI SQL so the
+  DuckDB oracle can replay it bit-for-bit. Hashes are md5 hex (identical
+  across engines); fractional outputs go through the floor-quantize trick
+  (``aggregates.quantize``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .aggregates import quantize
+
+# A "BPE-ish" pre-tokenizer: letter runs, digit runs, single non-alnum marks.
+# Kept RE2-compatible (no backrefs/lookahead) so Spark (Java regex) and
+# DuckDB (RE2) count identically.
+BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# Tiny deterministic stopword list drawn from the corpus vocabulary.
+STOPWORDS = ("a", "the", "and", "of", "to")
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+# Deterministic tie-break: first language in this tuple order wins.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "and", "value", "table")),
+    ("de", ("der", "die", "das", "und", "nicht")),
+    ("es", ("el", "la", "los", "que", "de")),
+    ("fr", ("le", "la", "les", "et", "une")),
+    ("zh", ("de", "shi", "bu", "le", "wo")),
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the corpus is single-space joined)."""
+    return F.split(text, " ")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per document.
+
+    Scale: pure per-row projection — no shuffle, runs at scan throughput.
+    """
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(tokens(t)).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_REGEX)).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars_measured"),
+    )
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens that appear in ``words`` (with multiplicity)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristic with a CASE
+    quality bucket — the A8/A9 score-and-classify shape applied to text.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    # single-space joined => chars excluding separators / token count
+    avg_tok_len = (n_chars - (n_tok - F.lit(1))).cast("double") / n_tok
+    stop_ratio = _stopword_hits(toks, STOPWORDS).cast("double") / n_tok
+    non_alnum = F.regexp_count(t, F.lit("[^a-zA-Z0-9 ]")).cast("double")
+    punct_ratio = non_alnum / n_chars
+
+    score = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(avg_tok_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(stop_ratio * F.lit(4.0), F.lit(1.0))) * F.lit(0.2)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.1)
+    )
+    q = quantize(score, 4)
+    bucket = (
+        F.when(q >= 0.75, F.lit("high"))
+        .when(q >= 0.5, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return df.select(
+        "doc_id",
+        F.col("n_chars"),
+        n_tok.alias("n_tokens"),
+        quantize(avg_tok_len, 4).alias("avg_token_len"),
+        quantize(stop_ratio, 4).alias("stopword_ratio"),
+        quantize(punct_ratio, 4).alias("punct_ratio"),
+        q.alias("quality_score"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID (n-gram heuristic).
+
+    Per-row, shuffle-free. The argmax over language hit-counts is computed
+    with a deterministic first-wins CASE ladder so ties resolve identically
+    in any engine.
+    """
+    toks = tokens(F.col(text_col))
+    hits = {lang: _stopword_hits(toks, words) for lang, words in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    pred = F.lit(None).cast("string")
+    # Build the ladder in reverse so earlier languages take precedence.
+    for lang, _ in reversed(LANG_MARKERS):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    sel = [F.col("doc_id")]
+    sel += [hits[lang].alias(f"hits_{lang}") for lang, _ in LANG_MARKERS]
+    sel.append(pred.alias("pred_lang"))
+    return df.select(*sel)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", window: int = 5) -> DataFrame:
+    """Document fingerprinting: full-text md5 plus a rolling-window min-hash
+    (winnowing-style): min over md5 of every ``window``-token shingle.
+
+    Near-identical documents that differ by a few tokens still collide on
+    the rolling fingerprint with high probability; the full md5 catches
+    exact duplicates only.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), n - F.lit(window)),
+        lambda i: F.md5(F.concat_ws(" ", *[toks[i + j] for j in range(window)])),
+    )
+    rolling = F.when(n >= window, F.array_min(shingle_hashes)).otherwise(F.md5(t))
+    return df.select(
+        "doc_id",
+        F.md5(t).alias("exact_md5"),
+        rolling.alias("rolling_fp"),
+    )
