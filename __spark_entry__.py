@@ -673,12 +673,15 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_minhash() -> str:
     nh, nb, rpb = dedup.N_HASHES, dedup.N_BANDS, dedup.ROWS_PER_BAND
     mins = ",\n         ".join(
-        f"min(md5('{j}:' || s)) AS h{j}" for j in range(nh)
+        f"min(({a} * h + {b}) % {dedup.MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(dedup.MINHASH_AB[:nh])
     )
     band_rows = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
             b=b,
-            key=" || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)),
+            key=" || '|' || ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
         )
         for b in range(nb)
     )
@@ -693,10 +696,14 @@ sh AS (
   WHERE len(t.ts) >= 3
   UNION
   SELECT doc_id, text AS s FROM tok WHERE len(ts) < 3),
+hv AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483648 AS h
+  FROM sh),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id),
+  FROM hv GROUP BY doc_id),
 bands AS (
 {band_rows}),
 cand AS (
@@ -933,6 +940,46 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 SQL_LSH_ANN = _sql_lsh_ann()
 
 
+def q_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (BMKG shape): build a triple-nested structure then explode it back
+    — round-trip equals the input multiset."""
+    from data_lakehouse_hygiene_spark.operators import json_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return json_ops.nest_and_flatten(ev, "user_id", "event_type", "ts", "value")
+
+
+SQL_NESTED_FLATTEN = """
+WITH l1 AS (
+  SELECT user_id, event_type,
+         list(struct_pack(ts := ts, value := value)) AS readings
+  FROM events GROUP BY 1, 2),
+l2 AS (
+  SELECT user_id,
+         list(struct_pack(event_type := event_type, readings := readings)) AS days
+  FROM l1 GROUP BY 1),
+e1 AS (SELECT user_id, unnest(days) AS d FROM l2),
+e2 AS (SELECT user_id, d.event_type AS event_type, unnest(d.readings) AS r FROM e1)
+SELECT user_id, event_type, r.ts AS ts, r.value AS value FROM e2
+"""
+
+
+def q_streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: Structured-Streaming time-bucket aggregation (availableNow →
+    memory sink), oracle-checked against the same SQL as the batch variant."""
+    from data_lakehouse_hygiene_spark import streaming
+
+    pin_session(spark)
+    ev = streaming.load_stream_table(spark, sf_dir, "events")
+    agg = streaming.time_bucket_stream(
+        ev,
+        "ts",
+        "hour",
+        {"avg_value": exact_avg("value"), "n": F.count(F.lit(1))},
+    )
+    return streaming.run_to_memory(agg, output_mode="complete")
+
+
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text -> binary payload -> mapInPandas features."""
     media = multimodal.to_media(_t(spark, sf_dir, "documents"))
@@ -993,6 +1040,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
     "binary_features": (q_binary_features, SQL_BINARY_FEATURES),
+    "nested_flatten": (q_nested_flatten, SQL_NESTED_FLATTEN),
+    "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET_AVG),
 }
 
 

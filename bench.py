@@ -37,6 +37,11 @@ HEADLINE = [
     "latest_snapshot",
     "full_sort",
     "explode_tokens",
+    "minhash_near_dup",
+    "simhash_fp",
+    "ngram_jaccard",
+    "quality_score",
+    "cosine_topk",
 ]
 
 

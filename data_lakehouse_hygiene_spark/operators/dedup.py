@@ -32,6 +32,34 @@ N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 HEX = "0123456789abcdef"
 
+# Linear-congruential minhash family over one md5-derived base hash:
+# h_j = (A_j * (h mod 2^31) + B_j) mod P. One md5 per shingle instead of
+# N_HASHES — the md5 was the dominant signature cost. Constants are fixed
+# (shared verbatim with the oracle SQL); P is the Mersenne prime 2^31-1.
+MINHASH_P = 2_147_483_647
+MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
+    ((j * 2 + 1) * 40_503 + 12_289, j * 9_176 + 777) for j in range(N_HASHES)
+)
+
+
+def base_hash(s: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5, identical to
+    DuckDB's ``('0x' || substr(md5(s),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition small under-split inputs before CPU-heavy per-row work.
+
+    A single small Parquet file arrives as ONE input partition, serializing
+    the shingle/hash projection on one core. Shuffling the (tiny) document
+    rows costs far less than it saves. On a real 100 TB corpus the scan is
+    already split by ``maxPartitionBytes`` and this becomes a no-op choice —
+    call sites keep it because the shuffle is proportional to the *document*
+    count, never the derived shingle count."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, key) if df.rdd.getNumPartitions() < target else df
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup by content digest: one row per distinct normalized text,
@@ -67,13 +95,17 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
 ) -> DataFrame:
     """MinHash signature per document: component j = min over shingles of
-    md5(j ':' shingle). String-min over md5 hex is engine-portable."""
+    the j-th linear-congruential rehash of one md5-derived base hash.
+
+    One md5 + N cheap integer transforms per shingle (instead of N md5s);
+    the min-aggregate is a single map-side-combining hash aggregate."""
+    df = spread(df)
     ex = df.select(
         "doc_id", F.explode(shingles(F.col(text_col))).alias("s")
-    )
+    ).select("doc_id", (base_hash(F.col("s")) % F.lit(2**31)).alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
-        for j in range(n_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+        for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
     ]
     return ex.groupBy("doc_id").agg(*aggs)
 
@@ -89,7 +121,7 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
                     F.concat_ws(
                         "|",
                         *[
-                            F.col(f"h{b * ROWS_PER_BAND + r}")
+                            F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
                             for r in range(ROWS_PER_BAND)
                         ],
                     )
@@ -146,17 +178,39 @@ def minhash_near_dup_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity via a shingle equi-join (never a
-    cross join): |A∩B| from the join, |A|,|B| from per-doc counts."""
+    """Exact n-gram Jaccard similarity, join-free on the fact side.
+
+    Instead of a shingle self-join (output = Σ count(s)² rows shuffled
+    TWICE — join then pair-groupBy), group once by shingle, sort the doc
+    list, and generate the a<b pairs inside the row with array lambdas:
+    one groupBy(s), one groupBy(pair), and two BROADCAST joins for the
+    per-doc sizes (the size table is |docs| rows — tiny next to pairs).
+
+    Scale note: a shingle shared by k docs still yields k(k-1)/2 pair rows;
+    on a 100 TB corpus cap or drop ultra-frequent shingles first (they carry
+    no similarity signal) — left uncapped here because the oracle computes
+    the uncapped definition."""
+    df = spread(df)
     sh = df.select("doc_id", F.explode(shingles(F.col(text_col))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="s")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ds = F.array_sort(F.collect_list("doc_id"))
+    pair_lists = (
+        sh.groupBy("s")
+        .agg(ds.alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    inter = (
+        pair_lists.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -164,8 +218,8 @@ def ngram_jaccard_pairs(
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -181,15 +235,27 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     majority vote (sum of ±1). Pure projection + one groupBy — the 64
     conditional sums fold into a single hash-aggregate pass.
     """
+    df = spread(df)
     ex = df.select(
         "doc_id", F.explode(shingles(F.col(text_col))).alias("tok")
     ).select("doc_id", F.md5("tok").alias("__h"))
+    # Factor the 16 hex-digit parses into one projection so each string op
+    # runs once per row; the 64 bit-sums then reference the digit columns
+    # (4 cheap integer ops each instead of substr+instr per bit).
+    digits = ex.select(
+        "doc_id",
+        *[
+            (F.instr(F.lit(HEX), F.substring("__h", k + 1, 1)) - F.lit(1)).alias(
+                f"d{k}"
+            )
+            for k in range(16)
+        ],
+    )
     sums = []
     for j in range(64):
-        digit = F.instr(F.lit(HEX), F.substring("__h", j // 4 + 1, 1)) - F.lit(1)
-        bit = F.floor(digit / F.lit(2 ** (j % 4))) % F.lit(2)
+        bit = F.floor(F.col(f"d{j // 4}") / F.lit(2 ** (j % 4))) % F.lit(2)
         sums.append(F.sum(bit * 2 - F.lit(1)).alias(f"s{j}"))
-    agg = ex.groupBy("doc_id").agg(*sums)
+    agg = digits.groupBy("doc_id").agg(*sums)
     bits = F.concat(
         *[
             F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))

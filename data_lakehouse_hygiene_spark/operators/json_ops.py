@@ -42,6 +42,28 @@ def explode_levels(df: DataFrame, *levels: str) -> DataFrame:
     return out
 
 
+def nest_and_flatten(df: DataFrame, key1: str, key2: str, *fields: str) -> DataFrame:
+    """Round-trip the BMKG triple-nested shape (``clean_bmkg.py:59-69``):
+    build ``key1 -> [ (key2, [ (fields…) ]) ]`` with collect_list, then
+    flatten back with one ``explode`` per level + dotted-path select.
+
+    ``explode`` is a generator (no shuffle); only the two collect_list
+    groupings exchange data. The flattened multiset equals the input —
+    which is exactly what makes it oracle-checkable.
+    """
+    inner = df.groupBy(key1, key2).agg(
+        F.collect_list(F.struct(*fields)).alias("readings")
+    )
+    outer = inner.groupBy(key1).agg(
+        F.collect_list(F.struct(key2, "readings")).alias("days")
+    )
+    return (
+        outer.select(key1, F.explode("days").alias("d"))
+        .select(key1, f"d.{key2}", F.explode("d.readings").alias("r"))
+        .select(key1, key2, *[f"r.{f}" for f in fields])
+    )
+
+
 def tokenize(df: DataFrame, text_col: str, out: str = "token") -> DataFrame:
     """Whitespace tokenization + explode — the flatten primitive reused by
     the dedup/text operators."""

