@@ -940,6 +940,90 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 SQL_LSH_ANN = _sql_lsh_ann()
 
 
+def q_histogram_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metabase num-bins binning (cards 4/28/36): fixed-width histogram
+    as floor(x/w)*w + count — a single hash aggregate at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (F.floor(F.col("o_totalprice") / F.lit(50000.0)) * F.lit(50000.0)).alias(
+        "bin_lo"
+    )
+    return (
+        orders.groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin_lo")
+    )
+
+
+SQL_HISTOGRAM_BIN = """
+SELECT floor(o_totalprice / 50000.0) * 50000.0 AS bin_lo, count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_datetime_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBQL datetime-diff / temporal extraction (card 1's age computation):
+    day diffs plus year/month/day parts — all codegen'd expressions."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_eoy"
+        ),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+    )
+
+
+SQL_DATETIME_DIFF = """
+SELECT o_orderkey,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+       EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(month FROM o_orderdate) AS mo,
+       EXTRACT(day FROM o_orderdate) AS dom
+FROM orders
+"""
+
+
+def q_time_interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBQL time-interval filter (card 7's rolling window): rows within the
+    trailing 3 months of the table's own max date — scalar subquery, no
+    wall-clock dependency."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ti")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders_ti
+        WHERE o_orderdate >= timestampadd(
+            MONTH, -3, (SELECT max(o_orderdate) FROM orders_ti))
+        """
+    )
+
+
+SQL_TIME_INTERVAL_FILTER = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 3 MONTH
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (§2.6): UNION (distinct) of two projections via unionByName."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority").like("1-%")).select(
+        "o_custkey"
+    )
+    big = orders.where(F.col("o_totalprice") > 400000.0).select("o_custkey")
+    return urgent.unionByName(big).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1-%'
+UNION
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+"""
+
+
 def q_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 (BMKG shape): build a triple-nested structure then explode it back
     — round-trip equals the input multiset."""
@@ -1042,6 +1126,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "binary_features": (q_binary_features, SQL_BINARY_FEATURES),
     "nested_flatten": (q_nested_flatten, SQL_NESTED_FLATTEN),
     "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET_AVG),
+    "histogram_bin": (q_histogram_bin, SQL_HISTOGRAM_BIN),
+    "datetime_diff": (q_datetime_diff, SQL_DATETIME_DIFF),
+    "time_interval_filter": (q_time_interval_filter, SQL_TIME_INTERVAL_FILTER),
+    "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
 }
 
 
