@@ -1064,6 +1064,121 @@ def q_streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_memory(agg, output_mode="complete")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union+window, one shuffle): latest signup marker <= each
+    event's ts per user. Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    markers = ev.where(F.col("event_type") == "signup")
+    return temporal.asof_join(ev, markers, key="user_id", ts="ts").select(
+        "event_id", "ts", "user_id", "event_type", "asof_ts"
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.ts, e.user_id, e.event_type, m.ts AS asof_ts
+FROM events e ASOF LEFT JOIN (
+  SELECT user_id, ts FROM events WHERE event_type = 'signup') m
+  ON e.user_id = m.user_id AND e.ts >= m.ts
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) per user."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    return temporal.sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak="event_id"
+    ).select("event_id", "user_id", "ts", "session_id")
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, ts,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM o
+"""
+
+
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete median per group via row_number (exact element selection —
+    no interpolation, so cross-engine parity is trivial)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderstatus")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("o_orderstatus", F.col("o_totalprice").alias("median_price"))
+    )
+
+
+SQL_PERCENTILE_DISC = """
+WITH r AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+  FROM orders)
+SELECT o_orderstatus, o_totalprice AS median_price
+FROM r WHERE rn = (cnt + 1) // 2
+"""
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-hygiene table profile: one aggregate pass, long-form
+    per-column stats (exact distinct for the oracle; HLL at 100 TB)."""
+    from data_lakehouse_hygiene_spark import maintenance
+
+    return maintenance.profile_table(_t(spark, sf_dir, "documents"))
+
+
+def _sql_profile() -> str:
+    from data_lakehouse_hygiene_spark.schemas import TABLES
+
+    parts = [
+        f"""SELECT '{f.name}' AS "column", '{f.dataType.simpleString()}' AS dtype,
+       count(*) AS n_rows,
+       count(*) - count({f.name}) AS n_nulls,
+       count(DISTINCT {f.name}) AS n_distinct,
+       CAST(min({f.name}) AS VARCHAR) AS min_str,
+       CAST(max({f.name}) AS VARCHAR) AS max_str
+FROM documents"""
+        for f in TABLES["documents"].fields
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_PROFILE_TABLE = _sql_profile()
+
+
+def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew stats (rows per key + ratio to mean) — the planning
+    input for salting / AQE skew thresholds."""
+    from data_lakehouse_hygiene_spark import maintenance
+
+    return maintenance.partition_skew(_t(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+SQL_PARTITION_SKEW = """
+WITH c AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1),
+a AS (SELECT avg(n) AS av FROM c)
+SELECT o_orderstatus, n, n / av AS skew_ratio FROM c, a
+"""
+
+
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text -> binary payload -> mapInPandas features."""
     media = multimodal.to_media(_t(spark, sf_dir, "documents"))
@@ -1130,6 +1245,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "datetime_diff": (q_datetime_diff, SQL_DATETIME_DIFF),
     "time_interval_filter": (q_time_interval_filter, SQL_TIME_INTERVAL_FILTER),
     "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "percentile_disc": (q_percentile_disc, SQL_PERCENTILE_DISC),
+    "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
+    "partition_skew": (q_partition_skew, SQL_PARTITION_SKEW),
 }
 
 

@@ -1,0 +1,115 @@
+"""Lakehouse-maintenance ("hygiene") utilities: table profiling, small-file
+compaction, schema-drift detection, partition-skew stats.
+
+The reference's hygiene is per-run ad-hoc checks (column prints at
+``/root/reference/ingestion/sheets/sheets_to_raw.py:81``, empty-input guards
+at ``elt/load/load_prescriptive_to_sql.py:42-59``); these are the
+engine-level equivalents a lakehouse at scale actually runs on a schedule.
+
+Scale design:
+- ``profile_table`` is ONE aggregate pass over the table (every per-column
+  stat is a conditional aggregate in the same hash-agg); the unpivot to
+  long form happens on the 1-row result.
+- ``compact_small_files`` rewrites with ``repartition(target)`` — a full
+  shuffle, which is what compaction *is*; run it per-partition-predicate at
+  scale, not whole-table.
+- ``partition_skew`` is a groupBy count + max/avg ratio — the planning
+  input for salting/AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+
+def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
+    """Column-level profile in long form: one row per column with row/null/
+    distinct counts and min/max rendered as strings.
+
+    ``approx_distinct=True`` switches to HyperLogLog
+    (``approx_count_distinct``) — the 100 TB setting; exact is the default
+    so the result is oracle-checkable."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")]
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        distinct = (
+            F.approx_count_distinct(c) if approx_distinct else F.countDistinct(c)
+        )
+        aggs += [
+            F.count(c).alias(f"__nn_{f.name}"),
+            distinct.alias(f"__nd_{f.name}"),
+            F.min(c).cast("string").alias(f"__mn_{f.name}"),
+            F.max(c).cast("string").alias(f"__mx_{f.name}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{f.name}")).alias("n_nulls"),
+                F.col(f"__nd_{f.name}").alias("n_distinct"),
+                F.col(f"__mn_{f.name}").alias("min_str"),
+                F.col(f"__mx_{f.name}").alias("max_str"),
+            )
+            for f in df.schema.fields
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_files: int, fmt: str = "parquet"
+) -> int:
+    """Rewrite a table directory to ``target_files`` files (small-file
+    compaction). Returns the file count written. Reads+rewrites atomically
+    via overwrite into the same path using a staged temp subdir would be the
+    production shape; here the direct overwrite keeps the utility simple."""
+    df = spark.read.format(fmt).load(path)
+    df.repartition(target_files).write.format(fmt).mode("overwrite").save(
+        path + "__compact"
+    )
+    out = spark.read.format(fmt).load(path + "__compact")
+    out.write.format(fmt).mode("overwrite").save(path)
+    return target_files
+
+
+def schema_drift(expected: DataFrame, actual: DataFrame) -> list[dict[str, str]]:
+    """Diff two schemas: columns added, removed, or retyped. Returns a list
+    of {column, kind, detail} dicts (empty = no drift)."""
+    exp = {f.name: f.dataType.simpleString() for f in expected.schema.fields}
+    act = {f.name: f.dataType.simpleString() for f in actual.schema.fields}
+    drift: list[dict[str, str]] = []
+    for name in sorted(set(exp) | set(act)):
+        if name not in act:
+            drift.append({"column": name, "kind": "removed", "detail": exp[name]})
+        elif name not in exp:
+            drift.append({"column": name, "kind": "added", "detail": act[name]})
+        elif exp[name] != act[name]:
+            drift.append(
+                {
+                    "column": name,
+                    "kind": "retyped",
+                    "detail": f"{exp[name]} -> {act[name]}",
+                }
+            )
+    return drift
+
+
+def partition_skew(df: DataFrame, key: str) -> DataFrame:
+    """Rows per key value plus the skew ratio (count / mean count) — the
+    inputs for deciding salting or AQE skew-join thresholds."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(F.avg("n").alias("__avg"))
+    return (
+        counts.join(F.broadcast(stats))
+        .select(
+            key,
+            "n",
+            (F.col("n") / F.col("__avg")).alias("skew_ratio"),
+        )
+    )
