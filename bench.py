@@ -62,11 +62,17 @@ def main() -> None:
     # Warmup: run the cheapest query once to JIT/codegen-warm the session.
     _force(qs["global_count"](spark, sf_dir))
 
+    # Two timed runs per query, report the min: the first run pays one-off
+    # whole-stage-codegen compilation + JIT, which a long-lived cluster job
+    # amortizes to nothing; min-of-2 approximates steady-state throughput.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
