@@ -1179,6 +1179,55 @@ SELECT o_orderstatus, n, n / av AS skew_ratio FROM c, a
 """
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: candidates restricted to the query's coarse cluster
+    (precomputed assignment column), exact cosine + top-5 within it."""
+    return similarity.ivf_ann(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_IVF_ANN = f"""
+WITH {_SQL_NORMS},
+lbl AS (SELECT n.vec_id, n.embedding, n.norm, e.label
+        FROM nrm n JOIN embeddings e ON n.vec_id = e.vec_id),
+q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qnorm, label
+      FROM lbl WHERE vec_id < 3),
+prs AS (
+  SELECT q.query_id, n.vec_id, q.qnorm, n.norm, q.qv, n.embedding AS ev
+  FROM lbl n JOIN q ON n.label = q.label AND n.vec_id != q.query_id),
+dots AS (
+  SELECT query_id, vec_id, any_value(qnorm) AS qnorm, any_value(norm) AS norm,
+         CAST(sum({_DOT.format(a='p.qv', b='p.ev')}) AS DOUBLE)
+           / 1000000000000.0 AS dot
+  FROM prs p,
+       LATERAL (SELECT unnest(range(1, len(p.qv) + 1)) AS i) g
+  GROUP BY query_id, vec_id),
+scored AS (
+  SELECT query_id, vec_id,
+         floor(dot / (qnorm * norm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM dots),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation — result identical to the plain
+    groupBy count (the oracle IS the plain version)."""
+    return agg_ops.salted_group_count(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag"),
+        "l_returnflag",
+    )
+
+
+SQL_SALTED_GROUP_COUNT = """
+SELECT l_returnflag, count(*) AS total
+FROM lineitem GROUP BY 1 ORDER BY total DESC, l_returnflag
+"""
+
+
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text -> binary payload -> mapInPandas features."""
     media = multimodal.to_media(_t(spark, sf_dir, "documents"))
@@ -1250,6 +1299,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "percentile_disc": (q_percentile_disc, SQL_PERCENTILE_DISC),
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "partition_skew": (q_partition_skew, SQL_PARTITION_SKEW),
+    "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
+    "salted_group_count": (q_salted_group_count, SQL_SALTED_GROUP_COUNT),
 }
 
 

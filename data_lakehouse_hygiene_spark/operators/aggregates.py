@@ -98,3 +98,33 @@ def distinct_count(df: DataFrame, col: str, alias: str, approx: bool = False) ->
         else F.countDistinct(col).alias(alias)
     )
     return df.agg(agg)
+
+
+def salted_group_count(
+    df: DataFrame, key: str, alias: str = "total", salt_buckets: int = 8
+) -> DataFrame:
+    """Two-stage (salted) COUNT grouped by a potentially skewed key.
+
+    Stage 1 groups by (key, salt) so one hot key spreads over
+    ``salt_buckets`` reducers; stage 2 sums the partials. The result is
+    IDENTICAL to a plain groupBy count — only the shuffle shape changes.
+    The salt hashes all row columns (no ``rand()``: keeps the plan
+    deterministic and retry-safe, which ``rand()`` is not under Spark task
+    retries).
+
+    At 100 TB this is the manual fallback when AQE can't help (skewed
+    AGGREGATION rather than skewed join).
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+    )
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("__partial").cast("bigint").alias(alias))
+        .orderBy(F.desc(alias), F.col(key))
+    )

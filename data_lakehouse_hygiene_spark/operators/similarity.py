@@ -158,6 +158,51 @@ def lsh_bucket(vec_col: str = "embedding") -> Column:
     return bucket
 
 
+def ivf_ann(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    query_pred: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: candidates limited to the query's coarse cluster
+    (here a precomputed assignment column; in production the argmin over
+    k-means centroids from Spark MLlib), then exact cosine + top-k.
+
+    Same join shape as ``lsh_ann`` — an equi-join on the cluster id — so at
+    1e9 vectors each query touches ~n/n_clusters candidates. Unlike LSH the
+    partitioning is data-adaptive (centroids follow density)."""
+    from pyspark.sql.window import Window
+
+    if query_pred is None:
+        query_pred = F.col("vec_id") < 3
+    n = norms(df, vec_col).join(
+        df.select("vec_id", cluster_col), "vec_id"
+    )
+    q = n.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qnorm"),
+        cluster_col,
+    )
+    cos = dot_exact(F.col("qv"), F.col(vec_col)) / (
+        F.col("qnorm") * F.col("norm")
+    )
+    scored = (
+        n.join(F.broadcast(q), on=cluster_col)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", quantize(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_ann(
     df: DataFrame,
     vec_col: str = "embedding",
