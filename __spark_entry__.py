@@ -1228,6 +1228,77 @@ FROM lineitem GROUP BY 1 ORDER BY total DESC, l_returnflag
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample by key hash — identical row set
+    under any partitioning/retry (df.sample() is not)."""
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    return sampling.hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 10)
+
+
+SQL_HASH_SAMPLE = """
+SELECT * FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic mixture: 50% of lang 'en', 20% of 'de',
+    0% otherwise — the training-mix weights operator."""
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    return sampling.stratified_hash_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", {"en": 50, "de": 20}
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT * FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 0 END)
+"""
+
+
+def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n deterministic sample: n smallest key hashes."""
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    return sampling.fixed_size_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 25
+    ).select("doc_id", "lang", "source")
+
+
+SQL_FIXED_SIZE_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+LIMIT 25
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (k=256) — a mergeable sketch that, unlike
+    HLL, is bit-identical across engines and therefore oracle-checkable."""
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    return sampling.kmv_distinct_estimate(
+        _t(spark, sf_dir, "orders"), "o_custkey", k=256
+    )
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           AS hh
+  FROM orders),
+mins AS (SELECT hh FROM h ORDER BY hh LIMIT 256)
+SELECT count(*) AS n_mins, max(hh) AS kth_hash,
+       CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+            ELSE 255.0 / (CAST(max(hh) AS DOUBLE) / 1152921504606846976.0)
+       END AS distinct_estimate
+FROM mins
+"""
+
+
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text -> binary payload -> mapInPandas features."""
     media = multimodal.to_media(_t(spark, sf_dir, "documents"))
@@ -1301,6 +1372,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "partition_skew": (q_partition_skew, SQL_PARTITION_SKEW),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
     "salted_group_count": (q_salted_group_count, SQL_SALTED_GROUP_COUNT),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "fixed_size_sample": (q_fixed_size_sample, SQL_FIXED_SIZE_SAMPLE),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
 }
 
 
