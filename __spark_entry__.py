@@ -1299,6 +1299,131 @@ FROM mins
 """
 
 
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab: status × priority counts. Explicit pivot values keep
+    the schema static (no extra distinct-scan job at 100 TB)."""
+    orders = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [p for p in prios])
+        .orderBy("o_orderstatus")
+    )
+    renames = {p: "n_" + p.split("-")[1].lower().replace(" ", "_") for p in prios}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+SQL_PIVOT_COUNTS = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_not_specified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (running) aggregate over an ordered window per group —
+    daily order counts accumulated per status."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            "o_orderstatus", F.date_trunc("day", "o_orderdate").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderstatus",
+        "d",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("running_n"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+WITH daily AS (
+  SELECT o_orderstatus, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d, count(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderstatus, d, n,
+       CAST(sum(n) OVER (PARTITION BY o_orderstatus ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n
+FROM daily
+"""
+
+
+def q_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti + left semi joins: customers without orders and the count
+    of customers with orders, in one result row set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    anti = cust.join(orders, "c_custkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("no_orders").alias("kind"), "n")
+    semi = cust.join(orders, "c_custkey", "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_orders").alias("kind"), "n")
+    return anti.unionByName(semi)
+
+
+SQL_ANTI_SEMI_JOIN = """
+SELECT 'no_orders' AS kind, count(*) AS n FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'with_orders' AS kind, count(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding window (2h window, 1h slide) with
+    watermark — each event lands in two overlapping windows; the oracle
+    reproduces it as a union of two shifted tumbling grids."""
+    from data_lakehouse_hygiene_spark import streaming
+
+    pin_session(spark)
+    ev = streaming.load_stream_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("w_end"),
+            "n",
+            "sum_value",
+        )
+    )
+    return streaming.run_to_memory(agg, output_mode="complete")
+
+
+SQL_STREAMING_SLIDING_WINDOW = """
+WITH starts AS (
+  SELECT date_trunc('hour', ts) AS s, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS s, value FROM events)
+SELECT s AS w_start, s + INTERVAL 2 HOUR AS w_end, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM starts GROUP BY s
+"""
+
+
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text -> binary payload -> mapInPandas features."""
     media = multimodal.to_media(_t(spark, sf_dir, "documents"))
@@ -1376,6 +1501,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "fixed_size_sample": (q_fixed_size_sample, SQL_FIXED_SIZE_SAMPLE),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
+    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "anti_semi_join": (q_anti_semi_join, SQL_ANTI_SEMI_JOIN),
+    "streaming_sliding_window": (
+        q_streaming_sliding_window,
+        SQL_STREAMING_SLIDING_WINDOW,
+    ),
 }
 
 

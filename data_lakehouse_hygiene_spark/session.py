@@ -57,4 +57,10 @@ def pin_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Streaming aggregations bypass AQE's partition coalescing, so an
+    # unpinned 200-partition default burns 200 tiny tasks per micro-batch
+    # on a driver-owned session; pin to the local core count.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     return spark

@@ -58,6 +58,42 @@ def jdbc_write(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     ).mode(mode).save()
 
 
+def merge_upsert(
+    spark: SparkSession, updates: DataFrame, path: str, key: str
+) -> None:
+    """Keyed upsert (the Delta ``MERGE INTO`` shape): rows in ``updates``
+    replace same-key rows in the stored table; new keys append.
+
+    With delta-spark present this is ``DeltaTable.merge`` (atomic,
+    file-level). The Parquet fallback rewrites via anti-join + union —
+    correct single-writer semantics, full rewrite cost; documented as the
+    test-environment path only. Either way the scale advice stands:
+    partition the table so the merge's rewrite scope is the touched
+    partitions, not the table.
+    """
+    if _HAS_DELTA:
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(updates.alias("u"), f"t.{key} = u.{key}")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    current = spark.read.format(_FORMAT).load(path)
+    keys = updates.select(key)
+    kept = current.join(F.broadcast(keys), key, "left_anti")
+    merged = kept.unionByName(updates)
+    # Parquet overwrite reads lazily from the same path it writes: stage to
+    # a temp dir first, then rewrite.
+    tmp = path + "__merge_tmp"
+    merged.write.format(_FORMAT).mode("overwrite").save(tmp)
+    spark.read.format(_FORMAT).load(tmp).write.format(_FORMAT).mode(
+        "overwrite"
+    ).save(path)
+
+
 def csv_log(df: DataFrame, path: str) -> None:
     """S11: single-file CSV result log (``prescriptive_logic.py:190-197``).
     ``coalesce(1)`` is only sane for tiny curated outputs — documented

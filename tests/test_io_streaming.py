@@ -42,6 +42,28 @@ def test_append_log_latest_ingest(spark):
         assert {r["ingest_ts"] for r in rows} == {"2026-01-02T00:00:00"}
 
 
+def test_merge_upsert(spark):
+    """MERGE semantics: matched keys replaced, new keys appended."""
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, SF_SMOKE, "region")  # 5 rows, r_regionkey 0-4
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/region_tbl"
+        sinks.overwrite_table(base, path)
+        updates = spark.createDataFrame(
+            [(0, "UPDATED"), (99, "BRAND NEW")], ["r_regionkey", "r_name"]
+        ).withColumn("r_regionkey", F.col("r_regionkey").cast("int"))
+        sinks.merge_upsert(spark, updates, path, "r_regionkey")
+        got = {
+            r["r_regionkey"]: r["r_name"]
+            for r in sinks.read_table(spark, path).collect()
+        }
+        assert len(got) == 6
+        assert got[0] == "UPDATED"
+        assert got[99] == "BRAND NEW"
+        assert got[1] == base.where("r_regionkey = 1").collect()[0]["r_name"]
+
+
 def test_fail_soft_missing_source(spark):
     schema = TABLES["region"]
     df = fail_soft(
