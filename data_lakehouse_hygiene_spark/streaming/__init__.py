@@ -104,6 +104,96 @@ def time_bucket_stream(
     ).agg(*[c.alias(n) for n, c in aggs.items()])
 
 
+def hours_since_marker_stateful(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    marker_type: str = "signup",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per key, carry the latest marker timestamp across micro-batches and
+    emit every event with hours-since-last-marker (NULL before the first
+    marker) — the reference's hours-since-shower computation
+    (``prescriptive_logic.py:78-90``) as true streaming state.
+
+    State is one timestamp per key (GroupState, spilling/versioned by the
+    state store); batch rows are processed in ts order inside the group.
+    Within a single batch this matches the batch as-of join exactly — the
+    test asserts that equivalence.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField(key, LongType()),
+            StructField(ts, TimestampNTZType()),
+            StructField(type_col, StringType()),
+            StructField("hours_since_marker", DoubleType()),
+        ]
+    )
+    state_schema = "last_marker long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdfs:
+            # Markers first within a ts tie — the inclusive (<=) as-of
+            # semantics shared with temporal.asof_join and DuckDB ASOF.
+            pdf = pdf.assign(__m=(pdf[type_col] == marker_type)).sort_values(
+                [ts, "__m", "event_id"], ascending=[True, False, True]
+            )
+            # pandas ns-epoch integers keep the arithmetic exact.
+            ts_ns = pdf[ts].astype("int64")
+            is_marker = pdf["__m"]
+            # Latest marker at-or-before each row: forward-fill marker ts
+            # (ffill, not cummax — pandas cummax leaves NaN rows NaN).
+            marker_ns = ts_ns.where(is_marker).ffill()
+            if last is not None:
+                marker_ns = marker_ns.fillna(last).clip(lower=last)
+            hours = (ts_ns - marker_ns) / 3.6e12
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"],
+                        key: pdf[key],
+                        ts: pdf[ts],
+                        type_col: pdf[type_col],
+                        "hours_since_marker": hours,
+                    }
+                )
+            )
+            mx = marker_ns.max()
+            if pd.notna(mx):
+                last = int(mx)
+        if last is not None:
+            state.update((last,))
+        yield pd.concat(frames)
+
+    return (
+        events.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def foreach_batch_recompute(
     stream_df: DataFrame,
     recompute: Callable[[DataFrame, int], None],

@@ -73,6 +73,42 @@ def test_fail_soft_missing_source(spark):
     assert df.schema == schema
 
 
+def test_stateful_hours_since_marker_matches_batch_asof(spark):
+    """The applyInPandasWithState operator must agree with the batch as-of
+    join on the same data (single micro-batch ≡ batch semantics)."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    ev_stream = streaming.load_stream_table(spark, SF_SMOKE, "events")
+    stateful = streaming.hours_since_marker_stateful(ev_stream)
+    got_df = streaming.run_to_memory(stateful, output_mode="append")
+    got = {
+        r["event_id"]: r["hours_since_marker"] for r in got_df.collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    markers = ev.where(F.col("event_type") == "signup")
+    asof = temporal.asof_join(ev, markers, key="user_id", ts="ts")
+    want_rows = asof.select(
+        "event_id",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("asof_ts").cast("timestamp")))
+            / F.lit(3.6e9)
+        ).alias("h"),
+    ).collect()
+    want = {r["event_id"]: r["h"] for r in want_rows}
+
+    assert set(got) == set(want)
+    for eid, h in want.items():
+        g = got[eid]
+        if h is None:
+            assert g is None or g != g  # NULL or NaN pre-first-marker
+        else:
+            assert g is not None and abs(g - h) < 1e-9, eid
+
+
 def test_foreach_batch_recompute_matches_batch(spark):
     """§2.8: the per-micro-batch recompute produces the same 1-row score as
     the batch flagship query."""
