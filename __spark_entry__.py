@@ -1024,6 +1024,87 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
 """
 
 
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 scalar string functions: lower/trim/replace/substr/LIKE/
+    startswith/contains in one projection (card 54's LIKE and the
+    reference's name normalization, clean_sheets.py:62-66)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.substring("p_brand", 1, 5).alias("brand5"),
+        F.col("p_type").like("ECON%").alias("is_econ_like"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+        F.col("p_type").contains("BRASS").alias("has_brass"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       trim('  pad  ') AS trimmed,
+       replace(p_type, ' ', '_') AS type_snake,
+       substr(p_brand, 1, 5) AS brand5,
+       p_type LIKE 'ECON%' AS is_econ_like,
+       p_name LIKE 'a%' AS starts_a,
+       contains(p_type, 'BRASS') AS has_brass,
+       length(p_name) AS name_len,
+       p_brand || '|' || p_type AS brand_type
+FROM part
+"""
+
+
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalars: coalesce / nullif / null-safe equality —
+    the engine-level form of the reference's fail-soft defaults."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return ev.select(
+        "event_id",
+        F.coalesce(k, F.lit(-1)).alias("k_or_default"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_no_error"),
+        F.col("event_type").eqNullSafe(F.lit("signup")).alias("is_signup_nss"),
+        F.isnull(k).alias("k_missing"),
+    )
+
+
+SQL_NULL_FUNCS = """
+SELECT event_id,
+       coalesce(try_cast(json_extract_string(props, '$.k') AS INTEGER), -1)
+         AS k_or_default,
+       nullif(event_type, 'error') AS type_no_error,
+       event_type IS NOT DISTINCT FROM 'signup' AS is_signup_nss,
+       try_cast(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+         AS k_missing
+FROM events
+"""
+
+
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 timestamp formatting (the reference's strftime object naming,
+    sheets_to_raw.py:83) + epoch extraction."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd_HHmmss").alias("obj_suffix"),
+        F.date_format("ts", "yyyy-MM").alias("month_key"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch_s"),
+    )
+
+
+SQL_DATE_FORMAT = """
+SELECT event_id,
+       strftime(ts, '%Y%m%d_%H%M%S') AS obj_suffix,
+       strftime(ts, '%Y-%m') AS month_key,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM events
+"""
+
+
 def q_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 (BMKG shape): build a triple-nested structure then explode it back
     — round-trip equals the input multiset."""
@@ -1508,6 +1589,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_streaming_sliding_window,
         SQL_STREAMING_SLIDING_WINDOW,
     ),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
+    "date_format": (q_date_format, SQL_DATE_FORMAT),
 }
 
 

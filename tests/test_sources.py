@@ -1,0 +1,95 @@
+"""Source readers S1/S2/S6 (SURVEY.md §2.1): declared-schema CSV with
+malformed-row dropping, JSON payload parsing with nested explode."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_lakehouse_hygiene_spark.sources import dataframe_from_payload, read_csv
+
+
+def test_read_csv_drops_malformed(spark):
+    """DROPMALFORMED ≡ the reference's on_bad_lines='skip'
+    (sheets_to_raw.py:49); BOM handled natively."""
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "in.csv"
+        p.write_text(
+            "﻿id,name,score\n"
+            "1,alpha,2.5\n"
+            "notanint,beta,1.0\n"   # malformed id -> dropped
+            "3,gamma,oops\n"        # malformed score -> dropped
+            "4,delta,4.0\n"
+        )
+        df = read_csv(spark, str(p), schema)
+        rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+        assert rows == {1: ("alpha", 2.5), 4: ("delta", 4.0)}
+
+
+def test_dataframe_from_payload_nested_explode(spark):
+    """S1: BMKG-shaped triple-nested payload -> declared schema -> double
+    explode -> flat rows (clean_bmkg.py:59-69 as Catalyst expressions)."""
+    payload = {
+        "lokasi": "kota",
+        "data": [
+            {
+                "cuaca": [
+                    [
+                        {"t": 30.0, "hu": 70.0, "desc": "cerah"},
+                        {"t": 29.0, "hu": 75.0, "desc": "berawan"},
+                    ],
+                    [{"t": 27.5, "hu": 80.0, "desc": "hujan"}],
+                ]
+            }
+        ],
+    }
+    rec = StructType(
+        [
+            StructField("t", DoubleType()),
+            StructField("hu", DoubleType()),
+            StructField("desc", StringType()),
+        ]
+    )
+    schema = StructType(
+        [
+            StructField("lokasi", StringType()),
+            StructField(
+                "data",
+                ArrayType(
+                    StructType(
+                        [StructField("cuaca", ArrayType(ArrayType(rec)))]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = dataframe_from_payload(spark, payload, schema)
+    flat = (
+        df.select("lokasi", F.explode("data").alias("d"))
+        .select("lokasi", F.explode("d.cuaca").alias("day"))
+        .select("lokasi", F.explode("day").alias("r"))
+        .select("lokasi", "r.t", "r.hu", "r.desc")
+    )
+    rows = sorted(tuple(r) for r in flat.collect())
+    assert rows == [
+        ("kota", 27.5, 80.0, "hujan"),
+        ("kota", 29.0, 75.0, "berawan"),
+        ("kota", 30.0, 70.0, "cerah"),
+    ]
