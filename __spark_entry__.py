@@ -917,7 +917,10 @@ q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qnorm, bucket
       FROM bkt WHERE vec_id < 3),
 prs AS (
   SELECT q.query_id, n.vec_id, q.qnorm, n.norm, q.qv, n.embedding AS ev
-  FROM bkt n JOIN q ON n.bucket = q.bucket AND n.vec_id != q.query_id),
+  FROM bkt n JOIN q
+    ON (n.bucket = q.bucket
+        OR xor(n.bucket, q.bucket) IN (1, 2, 4, 8, 16, 32, 64, 128))
+   AND n.vec_id != q.query_id),
 dots AS (
   SELECT query_id, vec_id, any_value(qnorm) AS qnorm, any_value(norm) AS norm,
          CAST(sum({_DOT.format(a='p.qv', b='p.ev')}) AS DOUBLE)
@@ -1522,6 +1525,56 @@ FROM documents
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-large-table join (salted key), aggregated down — the
+    oracle is the PLAIN join, proving salting changes only the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = joins.salted_join(li, orders, on="l_orderkey", salt_buckets=4)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o.o_orderstatus, count(*) AS n, SUM(l.l_quantity) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metric columns to long (metric, value) form —
+    the inverse of pivot, one narrow projection per metric."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("val").alias("sum_val"),
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+WITH long AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_discount' AS metric, l_discount AS val FROM lineitem)
+SELECT metric, count(*) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM long GROUP BY metric
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry / driver contract
 # ---------------------------------------------------------------------------
@@ -1592,6 +1645,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
     "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
     "date_format": (q_date_format, SQL_DATE_FORMAT),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
 }
 
 

@@ -59,3 +59,33 @@ def window_after_event(
         .where(F.col(fact_ts) > F.col("__cutoff"))
         .drop("__cutoff")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_buckets: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join of two LARGE tables (neither broadcastable):
+    the fact side gets a deterministic salt, the other side is replicated
+    once per salt value, and the join key becomes (key, salt) — a hot key's
+    rows spread over ``salt_buckets`` reducers instead of one.
+
+    Results are identical to the plain join; only the shuffle distribution
+    changes. Salt is a hash of the fact row (retry-safe, no rand()).
+    Replication multiplies the other side ×salt_buckets — use only when a
+    skewed key actually exists and AQE's skew-join split is insufficient.
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)
+    )
+    f = fact.withColumn("__salt", salt)
+    o = other.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return f.join(o, on=[on, "__salt"], how=how).drop("__salt")

@@ -208,13 +208,16 @@ def lsh_ann(
     vec_col: str = "embedding",
     query_pred: Column | None = None,
     k: int = 5,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors: queries only meet
-    candidates in their own hyperplane bucket (equi-join on bucket id),
-    then exact cosine + top-k within the bucket.
+    candidates in their own hyperplane bucket, then exact cosine + top-k.
 
-    Trades recall for candidate-set size; at 1e9 vectors the bucket join
-    touches ~n/256 candidates per query instead of n.
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 (one flipped hyperplane bit): candidates grow from ~n/256
+    to ~9n/256 per query while recall rises sharply — the standard
+    multi-probe LSH trade. The probe set explodes on the (tiny, broadcast)
+    QUERY side, so the candidate join stays one equi-join.
     """
     from pyspark.sql.window import Window
 
@@ -227,6 +230,15 @@ def lsh_ann(
         F.col("norm").alias("qnorm"),
         "bucket",
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**p))
+                for p in range(N_PLANES)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     cos = dot_exact(F.col("qv"), F.col(vec_col)) / (
         F.col("qnorm") * F.col("norm")
     )
