@@ -1575,6 +1575,51 @@ FROM long GROUP BY metric
 """
 
 
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> priority -> grand total): the
+    grouping-sets family the reference lacks but any BI user expects."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+        )
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+        )
+    )
+
+
+SQL_CUBE_COUNTS = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry / driver contract
 # ---------------------------------------------------------------------------
@@ -1647,6 +1692,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "date_format": (q_date_format, SQL_DATE_FORMAT),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
 }
 
 
