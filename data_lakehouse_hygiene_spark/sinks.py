@@ -58,6 +58,23 @@ def jdbc_write(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     ).mode(mode).save()
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int, sort: bool = True
+) -> None:
+    """Bucketed catalog table: data is hash-partitioned into ``n_buckets``
+    files by ``key`` AT WRITE TIME, so joins/aggregations on ``key``
+    between tables bucketed the same way need NO exchange — the shuffle is
+    paid once at write, amortized over every subsequent join.
+
+    This is the co-located-join strategy for the 100 TB fact⋈fact case
+    where neither side broadcasts (cf. PLANS.md: broadcast covers all
+    dim joins; bucketing covers big-big)."""
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
 def merge_upsert(
     spark: SparkSession, updates: DataFrame, path: str, key: str
 ) -> None:
