@@ -62,11 +62,12 @@ def main() -> None:
     # Warmup: run the cheapest query once to JIT/codegen-warm the session.
     _force(qs["global_count"](spark, sf_dir))
 
-    # Two timed runs per query, report the min: the first run pays one-off
-    # whole-stage-codegen compilation + JIT, which a long-lived cluster job
-    # amortizes to nothing; min-of-2 approximates steady-state throughput.
+    # Per query: one untimed warmup (whole-stage-codegen compile + JIT —
+    # amortized to nothing on a long-lived cluster), then min of 2 timed
+    # runs = steady-state throughput.
     timings: dict[str, float] = {}
     for name in names:
+        _force(qs[name](spark, sf_dir))
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
