@@ -750,7 +750,9 @@ WHERE floor(CAST(i AS DOUBLE)/(sa.n + sb.n - i)*1000000.0 + 0.5)/1000000.0 >= 0.
 
 def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (bit-string form)."""
-    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "simhash_bits"
+    )
 
 
 def _simhash_cte() -> str:
@@ -761,6 +763,10 @@ def _simhash_cte() -> str:
     )
     bits = " || ".join(
         f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(64)
+    )
+    lo = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(32))
+    hi = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**(j-32)} ELSE 0 END)" for j in range(32, 64)
     )
     return f"""
 tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
@@ -775,7 +781,8 @@ sm AS (
   SELECT doc_id,
          {sums}
   FROM h GROUP BY doc_id),
-sig AS (SELECT doc_id, {bits} AS simhash_bits FROM sm)"""
+sig AS (SELECT doc_id, {bits} AS simhash_bits,
+        CAST({lo} AS BIGINT) AS sh_lo, CAST({hi} AS BIGINT) AS sh_hi FROM sm)"""
 
 
 SQL_SIMHASH_FP = f"""
@@ -790,14 +797,13 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_simhash_near_dup() -> str:
-    ham = " + ".join(
-        f"(CASE WHEN substr(a.simhash_bits, {j + 1}, 1)"
-        f" != substr(b.simhash_bits, {j + 1}, 1) THEN 1 ELSE 0 END)"
-        for j in range(64)
+    ham = (
+        "CAST(bit_count(xor(a.sh_lo, b.sh_lo))"
+        " + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT)"
     )
     return f"""
 WITH {_simhash_cte()},
-sb AS (SELECT s.doc_id, s.simhash_bits, d.source
+sb AS (SELECT s.doc_id, s.sh_lo, s.sh_hi, d.source
        FROM sig s JOIN documents d ON s.doc_id = d.doc_id)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
 FROM sb a JOIN sb b ON a.source = b.source AND a.doc_id < b.doc_id

@@ -90,3 +90,15 @@ def compound_predicate(
     native predicate — JVM-side, pushdown-eligible, ~100× a Python row UDF.
     """
     return (metric > F.lit(threshold)) | F.lower(label).contains(needle)
+
+
+def spread(df, key: str = "doc_id"):
+    """Repartition small under-split inputs before CPU-heavy per-row work.
+
+    A single small Parquet file arrives as ONE input partition, serializing
+    hash/shingle projections on one core. Shuffling the (tiny) document rows
+    costs far less than it saves; on a properly-split 100 TB scan the
+    partition count already exceeds the target and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, key) if df.rdd.getNumPartitions() < target else df

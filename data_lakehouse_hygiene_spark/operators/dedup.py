@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .aggregates import quantize
+from .cleaning import spread
 from .text import tokens
 
 N_HASHES = 16
@@ -48,17 +49,6 @@ def base_hash(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
-def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Repartition small under-split inputs before CPU-heavy per-row work.
-
-    A single small Parquet file arrives as ONE input partition, serializing
-    the shingle/hash projection on one core. Shuffling the (tiny) document
-    rows costs far less than it saves. On a real 100 TB corpus the scan is
-    already split by ``maxPartitionBytes`` and this becomes a no-op choice —
-    call sites keep it because the shuffle is proportional to the *document*
-    count, never the derived shingle count."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target, key) if df.rdd.getNumPartitions() < target else df
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -262,7 +252,22 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
             for j in range(64)
         ]
     )
-    return agg.select("doc_id", bits.alias("simhash_bits"))
+    # Integer halves (bits 0-31 / 32-63) let Hamming distance be two
+    # bit_count(xor) ops instead of 64 per-character comparisons.
+    lo = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        for j in range(32)
+    )
+    hi = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(2 ** (j - 32))).otherwise(F.lit(0))
+        for j in range(32, 64)
+    )
+    return agg.select(
+        "doc_id",
+        bits.alias("simhash_bits"),
+        lo.cast("bigint").alias("sh_lo"),
+        hi.cast("bigint").alias("sh_hi"),
+    )
 
 
 def simhash_near_dup_pairs(
@@ -274,26 +279,36 @@ def simhash_near_dup_pairs(
     """SimHash near-dup: Hamming distance over signatures, with a blocking
     column bounding the pair join (at scale: block on simhash prefix bands
     instead of a domain column)."""
+    # A self-join would evaluate the signature subtree TWICE (lazy plans
+    # duplicate it); instead collect each block's (doc_id, lo, hi) structs
+    # once and generate the a<b pairs in-row — one signature pass, one
+    # groupBy, pair count unchanged.
     sig = simhash_signatures(df, text_col).join(
         df.select("doc_id", block_col), "doc_id"
     )
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash_bits").alias("bits_a"),
-        block_col,
+    grp = sig.groupBy(block_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "sh_lo", "sh_hi"))
+        ).alias("ds")
     )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash_bits").alias("bits_b"),
-        block_col,
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (
+                        F.bit_count(x["sh_lo"].bitwiseXOR(y["sh_lo"]))
+                        + F.bit_count(x["sh_hi"].bitwiseXOR(y["sh_hi"]))
+                    ).cast("bigint").alias("hamming"),
+                ),
+            ),
+        )
     )
-    pairs = a.join(b, on=block_col).where(F.col("doc_a") < F.col("doc_b"))
-    hamming = sum(
-        F.when(
-            F.substring("bits_a", j + 1, 1) != F.substring("bits_b", j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(64)
+    return (
+        grp.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
     )
-    return pairs.select(
-        "doc_a", "doc_b", hamming.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)

@@ -134,6 +134,9 @@ def fingerprints(df: DataFrame, text_col: str = "text", window: int = 5) -> Data
     the rolling fingerprint with high probability; the full md5 catches
     exact duplicates only.
     """
+    from .cleaning import spread
+
+    df = spread(df)
     t = F.col(text_col)
     toks = tokens(t)
     n = F.size(toks)
