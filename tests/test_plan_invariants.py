@@ -1,0 +1,63 @@
+"""Physical-plan regression guards: the properties PLANS.md documents must
+survive future edits — a correct-but-shuffling plan is a regression even
+when every value still matches the oracle."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from .conftest import SF_ORACLE
+
+import __spark_entry__ as entrymod
+from data_lakehouse_hygiene_spark import maintenance
+from data_lakehouse_hygiene_spark.schemas import load_table
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dim_join", "fact_dim_join", "hygiene_score", "ivf_ann", "cosine_topk"],
+)
+def test_joins_broadcast_never_sortmerge(spark, name):
+    plan = _plan(spark, name)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["token_count", "quality_score", "lang_id", "cast_numeric"]
+)
+def test_per_row_operators_shuffle_free(spark, name):
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, plan
+
+
+def test_hygiene_score_single_fact_scan(spark):
+    plan = _plan(spark, "hygiene_score")
+    assert plan.count("events.parquet") == 1, plan
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = _plan(spark, "group_count_ordered")
+    assert re.search(r"\*\(\d+\)", plan), plan
+
+
+def test_profile_table_hll_path(spark):
+    """approx_distinct=True (the 100 TB setting) runs and lands within 10%
+    of exact on a 500-distinct column."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    prof = {
+        r["column"]: r["n_distinct"]
+        for r in maintenance.profile_table(docs, approx_distinct=True).collect()
+    }
+    assert abs(prof["doc_id"] - 500) / 500 < 0.10
