@@ -243,7 +243,9 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     sums = []
     for j in range(64):
-        bit = F.floor(F.col(f"d{j // 4}") / F.lit(2 ** (j % 4))) % F.lit(2)
+        # (d >> b) & 1 — pure integer ops; identical values to the
+        # floor(d / 2^b) % 2 formulation the oracle uses, much cheaper.
+        bit = F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
         sums.append(F.sum(bit * 2 - F.lit(1)).alias(f"s{j}"))
     agg = digits.groupBy("doc_id").agg(*sums)
     bits = F.concat(
