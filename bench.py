@@ -42,6 +42,13 @@ HEADLINE = [
     "ngram_jaccard",
     "quality_score",
     "cosine_topk",
+    "asof_join",
+    "sessionize",
+    "hash_sample",
+    "profile_table",
+    "salted_join",
+    "unpivot_metrics",
+    "rollup_counts",
 ]
 
 
