@@ -1514,6 +1514,48 @@ FROM starts GROUP BY s
 """
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming native session windows (30-min gap) per user —
+    the streaming twin of `sessionize`. A new session starts when the gap
+    is >= the timeout (full microsecond precision, matching Spark's
+    session_window merge rule: next < prev + gap merges)."""
+    from data_lakehouse_hygiene_spark import streaming
+
+    pin_session(spark)
+    ev = streaming.load_stream_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n",
+        )
+    )
+    return streaming.run_to_memory(agg, output_mode="complete")
+
+
+SQL_STREAMING_SESSION_WINDOW = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, min(ts) AS session_start, count(*) AS n
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text -> binary payload -> mapInPandas features."""
     media = multimodal.to_media(_t(spark, sf_dir, "documents"))
@@ -1700,6 +1742,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
     "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
+    "streaming_session_window": (
+        q_streaming_session_window,
+        SQL_STREAMING_SESSION_WINDOW,
+    ),
 }
 
 
