@@ -1556,6 +1556,21 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via approx_percentile (t-digest-style sketch):
+    single pass, mergeable, bounded error — the 100 TB path where exact
+    percentiles would need a full sort. No SQL oracle (sketch internals are
+    engine-specific); accuracy is asserted against the exact discrete
+    percentile in tests (within 1% rank error at accuracy=10000)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)"
+    )
+    return li.agg(
+        q[0].alias("p25"), q[1].alias("p50"), q[2].alias("p75"), q[3].alias("p95")
+    )
+
+
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text -> binary payload -> mapInPandas features."""
     media = multimodal.to_media(_t(spark, sf_dir, "documents"))
@@ -1746,6 +1761,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_streaming_session_window,
         SQL_STREAMING_SESSION_WINDOW,
     ),
+    # Sketch-based: deliberately no SQL oracle (engine-specific internals);
+    # the driver records a rows-only check, accuracy asserted in tests.
+    "approx_quantiles": (q_approx_quantiles, None),
 }
 
 

@@ -42,3 +42,21 @@ def test_lsh_ann_subset_of_brute_force_ranks(spark):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "image/png")
+
+
+def test_approx_quantiles_within_tolerance(spark):
+    """The sketch quantiles must sit within 1% rank error of exact."""
+    import duckdb
+
+    res = entrymod.queries()["approx_quantiles"](spark, SF_ORACLE).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_ORACLE}/lineitem.parquet'"
+    )
+    for name, p in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
+        lo, hi = con.execute(
+            "SELECT quantile_disc(l_extendedprice, ?), quantile_disc(l_extendedprice, ?)"
+            " FROM lineitem",
+            [max(p - 0.01, 0.0), min(p + 0.01, 1.0)],
+        ).fetchone()
+        assert lo <= res[name] <= hi, (name, lo, res[name], hi)
