@@ -1556,6 +1556,58 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over lineitem, one aggregate
+    pass (the lakehouse-hygiene constraint checker)."""
+    from data_lakehouse_hygiene_spark import maintenance
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        ("l_orderkey_not_null", F.col("l_orderkey").isNull()),
+        ("l_quantity_in_1_50", ~F.col("l_quantity").between(1.0, 50.0)),
+        ("l_discount_in_0_0p1", ~F.col("l_discount").between(0.0, 0.1)),
+        ("l_shipdate_not_null", F.col("l_shipdate").isNull()),
+        ("l_price_positive", F.col("l_extendedprice") <= 0.0),
+    ]
+    return maintenance.dq_check(li, rules)
+
+
+SQL_DQ_CHECK = """
+WITH a AS (
+  SELECT count(*) AS n,
+         SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+         SUM(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 ELSE 0 END) AS v1,
+         SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS v2,
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v3,
+         SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS v4
+  FROM lineitem)
+SELECT 'l_orderkey_not_null' AS rule, n AS n_rows, CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS pass FROM a
+UNION ALL SELECT 'l_quantity_in_1_50', n, CAST(v1 AS BIGINT), v1 = 0 FROM a
+UNION ALL SELECT 'l_discount_in_0_0p1', n, CAST(v2 AS BIGINT), v2 = 0 FROM a
+UNION ALL SELECT 'l_shipdate_not_null', n, CAST(v3 AS BIGINT), v3 = 0 FROM a
+UNION ALL SELECT 'l_price_positive', n, CAST(v4 AS BIGINT), v4 = 0 FROM a
+"""
+
+
+def q_dq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness expectation on the lineitem compound key."""
+    from data_lakehouse_hygiene_spark import maintenance
+
+    return maintenance.dq_unique(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )
+
+
+SQL_DQ_UNIQUE = """
+WITH d AS (
+  SELECT l_orderkey, l_linenumber, count(*) AS c
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)
+SELECT count(*) AS n_duplicate_keys,
+       CAST(coalesce(SUM(c), 0) AS BIGINT) AS n_duplicate_rows
+FROM d
+"""
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via approx_percentile (t-digest-style sketch):
     single pass, mergeable, bounded error — the 100 TB path where exact
@@ -1761,6 +1813,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_streaming_session_window,
         SQL_STREAMING_SESSION_WINDOW,
     ),
+    "dq_check": (q_dq_check, SQL_DQ_CHECK),
+    "dq_unique": (q_dq_unique, SQL_DQ_UNIQUE),
     # Sketch-based: deliberately no SQL oracle (engine-specific internals);
     # the driver records a rows-only check, accuracy asserted in tests.
     "approx_quantiles": (q_approx_quantiles, None),

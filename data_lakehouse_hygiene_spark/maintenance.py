@@ -100,6 +100,52 @@ def schema_drift(expected: DataFrame, actual: DataFrame) -> list[dict[str, str]]
     return drift
 
 
+def dq_check(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Declarative data-quality expectations, evaluated in ONE aggregate
+    pass: each rule is (name, violation_predicate); output is long-form
+    (rule, n_rows, n_violations, pass) — the engine-level version of the
+    reference's ad-hoc guards (empty-input checks, value clamps,
+    SURVEY.md §5.1).
+
+    Scale: every rule is a conditional SUM in the same hash aggregate —
+    adding rules adds columns, not passes. Uniqueness/referential rules
+    need their own grouped/join form (see ``dq_unique``)."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")] + [
+        F.sum(F.when(pred, 1).otherwise(0)).alias(f"__v_{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v_{i}").cast("bigint").alias("n_violations"),
+                (F.col(f"__v_{i}") == 0).alias("pass"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def dq_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Uniqueness expectation: rows whose key occurs more than once.
+    One groupBy; returns (n_duplicate_keys, n_duplicate_rows)."""
+    dups = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+    )
+    return dups.agg(
+        F.count(F.lit(1)).alias("n_duplicate_keys"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias(
+            "n_duplicate_rows"
+        ),
+    )
+
+
 def partition_skew(df: DataFrame, key: str) -> DataFrame:
     """Rows per key value plus the skew ratio (count / mean count) — the
     inputs for deciding salting or AQE skew-join thresholds."""
