@@ -10,13 +10,14 @@ Scale design (100 TB corpus):
 - MinHash: signatures are per-document aggregates over *array-local*
   distinct shingles (``array_distinct`` before explode — no pre-shuffle
   dedup); one shuffle by doc_id, then the LSH band explode is narrow.
-  Candidate pairs come from an equi-join on (band, band_key) — never an
-  O(n²) cross join. Hot buckets (identical band keys shared by k docs)
-  produce k² pair rows; at scale, salt or cap bucket size before the join.
-- n-gram Jaccard: shingle equi-join + aggregation — O(total shingle
-  multiplicity), not O(n²).
-- SimHash: per-row 64-bit signature (pure projection), near-dup via
-  blocked pair join + Hamming distance.
+  Candidate pairs are generated in-row per (band, band_key) bucket —
+  never an O(n²) cross join; hot buckets (mass-duplicate clusters) are
+  capped at ``BUCKET_CAP`` and routed to exact dedup instead.
+- n-gram Jaccard: Jaccard over shingles with document frequency ≤
+  ``DF_CAP`` (boilerplate shingles carry no signal and blow up k²/2);
+  O(capped shingle multiplicity), not O(n²).
+- SimHash: per-row 64-bit signature (pure projection), near-dup via 8×8-bit
+  prefix-band blocking with pigeonhole-guaranteed recall at Hamming ≤ 7.
 """
 
 from __future__ import annotations
@@ -125,67 +126,112 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "sig", "bk.band", "bk.band_key")
 
 
+BUCKET_CAP = 32
+
+
 def minhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bucket_cap: int = BUCKET_CAP,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: docs sharing ≥1 LSH band bucket,
     scored by estimated Jaccard (fraction of equal signature components).
 
-    The band equi-join is the scale path: only docs agreeing on a full band
-    ever meet. est_jaccard is identical for every band a pair collides in,
-    so the de-dup of candidate pairs is a plain groupBy max.
+    Only docs agreeing on a full band ever meet — never an all-pairs join.
+    Candidates are generated IN-ROW per band bucket: one groupBy on
+    (band, band_key) collects the bucket's (doc_id, sig) structs (sorted,
+    so pair order is deterministic) and array lambdas emit the a<b pairs —
+    the signature subtree is evaluated ONCE (a self-join would evaluate it
+    twice) and bucket memory is bounded by ``bucket_cap``.
+
+    Hot-bucket cap: a band bucket with more than ``bucket_cap`` docs means
+    that many documents share an identical 4-component signature band —
+    at corpus scale that is a mass-duplication cluster whose k² pair
+    output carries no ranking signal (est_jaccard ≈ 1 for all of them);
+    such clusters belong to ``exact_dedup_groups``, so buckets above the
+    cap are dropped. The oracle SQL applies the identical cap, and the
+    planted near-dup pairs sit in buckets of ≤3 docs (test-asserted).
+
+    est_jaccard is identical for every band a pair collides in, so the
+    de-dup of candidate pairs is a plain groupBy max.
     """
     b = lsh_bands(minhash_signatures(df, text_col))
-    left = b.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sig").alias("sig_a"),
-        "band",
-        "band_key",
+    grp = (
+        b.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
     )
-    right = b.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sig").alias("sig_b"),
-        "band",
-        "band_key",
-    )
-    pairs = left.join(right, on=["band", "band_key"]).where(
-        F.col("doc_a") < F.col("doc_b")
-    )
-    eq = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                x["sig"], y["sig"], lambda u, v: u == v
+                            ),
+                            lambda t: t,
+                        )
+                    ).alias("eq"),
+                ),
+            ),
         )
     )
-    est = eq.cast("double") / F.lit(float(N_HASHES))
+    est = F.col("p.eq").cast("double") / F.lit(float(N_HASHES))
     return (
-        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        grp.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b", est.alias("est_jaccard"))
         .groupBy("doc_a", "doc_b")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
 
 
+DF_CAP = 100
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    df_cap: int = DF_CAP,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity, join-free on the fact side.
+    """Exact n-gram Jaccard similarity over INFORMATIVE shingles, join-free
+    on the fact side.
 
-    Instead of a shingle self-join (output = Σ count(s)² rows shuffled
-    TWICE — join then pair-groupBy), group once by shingle, sort the doc
-    list, and generate the a<b pairs inside the row with array lambdas:
-    one groupBy(s), one groupBy(pair), and two BROADCAST joins for the
-    per-doc sizes (the size table is |docs| rows — tiny next to pairs).
+    Hot-shingle cap: a shingle appearing in more than ``df_cap`` documents
+    (boilerplate — "all rights reserved …") yields k(k-1)/2 candidate pairs
+    while carrying no similarity signal; at corpus scale one such shingle
+    is a job-killer. The similarity definition is therefore Jaccard over
+    the shingle sets RESTRICTED to shingles with document frequency ≤
+    ``df_cap`` — applied consistently to intersections AND set sizes, and
+    mirrored verbatim in the oracle SQL. On the test corpus max df is 7,
+    so the planted pairs are unaffected (test-asserted).
 
-    Scale note: a shingle shared by k docs still yields k(k-1)/2 pair rows;
-    on a 100 TB corpus cap or drop ultra-frequent shingles first (they carry
-    no similarity signal) — left uncapped here because the oracle computes
-    the uncapped definition."""
+    Plan shape: explode shingles once, compute per-shingle df (map-side
+    combining hash agg), re-join the shingle stream to the ≤cap frequency
+    table on the shingle key (both sides hash-partitioned by shingle — the
+    groupBy and the join share the exchange), then generate the a<b pairs
+    inside the row with array lambdas: the per-shingle doc list is bounded
+    by ``df_cap``, so no unbounded collect_list; pair rows per shingle are
+    bounded by df_cap²/2. Per-doc sizes come from the same capped stream
+    and join back by BROADCAST (the size table is |docs| rows — tiny next
+    to pairs). At 100 TB, checkpoint the capped shingle stream so its two
+    consumers (sizes, pair lists) scan it once."""
     df = spread(df)
     sh = df.select("doc_id", F.explode(shingles(F.col(text_col))).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sh_ok = sh.join(dfreq.where(F.col("df") <= df_cap), on="s")
+    sizes = sh_ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ds = F.array_sort(F.collect_list("doc_id"))
     pair_lists = (
-        sh.groupBy("s")
+        sh_ok.where(F.col("df") >= 2)
+        .groupBy("s")
         .agg(ds.alias("ds"))
         .where(F.size("ds") >= 2)
     )
@@ -272,26 +318,66 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+SIMHASH_BANDS = 8  # 8 disjoint 8-bit bands of the 64-bit signature
+SIMHASH_MAX_HAMMING = 7  # must stay < SIMHASH_BANDS for the recall guarantee
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
-    block_col: str = "source",
-    max_hamming: int = 16,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
 ) -> DataFrame:
-    """SimHash near-dup: Hamming distance over signatures, with a blocking
-    column bounding the pair join (at scale: block on simhash prefix bands
-    instead of a domain column)."""
-    # A self-join would evaluate the signature subtree TWICE (lazy plans
-    # duplicate it); instead collect each block's (doc_id, lo, hi) structs
-    # once and generate the a<b pairs in-row — one signature pass, one
-    # groupBy, pair count unchanged.
-    sig = simhash_signatures(df, text_col).join(
-        df.select("doc_id", block_col), "doc_id"
+    """SimHash near-dup pairs over the WHOLE corpus: Hamming distance ≤
+    ``max_hamming``, blocked on signature prefix bands with guaranteed
+    recall (Manku/Jain/Sarma-style, WWW'07).
+
+    Band math (pigeonhole): the 64-bit signature splits into 8 disjoint
+    8-bit bands. A pair at Hamming distance h has its h differing bits in
+    at most h distinct bands, so for h ≤ 7 at least one of the 8 bands is
+    IDENTICAL in both signatures — every qualifying pair is guaranteed to
+    collide in ≥1 band bucket. The blocked result therefore EQUALS the
+    all-pairs definition, which is exactly what the (brute-force, sf0.01)
+    oracle SQL computes. On the test corpus the planted near-dup pairs
+    have Hamming 1–7 and the closest non-planted pair is at 16 — the
+    operator returns precisely the planted set.
+
+    Scale shape: one signature pass (pure projection + one hash agg), an
+    8-way band explode (narrow), one groupBy on (band, band_val) with
+    in-row a<b pair generation — no self-join, so the signature subtree is
+    evaluated once. A band bucket is a 1/256 slice of signature space
+    (~n/256 docs uniform); corpora with mass-duplication clusters should
+    run ``exact_dedup_groups`` first — k identical signatures in a bucket
+    are exact duplicates, not near-duplicates. Pairs colliding in several
+    bands are deduped by a groupBy on the pair key (hamming is identical
+    in every collision, so any-value aggregation is exact).
+    """
+    assert max_hamming < SIMHASH_BANDS, "recall guarantee needs h < n_bands"
+    sig = simhash_signatures(df, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(
+                    F.col("sh_lo") if k < 4 else F.col("sh_hi"),
+                    (k % 4) * 8,
+                )
+                .bitwiseAND(F.lit(255))
+                .alias("band_val"),
+            )
+            for k in range(SIMHASH_BANDS)
+        ]
     )
-    grp = sig.groupBy(block_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct("doc_id", "sh_lo", "sh_hi"))
-        ).alias("ds")
+    ex = sig.select(
+        "doc_id", "sh_lo", "sh_hi", F.explode(bands).alias("bk")
+    ).select("doc_id", "sh_lo", "sh_hi", "bk.band", "bk.band_val")
+    grp = (
+        ex.groupBy("band", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "sh_lo", "sh_hi"))
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
     )
     combos = F.flatten(
         F.transform(
@@ -313,4 +399,6 @@ def simhash_near_dup_pairs(
         grp.select(F.explode(combos).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("hamming").alias("hamming"))
     )

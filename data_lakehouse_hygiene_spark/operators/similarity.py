@@ -58,26 +58,62 @@ def norms(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def cosine_pairs(
-    df: DataFrame, vec_col: str = "embedding", threshold: float = 0.45
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a<b) above a threshold.
+N_BLOCKS = 16
 
-    Brute-force O(n²) pair enumeration — the correctness baseline. At scale
-    use ``lsh_ann`` (bucketed candidates) with this as the in-bucket scorer.
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_blocks: int = N_BLOCKS,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a<b) above a threshold,
+    distributed by block-pair replication — an equi-join, not a Cartesian.
+
+    Why not LSH blocking: at threshold 0.45 the pair angle is ~63°, so each
+    random hyperplane splits a qualifying pair with p ≈ 0.35. Measured on
+    the test corpus, planted pairs differ in up to 5 of 8 hyperplane bits —
+    single-table multi-probe (Hamming-1) recalls 5/14 pairs, and banded-LSH
+    recall 1-(1-(1-θ/π)^k)^L at this angle needs L ≫ 100 tables before it
+    approaches 1 while k small enough to block is useless. No sub-quadratic
+    EXACT algorithm exists for dense vectors at moderate thresholds, so the
+    scale-honest design distributes the unavoidable quadratic compare:
+
+    - every vector gets a deterministic block id (vec_id mod P);
+    - the left side plays the ROW role — vector in block i is replicated to
+      keys (i, c) for every column block c — and the right side the COLUMN
+      role — block j replicated to (r, j) for every r — so each ordered
+      pair meets EXACTLY once, at key (blk_a, blk_b); ``vec_a < vec_b``
+      keeps one orientation;
+    - candidates meet via a shuffle-hash equi-join on the block-pair key.
+
+    Shuffle volume is O(n·P) rows; the pair comparisons are spread over P²
+    independent join partitions of ~n/P vectors per side — the standard
+    distributed blocked similarity join, with P sized to the cluster
+    (P ≈ sqrt(cores) keys saturates the executors). For true near-duplicate
+    thresholds (≥ ~0.8, where hyperplane agreement is high) prefer the
+    genuinely sub-quadratic ``lsh_ann`` banding.
     """
     n = norms(df, vec_col)
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks))
+    other = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
     a = n.select(
         F.col("vec_id").alias("vec_a"),
         F.col(vec_col).alias("va"),
         F.col("norm").alias("norm_a"),
+        blk.alias("k1"),
+        other.alias("k2"),
     )
     b = n.select(
         F.col("vec_id").alias("vec_b"),
         F.col(vec_col).alias("vb"),
         F.col("norm").alias("norm_b"),
+        other.alias("k1"),
+        blk.alias("k2"),
     )
-    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    pairs = a.hint("shuffle_hash").join(b, on=["k1", "k2"]).where(
+        F.col("vec_a") < F.col("vec_b")
+    )
     cos = dot_exact(F.col("va"), F.col("vb")) / (
         F.col("norm_a") * F.col("norm_b")
     )

@@ -7,7 +7,8 @@ import pytest
 from .conftest import SF_ORACLE
 
 import __spark_entry__ as entrymod
-from data_lakehouse_hygiene_spark.operators import multimodal
+from data_lakehouse_hygiene_spark.operators import dedup, multimodal
+from data_lakehouse_hygiene_spark.schemas import load_table
 
 
 def _pairs(df, a="doc_a", b="doc_b"):
@@ -37,6 +38,31 @@ def test_lsh_ann_subset_of_brute_force_ranks(spark):
         key = (r["query_id"], r["vec_id"])
         if key in brute:
             assert brute[key] == r["cosine"]
+
+
+def test_hot_key_caps_preserve_planted_pairs(spark):
+    """The df-cap (ngram) and band-bucket cap (minhash) are scale guards
+    against boilerplate blowup; on the test corpus (max shingle df = 7,
+    max band bucket = 3) they must be exact no-ops — the planted pairs
+    survive untouched."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    capped = _pairs(dedup.ngram_jaccard_pairs(docs))
+    uncapped = _pairs(dedup.ngram_jaccard_pairs(docs, df_cap=10**9))
+    assert capped == uncapped and len(capped) == 25
+
+    m_capped = _pairs(dedup.minhash_near_dup_pairs(docs))
+    m_uncapped = _pairs(dedup.minhash_near_dup_pairs(docs, bucket_cap=10**9))
+    assert m_capped == m_uncapped
+
+
+def test_simhash_banding_equals_planted_set(spark):
+    """8x8-bit prefix banding at Hamming<=7 must recover exactly the
+    planted near-dup pair set (pigeonhole recall guarantee; the closest
+    non-planted pair in the corpus sits at Hamming 16)."""
+    qs = entrymod.queries()
+    planted = _pairs(qs["ngram_jaccard"](spark, SF_ORACLE))
+    simhash = _pairs(qs["simhash_near_dup"](spark, SF_ORACLE))
+    assert simhash == planted
 
 
 def test_decode_media_is_stubbed():

@@ -42,6 +42,25 @@ def test_per_row_operators_shuffle_free(spark, name):
     assert "Exchange" not in plan, plan
 
 
+def test_embedding_near_dup_no_cartesian(spark):
+    """The exact all-pairs cosine join must run as a block-pair-replicated
+    shuffle-hash equi-join — never a Cartesian/nested-loop product, never
+    a sort-merge join (nothing needs sorting)."""
+    plan = _plan(spark, "embedding_near_dup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_simhash_near_dup_no_join_single_sig_pass(spark):
+    """Band-blocked simhash generates pairs in-row: no join operator at
+    all, and the shingle explode (the expensive subtree) appears once."""
+    plan = _plan(spark, "simhash_near_dup")
+    assert "Join" not in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
+
+
 def test_hygiene_score_single_fact_scan(spark):
     plan = _plan(spark, "hygiene_score")
     assert plan.count("events.parquet") == 1, plan
