@@ -1622,18 +1622,71 @@ FROM d
 
 
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles via approx_percentile (t-digest-style sketch):
-    single pass, mergeable, bounded error — the 100 TB path where exact
-    percentiles would need a full sort. No SQL oracle (sketch internals are
-    engine-specific); accuracy is asserted against the exact discrete
-    percentile in tests (within 1% rank error at accuracy=10000)."""
-    li = _t(spark, sf_dir, "lineitem")
+    """Approximate quantiles via approx_percentile (t-digest-style sketch:
+    single pass, mergeable, bounded rank error — the 100 TB path where
+    exact percentiles would need a full sort), made ORACLE-CHECKABLE: the
+    sketch value itself is engine-specific, so the query emits, per
+    quantile p, the exact-rank tolerance envelope [value@rank(p-1%),
+    value@rank(p+1%)] — genuinely computed by BOTH engines and
+    hash-compared — plus ``within_bound``, the sketch-acceptance verdict.
+    DuckDB states TRUE (the contract); Spark computes it, so a sketch
+    drifting outside its declared 1% rank error breaks the hash match.
+
+    The envelope computation (global row_number) is verification-only
+    machinery: at 100 TB you would run the sketch alone (the ``agg`` here)
+    and spot-check bounds on a sample. Scalar collects follow the A10
+    1-row-literal pattern."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    n = li.count()
+    ps = [0.25, 0.5, 0.75, 0.95]
+    ranks = {
+        p: (max(1, math.ceil((p - 0.01) * n)), math.ceil((p + 0.01) * n))
+        for p in ps
+    }
+    wanted = sorted({k for pair in ranks.values() for k in pair})
+    w = Window.orderBy("l_extendedprice")
+    vals = {
+        r["rn"]: r["l_extendedprice"]
+        for r in li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn").isin(wanted))
+        .collect()
+    }
     q = F.expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)"
     )
-    return li.agg(
-        q[0].alias("p25"), q[1].alias("p50"), q[2].alias("p75"), q[3].alias("p95")
+    sk = li.agg(q.alias("q")).collect()[0]["q"]
+    rows = [
+        (
+            p,
+            vals[ranks[p][0]],
+            vals[ranks[p][1]],
+            bool(vals[ranks[p][0]] <= sk[i] <= vals[ranks[p][1]]),
+        )
+        for i, p in enumerate(ps)
+    ]
+    return spark.createDataFrame(
+        rows, "p double, lo_bound double, hi_bound double, within_bound boolean"
     )
+
+
+SQL_APPROX_QUANTILES = """
+WITH n AS (SELECT count(*) AS c FROM lineitem),
+r AS (SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem),
+q(p) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+b AS (SELECT p,
+             GREATEST(1, CEIL((p - 0.01) * (SELECT c FROM n))) AS klo,
+             CEIL((p + 0.01) * (SELECT c FROM n)) AS khi
+      FROM q)
+SELECT b.p, rlo.v AS lo_bound, rhi.v AS hi_bound, TRUE AS within_bound
+FROM b JOIN r rlo ON rlo.rn = b.klo JOIN r rhi ON rhi.rn = b.khi
+"""
 
 
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1649,6 +1702,33 @@ SELECT doc_id,
        lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
        CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT)
          AS n_marker_bytes
+FROM documents
+"""
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal decode round-trip: deterministic BMP/WAV payloads
+    synthesized executor-side from the documents table, then header-parsed
+    by the dependency-free decoder (``multimodal.decode_media``) over
+    Arrow-batched ``mapInPandas``. The oracle states the decode output as
+    closed-form functions of (doc_id, length(text)) — what the comparison
+    verifies is that the decoder reads the right bytes."""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_features(media)
+
+
+SQL_MEDIA_DECODE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+         AS media_type,
+       CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 8 END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(24 AS BIGINT) END AS bpp,
+       CASE WHEN doc_id % 2 = 1 THEN 8000 + 4000 * (doc_id % 4) END
+         AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(1 AS BIGINT) END AS n_channels,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(length(text) AS BIGINT) END
+         AS n_samples
 FROM documents
 """
 
@@ -1828,9 +1908,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "dq_check": (q_dq_check, SQL_DQ_CHECK),
     "dq_unique": (q_dq_unique, SQL_DQ_UNIQUE),
-    # Sketch-based: deliberately no SQL oracle (engine-specific internals);
-    # the driver records a rows-only check, accuracy asserted in tests.
-    "approx_quantiles": (q_approx_quantiles, None),
+    # Sketch values are engine-specific, so the oracle checks the exact
+    # 1%-rank tolerance ENVELOPE (computed by both engines) plus Spark's
+    # in-envelope verdict — see q_approx_quantiles.
+    "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
+    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
 }
 
 

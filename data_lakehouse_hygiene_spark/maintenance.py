@@ -66,16 +66,29 @@ def compact_small_files(
     spark: SparkSession, path: str, target_files: int, fmt: str = "parquet"
 ) -> int:
     """Rewrite a table directory to ``target_files`` files (small-file
-    compaction). Returns the file count written. Reads+rewrites atomically
-    via overwrite into the same path using a staged temp subdir would be the
-    production shape; here the direct overwrite keeps the utility simple."""
-    df = spark.read.format(fmt).load(path)
-    df.repartition(target_files).write.format(fmt).mode("overwrite").save(
-        path + "__compact"
+    compaction). Returns the data-file count actually written (verified by
+    listing, not assumed). The final overwrite is Spark's per-directory
+    commit protocol — same single-writer crash window as
+    ``sinks.merge_upsert``'s Parquet fallback, and same temp-dir cleanup."""
+    from .sinks import _delete_dir
+
+    tmp = path + "__compact"
+    try:
+        df = spark.read.format(fmt).load(path)
+        df.repartition(target_files).write.format(fmt).mode("overwrite").save(tmp)
+        out = spark.read.format(fmt).load(tmp)
+        out.write.format(fmt).mode("overwrite").save(path)
+    finally:
+        _delete_dir(spark, tmp)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    suffix = ".parquet" if fmt == "parquet" else f".{fmt}"
+    return sum(
+        1
+        for s in fs.listStatus(p)
+        if s.isFile() and s.getPath().getName().endswith(suffix)
     )
-    out = spark.read.format(fmt).load(path + "__compact")
-    out.write.format(fmt).mode("overwrite").save(path)
-    return target_files
 
 
 def schema_drift(expected: DataFrame, actual: DataFrame) -> list[dict[str, str]]:

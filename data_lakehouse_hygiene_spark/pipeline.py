@@ -52,12 +52,22 @@ def clean(spark: SparkSession, lake: str) -> None:
     )
 
 
-def curate(spark: SparkSession, lake: str) -> DataFrame:
+def curate(spark: SparkSession, lake: str, as_of: str | None = None) -> DataFrame:
     """Curated zone: the 1-row prescriptive hygiene result appended to the
     run history (the reference appends hourly,
-    ``load_prescriptive_to_sql.py:51-56``)."""
+    ``load_prescriptive_to_sql.py:51-56``).
+
+    ``as_of`` stamps ``generated_at`` deterministically (SURVEY §4.2 rule
+    1: everything time-dependent takes ``as_of``) — reruns with the same
+    inputs and stamp are bit-identical. ``None`` falls back to wall-clock
+    for interactive use."""
     ev = sinks.read_table(spark, f"{lake}/clean/events")
     cust = sinks.read_table(spark, f"{lake}/clean/customer")
+    stamp = (
+        F.lit(as_of).cast("timestamp")
+        if as_of is not None
+        else F.current_timestamp()
+    )
     result = scoring.hygiene_result_single_source(
         activities=ev,
         dims=cust,
@@ -68,7 +78,7 @@ def curate(spark: SparkSession, lake: str) -> DataFrame:
         dim_key="c_custkey",
         dim_met="c_acctbal",
         dim_category="c_mktsegment",
-    ).withColumn("generated_at", F.current_timestamp())
+    ).withColumn("generated_at", stamp)
     result.write.mode("append").parquet(f"{lake}/curated/rekomendasi")
     return result
 
@@ -92,9 +102,10 @@ def serve(spark: SparkSession, lake: str) -> None:
 def run_pipeline(
     spark: SparkSession, sf_dir: str, lake: str, ingest_ts: str
 ) -> DataFrame:
-    """One full medallion run; returns the curated 1-row result."""
+    """One full medallion run; returns the curated 1-row result. The run's
+    ``ingest_ts`` doubles as the deterministic ``as_of`` stamp."""
     ingest(spark, sf_dir, lake, ingest_ts)
     clean(spark, lake)
-    result = curate(spark, lake)
+    result = curate(spark, lake, as_of=ingest_ts)
     serve(spark, lake)
     return result

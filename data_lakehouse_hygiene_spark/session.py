@@ -68,4 +68,11 @@ def pin_session(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    # Deliberate session-wide pin (not restored): schemas.load_table reads
+    # TIMESTAMP(NANOS) parquet columns as raw longs under this flag, and the
+    # flag must still be set when the (lazy) scan actually EXECUTES —
+    # restoring it right after plan construction would flip behavior mid-
+    # query. Effect on the host session: later TIMESTAMP(NANOS) reads yield
+    # BIGINT instead of erroring; MILLIS/MICROS columns are unaffected.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -36,7 +36,24 @@ def overwrite_table(df: DataFrame, path: str) -> None:
 def append_snapshot(df: DataFrame, path: str, ingest_ts: str) -> None:
     """S4: append-log write, partitioned by ingest timestamp — replaces the
     reference's one-object-per-run filename convention; ``latest_ingest``
-    prunes to the newest partition on read."""
+    prunes to the newest partition on read.
+
+    The stamp must be ISO-8601 (fixed-width, so lexicographic order ==
+    chronological order — ``latest_ingest``'s max over the partition
+    STRING stays correct); rejected up front rather than silently
+    mis-sorting later."""
+    import datetime
+
+    try:
+        datetime.datetime.fromisoformat(ingest_ts)
+    except ValueError as e:
+        raise ValueError(
+            f"ingest_ts must be ISO-8601 (got {ingest_ts!r}): {e}"
+        ) from e
+    if len(ingest_ts) < 19:  # zero-padded date AND time, e.g. 2026-01-02T03:04:05
+        raise ValueError(
+            f"ingest_ts must be a full zero-padded ISO stamp, got {ingest_ts!r}"
+        )
     (
         df.withColumn("ingest_ts", F.lit(ingest_ts))
         .write.format(_FORMAT)
@@ -103,12 +120,27 @@ def merge_upsert(
     kept = current.join(F.broadcast(keys), key, "left_anti")
     merged = kept.unionByName(updates)
     # Parquet overwrite reads lazily from the same path it writes: stage to
-    # a temp dir first, then rewrite.
+    # a temp dir first, then rewrite. The final overwrite is Spark's
+    # per-directory commit protocol — a crash INSIDE it can lose the table
+    # (single-writer window, no transaction log); that atomicity is exactly
+    # what the Delta branch above buys. The temp dir is removed either way.
     tmp = path + "__merge_tmp"
-    merged.write.format(_FORMAT).mode("overwrite").save(tmp)
-    spark.read.format(_FORMAT).load(tmp).write.format(_FORMAT).mode(
-        "overwrite"
-    ).save(path)
+    try:
+        merged.write.format(_FORMAT).mode("overwrite").save(tmp)
+        spark.read.format(_FORMAT).load(tmp).write.format(_FORMAT).mode(
+            "overwrite"
+        ).save(path)
+    finally:
+        _delete_dir(spark, tmp)
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursively delete a directory through the Hadoop FileSystem API —
+    works for any scheme Spark can write to (local, HDFS, s3a, ...)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
 
 
 def csv_log(df: DataFrame, path: str) -> None:

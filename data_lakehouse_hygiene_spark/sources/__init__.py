@@ -57,6 +57,96 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+DEFAULT_HTTP_TIMEOUT = 30  # seconds — mirrors the reference's fetch timeout
+USER_AGENT = "data-lakehouse-hygiene-spark/1.0"
+
+
+def fetch_json(
+    url: str,
+    *,
+    transport=None,
+    timeout: int = DEFAULT_HTTP_TIMEOUT,
+    status_field: str | None = None,
+    ok_value: Any = "ok",
+) -> Any:
+    """S1 driver-side HTTP JSON fetch with the reference's guardrails
+    (``ingestion/api_bmkg/bmkg_to_raw.py:43-46``): explicit timeout, a UA
+    header, raise-on-non-2xx, and optional payload status-field validation
+    (``elt/clean_aqicn.py:56-57`` rejects payloads whose embedded status
+    isn't "ok" even when HTTP said 200).
+
+    ``transport(url, timeout) -> (status_code, body_bytes)`` is injectable
+    for tests and alternative HTTP stacks; the default uses stdlib urllib.
+    Feed the returned payload to ``dataframe_from_payload``.
+    """
+    if transport is None:
+
+        def transport(u: str, timeout: int):
+            import urllib.request
+
+            req = urllib.request.Request(u, headers={"User-Agent": USER_AGENT})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return getattr(resp, "status", 200), resp.read()
+
+    status, body = transport(url, timeout)
+    if not 200 <= status < 300:
+        raise RuntimeError(f"HTTP {status} from {url}")
+    payload = json.loads(body)
+    if status_field is not None and payload.get(status_field) != ok_value:
+        raise ValueError(
+            f"payload {status_field}={payload.get(status_field)!r},"
+            f" expected {ok_value!r}"
+        )
+    return payload
+
+
+def sniff_csv_delimiter(sample: str) -> str:
+    """S2 dialect sniff with the reference's ≤1-column rejection
+    (``ingestion/sheets/sheets_to_raw.py:40-68``): detect the delimiter
+    from a text sample and refuse parses that would produce a single
+    column (the signature of a wrong delimiter or a non-CSV payload)."""
+    import csv as _csv
+
+    try:
+        delim = _csv.Sniffer().sniff(sample, delimiters=",;\t|").delimiter
+    except _csv.Error:
+        delim = ","
+    first = sample.splitlines()[0] if sample.strip() else ""
+    if len(first.split(delim)) <= 1:
+        raise ValueError(
+            f"CSV sample parses to <=1 column with delimiter {delim!r};"
+            " wrong dialect or not CSV"
+        )
+    return delim
+
+
+def read_csv_sniffed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    header: bool = True,
+    drop_malformed: bool = True,
+    sample_bytes: int = 65536,
+) -> DataFrame:
+    """S2/S6 with dialect sniffing: read a head sample driver-side, sniff
+    the delimiter (rejecting ≤1-column parses), then hand the validated
+    delimiter to the distributed CSV reader. Driver reads ``sample_bytes``
+    only — the data scan itself stays fully distributed."""
+    import builtins
+
+    with builtins.open(path, "rb") as f:
+        sample = f.read(sample_bytes).decode("utf-8-sig", errors="replace")
+    delim = sniff_csv_delimiter(sample)
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", delim)
+        .option("mode", "DROPMALFORMED" if drop_malformed else "PERMISSIVE")
+        .csv(path)
+    )
+
+
 def dataframe_from_payload(
     spark: SparkSession, payload: dict[str, Any] | list[dict[str, Any]], schema: StructType
 ) -> DataFrame:
@@ -97,7 +187,10 @@ def latest_ingest(df: DataFrame, ingest_col: str = "ingest_ts") -> DataFrame:
 
     When ``ingest_col`` is the partition column of the log, Catalyst folds
     the broadcast-joined max into partition pruning under AQE (only the
-    newest partition's files are scanned).
+    newest partition's files are scanned). The max is over the partition
+    STRING — correct because ``append_snapshot`` enforces fixed-width
+    ISO-8601 stamps (lexicographic == chronological); casting to timestamp
+    here would defeat the partition pruning this exists for.
     """
     mx = df.agg(F.max(F.col(ingest_col)).alias("__mx"))
     return (

@@ -73,7 +73,12 @@ def run_to_memory(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
     """Run a streaming aggregation to completion (availableNow trigger) into
-    a memory sink and return the materialized result as a DataFrame."""
+    a memory sink and return the materialized result as a DataFrame.
+
+    The memory sink holds its rows in driver memory keyed by the temp-view
+    name; to keep long-lived sessions from accumulating one materialized
+    table per call, the rows are copied out and the sink view dropped
+    before returning (results here are small aggregates by construction)."""
     spark = stream_df.sparkSession
     sink = f"stream_sink_{uuid.uuid4().hex[:12]}"
     q = (
@@ -84,7 +89,10 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    out = spark.table(sink)
+    rows, schema = out.collect(), out.schema
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(rows, schema)
 
 
 def time_bucket_stream(

@@ -44,3 +44,14 @@ def test_full_medallion_run(spark):
         assert clean_ev.count() == load_table(spark, SF_SMOKE, "events").count()
         history = spark.read.parquet(f"{lake}/curated/rekomendasi")
         assert history.count() == 2
+
+
+def test_curate_rerun_is_bit_identical(spark):
+    """SURVEY §4.2 rule 1: with a fixed as_of stamp, rerunning curate on
+    the same inputs yields bit-identical rows (no wall-clock leakage)."""
+    with tempfile.TemporaryDirectory() as lake:
+        pipeline.ingest(spark, SF_SMOKE, lake, "2026-01-01T00:00:00")
+        pipeline.clean(spark, lake)
+        r1 = pipeline.curate(spark, lake, as_of="2026-01-01T00:00:00").collect()
+        r2 = pipeline.curate(spark, lake, as_of="2026-01-01T00:00:00").collect()
+        assert r1 == r2

@@ -16,7 +16,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from data_lakehouse_hygiene_spark.sources import dataframe_from_payload, read_csv
+import json
+
+import pytest
+
+from data_lakehouse_hygiene_spark.sources import (
+    dataframe_from_payload,
+    fetch_json,
+    read_csv,
+    read_csv_sniffed,
+    sniff_csv_delimiter,
+)
 
 
 def test_read_csv_drops_malformed(spark):
@@ -41,6 +51,51 @@ def test_read_csv_drops_malformed(spark):
         df = read_csv(spark, str(p), schema)
         rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
         assert rows == {1: ("alpha", 2.5), 4: ("delta", 4.0)}
+
+
+def test_fetch_json_guardrails():
+    """S1 fetch semantics from bmkg_to_raw.py:43-46 / clean_aqicn.py:56-57:
+    raise on non-2xx, validate the payload's embedded status field, pass
+    the timeout through to the transport."""
+    calls = {}
+
+    def fake(url, timeout):
+        calls["url"], calls["timeout"] = url, timeout
+        return 200, json.dumps({"status": "ok", "v": 7}).encode()
+
+    out = fetch_json("http://x/api", transport=fake, status_field="status")
+    assert out["v"] == 7 and calls == {"url": "http://x/api", "timeout": 30}
+
+    with pytest.raises(RuntimeError, match="HTTP 503"):
+        fetch_json("http://x", transport=lambda u, t: (503, b"{}"))
+
+    with pytest.raises(ValueError, match="status"):
+        fetch_json(
+            "http://x",
+            transport=lambda u, t: (200, json.dumps({"status": "error"}).encode()),
+            status_field="status",
+        )
+
+
+def test_sniff_csv_delimiter():
+    assert sniff_csv_delimiter("a,b,c\n1,2,3\n") == ","
+    assert sniff_csv_delimiter("a;b;c\n1;2;3\n") == ";"
+    with pytest.raises(ValueError, match="<=1 column"):
+        sniff_csv_delimiter("just a sentence of words\nanother line\n")
+
+
+def test_read_csv_sniffed_semicolon(spark):
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("name", StringType())]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "semi.csv"
+        p.write_text("id;name\n1;alpha\n2;beta\n")
+        rows = {
+            r["id"]: r["name"]
+            for r in read_csv_sniffed(spark, str(p), schema).collect()
+        }
+        assert rows == {1: "alpha", 2: "beta"}
 
 
 def test_dataframe_from_payload_nested_explode(spark):
