@@ -904,7 +904,9 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann(_t(spark, sf_dir, "embeddings"))
 
 
-def _sql_lsh_ann() -> str:
+def _sql_bkt_cte() -> str:
+    """Shared CTE chain: per-vector norm + 8-hyperplane LSH bucket
+    (comp → proj → bkt), used by lsh_ann and lsh_near_dup oracles."""
     plane = (
         f"(CAST(strpos('{_HEX}', substr(md5({{p}} || ':' ||"
         " CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5)"
@@ -919,8 +921,7 @@ def _sql_lsh_ann() -> str:
         f"(CASE WHEN p{p} > 0 THEN {2 ** p} ELSE 0 END)"
         for p in range(similarity.N_PLANES)
     )
-    return f"""
-WITH comp AS (
+    return f"""comp AS (
   SELECT e.vec_id, e.embedding, g.i AS i, CAST(e.embedding[g.i] AS DOUBLE) AS x
   FROM embeddings e,
        LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) g),
@@ -931,7 +932,12 @@ proj AS (
          {projs}
   FROM comp GROUP BY vec_id),
 bkt AS (
-  SELECT vec_id, embedding, norm, {bucket} AS bucket FROM proj),
+  SELECT vec_id, embedding, norm, {bucket} AS bucket FROM proj)"""
+
+
+def _sql_lsh_ann() -> str:
+    return f"""
+WITH {_sql_bkt_cte()},
 q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qnorm, bucket
       FROM bkt WHERE vec_id < 3),
 prs AS (
@@ -960,6 +966,92 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 SQL_LSH_ANN = _sql_lsh_ann()
+
+
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic approximate near-dup pairs: LSH-bucket-blocked
+    candidates (equal bucket or one flipped hyperplane bit) scored by
+    exact cosine. The oracle mirrors the SAME bucket restriction — exact
+    parity over approximate semantics; recall vs the exact operator is
+    measured in tests (see ``similarity.lsh_near_dup_pairs``)."""
+    return similarity.lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_lsh_near_dup() -> str:
+    probe_set = ", ".join(str(2**p) for p in range(similarity.N_PLANES))
+    return f"""
+WITH {_sql_bkt_cte()},
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm AS na, b.norm AS nb,
+         a.embedding AS ea, b.embedding AS eb
+  FROM bkt a JOIN bkt b
+    ON a.vec_id < b.vec_id
+   AND (a.bucket = b.bucket OR xor(a.bucket, b.bucket) IN ({probe_set}))),
+dots AS (
+  SELECT vec_a, vec_b, any_value(na) AS na, any_value(nb) AS nb,
+         CAST(sum({_DOT.format(a='p.ea', b='p.eb')}) AS DOUBLE)
+           / 1000000000000.0 AS dot
+  FROM cand p,
+       LATERAL (SELECT unnest(range(1, len(p.ea) + 1)) AS i) g
+  GROUP BY vec_a, vec_b)
+SELECT vec_a, vec_b,
+       floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM dots
+WHERE floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 >= 0.45
+"""
+
+
+SQL_LSH_NEAR_DUP = _sql_lsh_near_dup()
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (min-label) over the exact
+    n-gram-Jaccard pair graph — the keeper-assignment step a production
+    dedup pipeline runs after pair mining. Spark side is iterative label
+    propagation (``dedup.connected_components``); the oracle computes the
+    identical fixpoint as a DuckDB recursive CTE."""
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return dedup.connected_components(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD}) t),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u)
+SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms (rational idf N/df — no libm log,
+    so both engines agree bit-for-bit; see ``text.tfidf_top_terms``)."""
+    return text_ops.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS c FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         floor((tf * (SELECT c FROM n)) / df * 1000000.0 + 0.5) / 1000000.0
+           AS score
+  FROM tf JOIN dfq USING (term)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+"""
 
 
 def q_histogram_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1840,6 +1932,9 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 # not changed since.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- new or redesigned this round -------------------------------------
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     # Sketch values are engine-specific, so the oracle checks the exact
     # 1%-rank tolerance ENVELOPE (computed by both engines) plus Spark's

@@ -213,20 +213,23 @@ def ngram_jaccard_pairs(
     mirrored verbatim in the oracle SQL. On the test corpus max df is 7,
     so the planted pairs are unaffected (test-asserted).
 
-    Plan shape: explode shingles once, compute per-shingle df (map-side
-    combining hash agg), re-join the shingle stream to the ≤cap frequency
-    table on the shingle key (both sides hash-partitioned by shingle — the
-    groupBy and the join share the exchange), then generate the a<b pairs
-    inside the row with array lambdas: the per-shingle doc list is bounded
-    by ``df_cap``, so no unbounded collect_list; pair rows per shingle are
-    bounded by df_cap²/2. Per-doc sizes come from the same capped stream
-    and join back by BROADCAST (the size table is |docs| rows — tiny next
-    to pairs). At 100 TB, checkpoint the capped shingle stream so its two
+    Plan shape: explode shingles once, attach per-shingle df with a
+    COUNT window partitioned by shingle (one hash exchange on the shingle
+    key — no join, and the df≤cap filter runs inside the same stage), then
+    generate the a<b pairs inside the row with array lambdas: the
+    per-shingle doc list is bounded by ``df_cap``, so no unbounded
+    collect_list; pair rows per shingle are bounded by df_cap²/2. The
+    pair-side groupBy(s) REUSES the window's hash partitioning (no second
+    exchange on s). Per-doc sizes come from the same capped stream and
+    join back by BROADCAST (the size table is |docs| rows — tiny next to
+    pairs). At 100 TB, checkpoint the capped shingle stream so its two
     consumers (sizes, pair lists) scan it once."""
+    from pyspark.sql.window import Window
+
     df = spread(df)
     sh = df.select("doc_id", F.explode(shingles(F.col(text_col))).alias("s"))
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    sh_ok = sh.join(dfreq.where(F.col("df") <= df_cap), on="s")
+    wdf = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    sh_ok = sh.withColumn("df", wdf).where(F.col("df") <= df_cap)
     sizes = sh_ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ds = F.array_sort(F.collect_list("doc_id"))
     pair_lists = (
@@ -258,6 +261,63 @@ def ngram_jaccard_pairs(
         .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Dedup CLUSTERS from a near-dup pair graph: every document that
+    appears in ≥1 pair gets ``cluster_id`` = the smallest doc_id reachable
+    through the pair edges (connected components by min-label).
+
+    Production dedup needs this step — pairwise output alone double-counts
+    (A~B, B~C must collapse to one keeper, even when A~C was never
+    emitted). Iterative min-label propagation: each round, every node takes
+    the min of its own label and its neighbors' labels; fixpoint after
+    ``diameter`` rounds (near-dup clusters are shallow — planted chains
+    here converge in ≤3). Each round materializes via ``localCheckpoint``
+    to truncate lineage (else the plan doubles per iteration); the
+    convergence check is one count per round. At web scale, switch to the
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce", SoCC'14) for O(log n) rounds —
+    same join shape per round.
+
+    The declared query's oracle computes the identical fixpoint as a
+    DuckDB recursive CTE (transitive closure + min per node) — exact
+    parity for a genuinely iterative algorithm.
+    """
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        new = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                "node",
+                F.col("lbl").alias("prev"),
+                F.least(F.col("lbl"), F.coalesce("nl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.where(F.col("lbl") != F.col("prev")).count()
+        labels = new.select("node", "lbl")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
 
 

@@ -194,6 +194,54 @@ def lsh_bucket(vec_col: str = "embedding") -> Column:
     return bucket
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame, vec_col: str = "embedding", threshold: float = 0.45
+) -> DataFrame:
+    """SUB-QUADRATIC approximate near-dup mining: candidate pairs are
+    restricted to hyperplane buckets that are equal or differ in exactly
+    one bit (Hamming-1 multiprobe), then scored with the exact cosine.
+
+    This is the scale path ``cosine_pairs`` deliberately is not: candidates
+    per vector are ~9n/256 instead of n, at the price of recall. The
+    operator's CONTRACT is the bucket-restricted definition — the oracle
+    mirrors the same bucket condition in SQL, so the declared query has
+    exact parity over its approximate semantics; recall vs the exact
+    operator is measured separately in tests (5/14 at cosine 0.45 on this
+    corpus — low because 0.45 is a ~63° angle; at true near-dup thresholds
+    ≥0.85 hyperplane agreement is ~0.93/plane and recall is high).
+
+    Exactly-once pairing: the left side carries its own bucket, the right
+    side explodes bucket ∪ {bucket⊕2^p}; a pair at bucket-Hamming 0 or 1
+    matches exactly one probe, and ``vec_a < vec_b`` fixes orientation.
+    """
+    n = norms(df, vec_col).withColumn("bucket", lsh_bucket(vec_col))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("norm_a"),
+        "bucket",
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(N_PLANES)],
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("norm").alias("norm_b"),
+        F.explode(probes).alias("bucket"),
+    )
+    pairs = a.hint("shuffle_hash").join(b, on="bucket").where(
+        F.col("vec_a") < F.col("vec_b")
+    )
+    cos = dot_exact(F.col("va"), F.col("vb")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return pairs.select(
+        "vec_a", "vec_b", quantize(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
 def ivf_ann(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -150,3 +150,39 @@ def fingerprints(df: DataFrame, text_col: str = "text", window: int = 5) -> Data
         F.md5(t).alias("exact_md5"),
         rolling.alias("rolling_fp"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the classic corpus-relevance
+    signal a training-data pipeline uses for keyword extraction and
+    quality filtering.
+
+    Determinism / oracle parity: idf is the RATIONAL form N/df (no
+    logarithm — ln is libm-dependent and not bit-stable across engines),
+    so score = (tf·N)/df is one exact integer product followed by one IEEE
+    division, identical in Spark and DuckDB; quantized to 6 dp before
+    ranking, ties broken by term.
+
+    Scale shape: one explode + two hash aggregations (term frequencies per
+    (doc, term), then document frequency per term — the df join lands on
+    the tf groupBy's own partitioning), one window top-k per doc. N comes
+    from a 1-row scalar count (the A10 literal-pushdown pattern).
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = (F.col("tf") * F.lit(n_docs)) / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    from .aggregates import quantize
+
+    return (
+        tf.join(dfreq, "term")
+        .select("doc_id", "term", quantize(score, 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

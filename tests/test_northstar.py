@@ -65,6 +65,50 @@ def test_simhash_banding_equals_planted_set(spark):
     assert simhash == planted
 
 
+def test_dedup_clusters_match_union_find(spark):
+    """Connected components must equal an independent union-find over the
+    same pair list (min doc_id as cluster label)."""
+    qs = entrymod.queries()
+    pairs = list(_pairs(qs["ngram_jaccard"](spark, SF_ORACLE)))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["dedup_clusters"](spark, SF_ORACLE).collect()
+    }
+    assert got == expect
+
+
+def test_lsh_near_dup_subset_and_measured_recall(spark):
+    """The LSH-blocked pairs must be a subset of the exact pairs with
+    identical cosines; recall at cosine 0.45 on this corpus is exactly the
+    5/14 pairs whose buckets differ by <=1 bit (documented trade — at true
+    near-dup thresholds hyperplane agreement makes recall high)."""
+    qs = entrymod.queries()
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in qs["embedding_near_dup"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in qs["lsh_near_dup"](spark, SF_ORACLE).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(exact[k] == v for k, v in approx.items())
+    assert len(approx) == 5 and len(exact) == 14
+
+
 def test_decode_media_golden_bmp():
     """Decoder must read fields from the BYTES (hand-crafted golden
     payload, not produced by make_bmp): 2x1 24-bit BMP."""
