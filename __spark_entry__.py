@@ -1798,6 +1798,227 @@ FROM documents
 """
 
 
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window: orders split into 4 price quartiles (tie-broken by
+    key for determinism), one summary row per quartile."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+SQL_NTILE_QUARTILES = """
+WITH q AS (
+  SELECT o_totalprice,
+         ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders)
+SELECT quartile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM q GROUP BY quartile
+"""
+
+
+def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation from DECIMAL component sums — built-in
+    corr() accumulates in float (order-dependent), so the engine computes
+    n, Σx, Σy, Σxy, Σx², Σy² as exact decimals in ONE aggregate pass and
+    assembles the coefficient in IEEE double, bit-identical to the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return agg.select("n", quantize(corr, 6).alias("corr_qty_price"))
+
+
+SQL_PRICE_QTY_CORR = """
+WITH a AS (
+  SELECT count(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+  FROM lineitem)
+SELECT n,
+       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
+FROM a
+"""
+
+
+def q_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER-join semantics decomposed into broadcastable pieces:
+    matched customers, customers without orders, orders whose customer is
+    missing — two anti joins + one semi join, each broadcasting the small
+    (distinct-key) side, instead of one un-broadcastable full outer join
+    (which would force a SortMergeJoin of both full tables at scale)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    okeys = _t(spark, sf_dir, "orders").select("o_custkey")
+    okey_d = okeys.distinct()
+    matched = cust.join(F.broadcast(okey_d), cust["c_custkey"] == okey_d["o_custkey"], "left_semi")
+    cust_no_orders = cust.join(
+        F.broadcast(okey_d), cust["c_custkey"] == okey_d["o_custkey"], "left_anti"
+    )
+    orders_no_cust = okeys.join(
+        F.broadcast(cust), okeys["o_custkey"] == cust["c_custkey"], "left_anti"
+    )
+    return (
+        matched.agg(F.count(F.lit(1)).alias("matched_customers"))
+        .crossJoin(
+            cust_no_orders.agg(F.count(F.lit(1)).alias("customers_without_orders"))
+        )
+        .crossJoin(
+            orders_no_cust.agg(F.count(F.lit(1)).alias("orders_without_customer"))
+        )
+    )
+
+
+SQL_ORPHAN_COUNTS = """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS matched_customers,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+    AS customers_without_orders,
+  (SELECT count(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    AS orders_without_customer
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT coverage: customers active in 1995 vs 1996
+    (distinct-set semantics, one row of counts)."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96)
+    only95 = y95.distinct().exceptAll(y96.distinct())
+    return both.agg(F.count(F.lit(1)).alias("in_both")).crossJoin(
+        only95.agg(F.count(F.lit(1)).alias("only_1995"))
+    )
+
+
+SQL_SET_OPS = """
+SELECT
+  (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996))
+    AS in_both,
+  (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+     EXCEPT
+     SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996))
+    AS only_1995
+"""
+
+
+def q_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: per-user value delta and seconds since the previous
+    event (first event per user yields NULLs)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        quantize(F.col("value") - prev_v, 6).alias("value_delta"),
+        F.when(
+            prev_ts.isNotNull(),
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(prev_ts.cast("timestamp")),
+        ).alias("secs_since_prev"),
+    )
+
+
+SQL_LAG_DIFF = """
+WITH w AS (
+  SELECT event_id, user_id, value, ts,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events)
+SELECT event_id, user_id,
+       floor((value - pv) * 1000000.0 + 0.5) / 1000000.0 AS value_delta,
+       CASE WHEN pts IS NOT NULL
+            THEN CAST(floor(epoch(ts)) - floor(epoch(pts)) AS BIGINT)
+       END AS secs_since_prev
+FROM w
+"""
+
+
+def q_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per market segment, the sorted distinct nation
+    keys (collect_set + array_sort — deterministic array output)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+    )
+
+
+SQL_COLLECT_SET_AGG = """
+SELECT c_mktsegment, count(*) AS n,
+       list_sort(list_distinct(list(c_nationkey))) AS nations
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family over part names: extract the first word,
+    globally replace vowels, and count pattern matches — patterns kept in
+    the common Java/RE2 subset so both engines agree."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+$").alias("two_words"),
+    )
+
+
+SQL_REGEX_FUNCS = """
+SELECT p_partkey,
+       coalesce(regexp_extract(p_name, '^[a-z]+'), '') AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words
+FROM part
+"""
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode round-trip: deterministic BMP/WAV payloads
     synthesized executor-side from the documents table, then header-parsed
@@ -1935,6 +2156,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
+    "price_qty_corr": (q_price_qty_corr, SQL_PRICE_QTY_CORR),
+    "orphan_counts": (q_orphan_counts, SQL_ORPHAN_COUNTS),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "lag_diff": (q_lag_diff, SQL_LAG_DIFF),
+    "collect_set_agg": (q_collect_set_agg, SQL_COLLECT_SET_AGG),
+    "regex_funcs": (q_regex_funcs, SQL_REGEX_FUNCS),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     # Sketch values are engine-specific, so the oracle checks the exact
     # 1%-rank tolerance ENVELOPE (computed by both engines) plus Spark's

@@ -335,25 +335,23 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     ex = df.select(
         "doc_id", F.explode(shingles(F.col(text_col))).alias("tok")
     ).select("doc_id", F.md5("tok").alias("__h"))
-    # Factor the 16 hex-digit parses into one projection so each string op
-    # runs once per row; the 64 bit-sums then reference the digit columns
-    # (4 cheap integer ops each instead of substr+instr per bit).
-    digits = ex.select(
+    # Parse the 16 signature hex digits with TWO conv() calls (32 bits
+    # each) instead of 16 substr+instr string ops per shingle row; the 64
+    # bit-sums are then pure integer shift/AND over the two halves. Values
+    # are identical to the per-digit formulation the oracle SQL uses:
+    # digit k of c0/c1 is (c >> 4*(7-k)) & 15 (conv is big-endian).
+    halves = ex.select(
         "doc_id",
-        *[
-            (F.instr(F.lit(HEX), F.substring("__h", k + 1, 1)) - F.lit(1)).alias(
-                f"d{k}"
-            )
-            for k in range(16)
-        ],
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint").alias("c0"),
+        F.conv(F.substring("__h", 9, 8), 16, 10).cast("bigint").alias("c1"),
     )
     sums = []
     for j in range(64):
-        # (d >> b) & 1 — pure integer ops; identical values to the
-        # floor(d / 2^b) % 2 formulation the oracle uses, much cheaper.
-        bit = F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+        half = F.col("c0") if j < 32 else F.col("c1")
+        shift = 4 * (7 - (j // 4) % 8) + (j % 4)
+        bit = F.shiftright(half, shift).bitwiseAND(F.lit(1))
         sums.append(F.sum(bit * 2 - F.lit(1)).alias(f"s{j}"))
-    agg = digits.groupBy("doc_id").agg(*sums)
+    agg = halves.groupBy("doc_id").agg(*sums)
     bits = F.concat(
         *[
             F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
