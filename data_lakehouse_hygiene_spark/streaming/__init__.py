@@ -216,3 +216,23 @@ def foreach_batch_recompute(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming deduplication: keep the first row per key seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming half of the dedup family — exact dedup of an
+    UNBOUNDED stream with BOUNDED state: keys older than the watermark are
+    evicted, so state size tracks the delay window, not the stream. The
+    timestamp column is cast to TIMESTAMP (watermarks reject NTZ; the
+    session is pinned UTC so the cast is value-preserving)."""
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return src.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
