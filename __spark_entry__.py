@@ -1819,6 +1819,98 @@ FROM documents
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 50-token chunks, stride 40 (shuffle-free explode)."""
+    return text_ops.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+ex AS (
+  SELECT doc_id, g.i AS chunk_id, ts[g.i*40+1 : g.i*40+50] AS ctoks
+  FROM tok,
+       LATERAL (SELECT unnest(range(0, ((len(ts)-1)//40) + 1)) AS i) g)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text
+FROM ex
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential 2048-token training-bin packing (offset formula)."""
+    return text_ops.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS before
+  FROM t)
+SELECT CAST(floor(CAST(before AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       SUM(n_tok) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word-3-gram shingles
+    with the held-out benchmark set (doc_id < 10 stands in for it)."""
+    return dedup.contamination_check(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 10
+    )
+
+
+SQL_CONTAMINATION_CHECK = """
+WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT t.doc_id, t.ts[g.i] || ' ' || t.ts[g.i+1] || ' ' || t.ts[g.i+2] AS s
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts) - 1)) AS i) g
+  WHERE len(t.ts) >= 3
+  UNION
+  SELECT doc_id, text AS s FROM tok WHERE len(ts) < 3),
+bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id < 10),
+cand AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
+SELECT c.doc_id,
+       count(DISTINCT c.s) AS n_shared_shingles,
+       count(DISTINCT b.bench_doc) AS n_benchmark_docs
+FROM cand c JOIN bench b ON c.s = b.s
+GROUP BY 1
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (projection only)."""
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings)
+SELECT vec_id,
+       mx / 127.0 AS scale,
+       CASE WHEN mx > 0
+            THEN list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)
+                             AS BIGINT))
+            ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+       END AS q
+FROM m
+"""
+
+
 def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE window: orders split into 4 price quartiles (tie-broken by
     key for determinism), one summary row per quartile."""
@@ -2177,6 +2269,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
     "price_qty_corr": (q_price_qty_corr, SQL_PRICE_QTY_CORR),
     "orphan_counts": (q_orphan_counts, SQL_ORPHAN_COUNTS),

@@ -264,6 +264,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    df: DataFrame,
+    bench_pred: Column,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share word-3-gram
+    shingles with a held-out benchmark set (``bench_pred`` selects the
+    benchmark rows) — the overlap check every training pipeline runs
+    before releasing a dataset.
+
+    Plan: one shingle explode over the corpus, split into benchmark /
+    candidate sides, equi-join on the shingle with the BENCHMARK side
+    broadcast (benchmarks are small by construction), then one aggregate
+    per contaminated doc. No O(n²) anywhere; candidate text never moves —
+    only (doc_id, shingle) pairs."""
+    sh = df.select(
+        "doc_id", F.explode(shingles(F.col(text_col))).alias("s")
+    )
+    bench_ids = df.where(bench_pred).select("doc_id")
+    bench_sh = sh.join(F.broadcast(bench_ids), "doc_id").select(
+        F.col("doc_id").alias("bench_doc"), "s"
+    )
+    cand_sh = sh.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    return (
+        cand_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("bench_doc").alias("n_benchmark_docs"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
 ) -> DataFrame:

@@ -186,3 +186,60 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", size: int = 50, stride: int = 40
+) -> DataFrame:
+    """Overlapping token-window chunking — the standard preprocessing step
+    that turns long documents into training/embedding-sized pieces
+    (``size`` tokens per chunk, ``size - stride`` tokens of overlap).
+
+    Pure per-row explode (no shuffle): chunk i covers tokens
+    [i·stride, i·stride + size) for every start inside the document; the
+    last chunks truncate. Runs at scan throughput at any scale."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    last = F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.slice(toks, i * stride + F.lit(1), size).alias("ctoks"),
+        ),
+    )
+    ex = df.select("doc_id", F.explode(chunks).alias("c"))
+    return ex.select(
+        "doc_id",
+        "c.chunk_id",
+        F.size("c.ctoks").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "c.ctoks").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, text_col: str = "text", budget: int = 2048
+) -> DataFrame:
+    """Sequential sequence packing: documents are laid out in doc_id order
+    and assigned to training bins of ``budget`` tokens by their running
+    offset (bin = floor(tokens_before / budget)).
+
+    This is the STREAMING form of packing (a document may straddle a bin
+    boundary — trainers truncate or wrap); exact first-fit packing is
+    inherently sequential state, which is why production packers run
+    exactly this offset formula. One window cumsum + one hash aggregate.
+    Output: per-bin document count and token totals."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint"))
+    binned = df.select("doc_id", n_tok.alias("n_tok")).withColumn(
+        "bin_id", F.floor(before / F.lit(budget)).cast("bigint")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
