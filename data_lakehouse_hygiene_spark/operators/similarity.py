@@ -33,17 +33,21 @@ HEX = "0123456789abcdef"
 
 def _qprod(x: Column, y: Column) -> Column:
     """floor-quantized product of two float components, as integer units of
-    1e-12 — exact and order-independent under integer-decimal summation."""
+    1e-12 — exact and order-independent under integer summation. BIGINT
+    accumulation (JVM long adds, not BigDecimal): with unit-normalized
+    embeddings (|x| ≤ 1) and dim ≤ 4096 the sum is bounded by 4e15 ≪ 2^63;
+    hyperplane projections (components ≤ 7.5) stay under 3e16. The oracle
+    sums the same integers as HUGEINT — identical values either way."""
     return F.floor(
         x.cast("double") * y.cast("double") * F.lit(float(DOT_SCALE)) + F.lit(0.5)
-    ).cast("decimal(38,0)")
+    ).cast("bigint")
 
 
 def dot_exact(a: Column, b: Column) -> Column:
     """Order-independent dot product of two array<float> columns (double)."""
     acc = F.aggregate(
         F.zip_with(a, b, _qprod),
-        F.lit(0).cast("decimal(38,0)"),
+        F.lit(0).cast("bigint"),
         lambda s, v: s + v,
     )
     return acc.cast("double") / F.lit(float(DOT_SCALE))
@@ -187,7 +191,7 @@ def lsh_bucket(vec_col: str = "embedding") -> Column:
                 ),
                 _qprod,
             ),
-            F.lit(0).cast("decimal(38,0)"),
+            F.lit(0).cast("bigint"),
             lambda s, x: s + x,
         )
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
