@@ -71,3 +71,31 @@ def test_base_hash_matches_duckdb(spark, strings):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
         ).fetchone()[0]
         assert got[s] == want, s
+
+
+@settings(max_examples=60, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=1024),
+    height=st.integers(min_value=1, max_value=512),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bmp_roundtrip_property(width, height, seed):
+    """decode(make_bmp(w, h)) must recover exactly (w, h, 24) for any
+    dimensions — the decoder reads bytes, not conventions."""
+    from data_lakehouse_hygiene_spark.operators import multimodal
+
+    d = multimodal.decode_media(multimodal.make_bmp(width, height, seed), "image/bmp")
+    assert (d["width"], d["height"], d["bpp"]) == (width, height, 24)
+
+
+@settings(max_examples=60, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=384_000),
+    n=st.integers(min_value=0, max_value=100_000),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_roundtrip_property(rate, n, seed):
+    from data_lakehouse_hygiene_spark.operators import multimodal
+
+    d = multimodal.decode_media(multimodal.make_wav(rate, n, seed), "audio/wav")
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (rate, 1, n)
