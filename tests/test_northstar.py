@@ -55,6 +55,33 @@ def test_hot_key_caps_preserve_planted_pairs(spark):
     assert m_capped == m_uncapped
 
 
+def test_ngram_df_cap_fires_on_boilerplate(spark):
+    """When a shingle's document frequency exceeds the cap, it must stop
+    generating pairs AND stop counting toward set sizes — here every doc
+    shares one boilerplate sentence, so with cap < n_docs the only
+    remaining signal is each doc's unique tail (no pairs at 0.5)."""
+    boiler = "all rights reserved by the operator of this site"
+    rows = [(i, f"{boiler} unique tail {i} alpha beta gamma {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.ngram_jaccard_pairs(df, df_cap=10**9).collect()
+    capped = dedup.ngram_jaccard_pairs(df, df_cap=10).collect()
+    assert len(uncapped) == 190  # all pairs share the boilerplate shingles
+    assert len(capped) == 0  # boilerplate dropped; unique tails don't match
+
+
+def test_minhash_bucket_cap_fires_on_duplicate_cluster(spark):
+    """A mass-duplicate cluster larger than the bucket cap must be dropped
+    from the pair output (it belongs to exact_dedup), while smaller
+    clusters still pair."""
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different second document about spark shuffles here"
+    rows = [(i, text_a) for i in range(40)] + [(100, text_b), (101, text_b)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = _pairs(dedup.minhash_near_dup_pairs(df, bucket_cap=32))
+    assert (100, 101) in pairs  # small cluster survives
+    assert not any(a < 40 and b < 40 for a, b in pairs)  # 40-dup cluster capped
+
+
 def test_simhash_banding_equals_planted_set(spark):
     """8x8-bit prefix banding at Hamming<=7 must recover exactly the
     planted near-dup pair set (pigeonhole recall guarantee; the closest
@@ -107,6 +134,53 @@ def test_lsh_near_dup_subset_and_measured_recall(spark):
     assert set(approx) <= set(exact)
     assert all(exact[k] == v for k, v in approx.items())
     assert len(approx) == 5 and len(exact) == 14
+
+
+def test_chunk_documents_edges(spark):
+    """Short docs yield one full-copy chunk; chunk windows overlap by
+    size - stride tokens; truncated tails keep their true length."""
+    from data_lakehouse_hygiene_spark.operators import text as text_ops
+
+    rows = [(1, "one two three"), (2, " ".join(f"t{i}" for i in range(95)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text_ops.chunk_documents(df, size=50, stride=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "one two three"
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c2] == [50, 50, 15]  # 95 tokens, stride 40
+    assert c2[0]["chunk_text"].split()[40:] == c2[1]["chunk_text"].split()[:10]
+
+
+def test_pack_sequences_offsets(spark):
+    """Bin totals must cover every token exactly once and bins must be
+    assigned by running offset."""
+    from data_lakehouse_hygiene_spark.operators import text as text_ops
+
+    rows = [(i, " ".join(["w"] * 1000)) for i in range(10)]  # 1000 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["bin_id"]: r for r in text_ops.pack_sequences(df, budget=2048).collect()}
+    # offsets 0,1000,...,9000 -> bins 0,0,0,1,1,2,2,3,3,4
+    assert {b: out[b]["n_docs"] for b in sorted(out)} == {0: 3, 1: 2, 2: 2, 3: 2, 4: 1}
+    assert sum(r["total_tokens"] for r in out.values()) == 10_000
+
+
+def test_contamination_finds_planted_pairs_of_benchmark(spark):
+    """Docs that are near-duplicates of benchmark docs (doc_id < 10) must
+    surface with high shared-shingle counts."""
+    qs = entrymod.queries()
+    planted = _pairs(qs["ngram_jaccard"](spark, SF_ORACLE))
+    bench_partners = {b for a, b in planted if a < 10} | {
+        a for a, b in planted if b < 10
+    }
+    bench_partners -= set(range(10))
+    contaminated = {
+        r["doc_id"]
+        for r in qs["contamination_check"](spark, SF_ORACLE).collect()
+        if r["n_shared_shingles"] >= 10
+    }
+    assert bench_partners <= contaminated
 
 
 def test_decode_media_golden_bmp():
