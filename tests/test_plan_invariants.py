@@ -66,6 +66,31 @@ def test_hygiene_score_single_fact_scan(spark):
     assert plan.count("events.parquet") == 1, plan
 
 
+_PLAN_EXEMPT = {
+    # streaming plans finalize per micro-batch; dedup_clusters is a
+    # driver-looped fixpoint (materializes via localCheckpoint per round)
+    "streaming_time_bucket",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_dedup",
+    "dedup_clusters",
+}
+
+
+def test_no_sortmergejoin_or_cartesian_anywhere(spark):
+    """Engine-wide physical invariant: NO declared batch query may plan a
+    SortMergeJoin or a CartesianProduct — every join either broadcasts a
+    small side or meets on a shuffled hash key (PLANS.md smj column = 0)."""
+    bad = []
+    for name in entrymod.queries():
+        if name in _PLAN_EXEMPT:
+            continue
+        plan = _plan(spark, name)
+        if "SortMergeJoin" in plan or "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, bad
+
+
 def test_whole_stage_codegen_active(spark):
     plan = _plan(spark, "group_count_ordered")
     assert re.search(r"\*\(\d+\)", plan), plan
