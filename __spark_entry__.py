@@ -2181,19 +2181,25 @@ GROUP BY 1
 
 
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot/melt: wide metric columns to long (metric, value) form —
-    the inverse of pivot, one narrow projection per metric."""
+    """Unpivot/melt: wide metric columns to long (metric, value) form.
+
+    Aggregate FIRST, melt the 1-row result — unpivot-then-aggregate would
+    shuffle 3× the fact rows to compute the same three sums the wide
+    aggregate gets in one partial-combining pass (n is the same row count
+    for every metric, so it rides along as the unpivot id column)."""
     li = _t(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ids=["l_orderkey", "l_linenumber"],
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("l_quantity").alias("l_quantity"),
+        exact_sum("l_extendedprice").alias("l_extendedprice"),
+        exact_sum("l_discount").alias("l_discount"),
+    )
+    return agg.unpivot(
+        ids=["n"],
         values=["l_quantity", "l_extendedprice", "l_discount"],
         variableColumnName="metric",
-        valueColumnName="val",
-    )
-    return long.groupBy("metric").agg(
-        F.count(F.lit(1)).alias("n"),
-        exact_sum("val").alias("sum_val"),
-    )
+        valueColumnName="sum_val",
+    ).select("metric", "n", "sum_val")
 
 
 SQL_UNPIVOT_METRICS = """
