@@ -1819,6 +1819,56 @@ FROM documents
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (the materialized-view pattern):
+    a 'stored' per-type daily aggregate built from events before a cutoff
+    is MERGED with the partial aggregate of the late-arriving remainder —
+    count/sum merge by re-aggregation, avg derives at read time. At 100 TB
+    this is how rollups absorb a new partition without rescanning history;
+    the oracle computes the full aggregate from scratch, proving the
+    merge path is lossless."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"  # mid-corpus: both sides non-empty (tested)
+
+    def partial(df: DataFrame) -> DataFrame:
+        # Partials stay DECIMAL so the merge is exact; the double cast
+        # happens once, at serving time.
+        return df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+
+    stored = partial(ev.where(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz")))
+    late = partial(ev.where(F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz")))
+    merged = (
+        stored.unionByName(late)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
+    )
+    sum_val = F.col("sum_dec").cast("double")
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        sum_val.alias("sum_val"),
+        quantize(sum_val / F.col("n"), 6).alias("avg_val"),
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_val
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 50-token chunks, stride 40 (shuffle-free explode)."""
     return text_ops.chunk_documents(_t(spark, sf_dir, "documents"))
@@ -2275,6 +2325,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),

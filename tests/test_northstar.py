@@ -136,6 +136,22 @@ def test_lsh_near_dup_subset_and_measured_recall(spark):
     assert len(approx) == 5 and len(exact) == 14
 
 
+def test_incremental_agg_merge_is_two_sided(spark):
+    """The incremental-maintenance demo must actually merge: both the
+    'stored' (pre-cutoff) and 'late' (post-cutoff) partials contribute
+    rows, and some (day, type) groups receive rows from only one side."""
+    from data_lakehouse_hygiene_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    n_before = ev.where(F.col("ts") < cutoff).count()
+    n_after = ev.where(F.col("ts") >= cutoff).count()
+    assert n_before > 0 and n_after > 0
+    total = entrymod.queries()["incremental_agg"](spark, SF_ORACLE)
+    assert total.agg(F.sum("n")).collect()[0][0] == n_before + n_after
+
+
 def test_chunk_documents_edges(spark):
     """Short docs yield one full-copy chunk; chunk windows overlap by
     size - stride tokens; truncated tails keep their true length."""
