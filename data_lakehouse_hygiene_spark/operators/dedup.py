@@ -32,7 +32,6 @@ from .text import tokens
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
-HEX = "0123456789abcdef"
 
 # Linear-congruential minhash family over one md5-derived base hash:
 # h_j = (A_j * (h mod 2^31) + B_j) mod P. One md5 per shingle instead of
