@@ -54,6 +54,96 @@ def latest_snapshot(df: DataFrame, group: str, ts: str) -> DataFrame:
     )
 
 
+def global_rank(
+    df: DataFrame,
+    *order_cols: str,
+    rank_col: str = "rank",
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Scale-safe global ``row_number`` over a total order — the distributed
+    replacement for ``Window.orderBy(...)`` with no partition key (which
+    funnels the whole table through ONE task).
+
+    Two-phase: (0) split the first sort column's value domain into
+    ``n_buckets`` ordered ranges via approximate percentiles (balance-only;
+    rows equal to a cut all land in the same bucket, so bucket order is
+    monotone in the sort order); (1) a tiny per-bucket count aggregate gives
+    each bucket's starting offset on the driver; (2) rank = offset +
+    per-bucket ``row_number`` (PARTITIONED window, embarrassingly parallel).
+
+    The first sort column must be percentile-able (numeric / temporal).
+    Returns ``(df_with_rank, total_rows)`` — the total is a free by-product
+    of the offset pass.
+    """
+    from functools import reduce
+    from operator import add
+
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    first = order_cols[0]
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts: list = []
+    if probs:
+        row = df.select(
+            F.percentile_approx(first, probs, 10000).alias("c")
+        ).first()
+        cuts = sorted(set(row["c"] or []))
+    bkt = reduce(
+        add, [(F.col(first) > F.lit(c)).cast("int") for c in cuts], F.lit(0)
+    )
+    bucketed = df.withColumn("__bkt", bkt)
+    counts = {
+        r["__bkt"]: r["n"]
+        for r in bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(len(cuts) + 1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_map = F.create_map(
+        *[F.lit(x) for b, o in offsets.items() for x in (b, o)]
+    )
+    w = Window.partitionBy("__bkt").orderBy(*[F.asc(c) for c in order_cols])
+    ranked = bucketed.withColumn(
+        rank_col,
+        F.element_at(off_map, F.col("__bkt")).cast("bigint")
+        + F.row_number().over(w),
+    ).drop("__bkt")
+    return ranked, acc
+
+
+def global_ntile(
+    df: DataFrame, n_tiles: int, *order_cols: str, tile_col: str = "tile"
+) -> DataFrame:
+    """Scale-safe ``NTILE(n)`` over a total order, built on ``global_rank``
+    instead of a single-partition global window.
+
+    Reproduces SQL NTILE's exact bucket-size rule (the first ``n mod k``
+    tiles get one extra row) from the global rank: with ``base = n // k``
+    and ``rem = n % k``, rank r maps to ``ceil(r / (base+1))`` inside the
+    first ``rem*(base+1)`` rows and ``rem + ceil((r - rem*(base+1)) / base)``
+    after. Output type matches Spark's ``ntile`` (int)."""
+    ranked, n = global_rank(df, *order_cols, rank_col="__rank")
+    base, rem = divmod(n, n_tiles)
+    r = F.col("__rank")
+    if base == 0:
+        tile = r
+    else:
+        head = rem * (base + 1)
+        in_tail = F.lit(rem) + F.ceil(
+            (r - F.lit(head)).cast("double") / F.lit(base)
+        )
+        if rem:
+            in_head = F.ceil(r.cast("double") / F.lit(base + 1))
+            tile = F.when(r <= F.lit(head), in_head).otherwise(in_tail)
+        else:
+            tile = in_tail
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__rank")
+
+
 def top_k_per_group(df: DataFrame, group: str, order: str, k: int) -> DataFrame:
     """Top-k rows per group via ranked window — one shuffle on the group key;
     AQE splits skewed groups."""

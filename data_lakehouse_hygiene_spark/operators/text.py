@@ -227,14 +227,68 @@ def pack_sequences(
     This is the STREAMING form of packing (a document may straddle a bin
     boundary — trainers truncate or wrap); exact first-fit packing is
     inherently sequential state, which is why production packers run
-    exactly this offset formula. One window cumsum + one hash aggregate.
-    Output: per-bin document count and token totals."""
+    exactly this offset formula.
+
+    SCALE DESIGN — two-phase distributed prefix sum (no global window):
+    a single ``Window.orderBy`` with no partition key funnels the whole
+    corpus through one task, the canonical global-window scale-killer.
+    Instead: (0) split the doc_id domain into ``n_buckets`` ordered ranges
+    via approximate percentiles (balance-only — exactness not needed);
+    (1) one tiny aggregate computes per-bucket token totals, whose running
+    sum on the driver gives each bucket's starting offset (n_buckets rows);
+    (2) the cumsum runs as a PARTITIONED window (partitionBy bucket) plus
+    the bucket's literal offset. Identical output to the sequential
+    formula, embarrassingly parallel; at 100 TB persist the tokenized
+    projection between phases 1 and 2 to avoid a second text scan."""
+    from functools import reduce
+    from operator import add
+
     from pyspark.sql.window import Window
 
     n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    before = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint"))
-    binned = df.select("doc_id", n_tok.alias("n_tok")).withColumn(
+    base = df.select("doc_id", n_tok.alias("n_tok"))
+
+    spark = df.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = []
+    if probs:
+        row = base.select(
+            F.percentile_approx("doc_id", probs, 10000).alias("c")
+        ).first()
+        cuts = sorted(set(row["c"] or []))
+    # Ordered range-bucket id: the number of cut points strictly below
+    # this doc_id (a handful of codegen'd comparisons, no shuffle).
+    bkt = reduce(
+        add,
+        [(F.col("doc_id") > F.lit(c)).cast("int") for c in cuts],
+        F.lit(0),
+    )
+    bucketed = base.withColumn("bkt", bkt)
+
+    totals = {
+        r["bkt"]: r["t"]
+        for r in bucketed.groupBy("bkt")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(len(cuts) + 1):
+        offsets[b] = acc
+        acc += totals.get(b) or 0
+    off_map = F.create_map(
+        *[F.lit(x) for b, o in offsets.items() for x in (b, o)]
+    )
+
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.element_at(off_map, F.col("bkt")).cast("bigint") + F.coalesce(
+        F.sum("n_tok").over(w), F.lit(0).cast("bigint")
+    )
+    binned = bucketed.withColumn(
         "bin_id", F.floor(before / F.lit(budget)).cast("bigint")
     )
     return binned.groupBy("bin_id").agg(

@@ -49,7 +49,7 @@ def append_snapshot(df: DataFrame, path: str, ingest_ts: str) -> None:
     import datetime
 
     try:
-        datetime.datetime.fromisoformat(ingest_ts)
+        parsed = datetime.datetime.fromisoformat(ingest_ts)
     except ValueError as e:
         raise ValueError(
             f"ingest_ts must be ISO-8601 (got {ingest_ts!r}): {e}"
@@ -57,6 +57,13 @@ def append_snapshot(df: DataFrame, path: str, ingest_ts: str) -> None:
     if len(ingest_ts) < 19:  # zero-padded date AND time, e.g. 2026-01-02T03:04:05
         raise ValueError(
             f"ingest_ts must be a full zero-padded ISO stamp, got {ingest_ts!r}"
+        )
+    if parsed.tzinfo is not None:
+        # Mixed UTC offsets break the lexicographic==chronological ordering
+        # that latest_ingest's string max depends on; require naive (UTC).
+        raise ValueError(
+            f"ingest_ts must be offset-naive UTC (got {ingest_ts!r}); "
+            "normalize to UTC and drop the offset before writing"
         )
     (
         df.withColumn("ingest_ts", F.lit(ingest_ts))
@@ -128,6 +135,59 @@ def merge_upsert(
     # per-directory commit protocol — a crash INSIDE it can lose the table
     # (single-writer window, no transaction log); that atomicity is exactly
     # what the Delta branch above buys. The temp dir is removed either way.
+    tmp = path + "__merge_tmp"
+    try:
+        merged.write.format(_FORMAT).mode("overwrite").save(tmp)
+        spark.read.format(_FORMAT).load(tmp).write.format(_FORMAT).mode(
+            "overwrite"
+        ).save(path)
+    finally:
+        _delete_dir(spark, tmp)
+
+
+def apply_cdc(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    key: str,
+    op_col: str = "op",
+) -> None:
+    """CDC MERGE: apply a change batch carrying an operation column —
+    ``op == 'D'`` deletes the matching stored row, anything else upserts
+    (matched keys replaced, new keys appended); a delete for an absent key
+    is a no-op. This is the full Delta ``MERGE INTO`` clause matrix
+    (whenMatchedDelete / whenMatchedUpdate / whenNotMatchedInsert) that the
+    reference's Delta-first writes imply (``clean_sheets.py:70-82``).
+
+    Precondition (same as Delta MERGE, which errors on multiple matches):
+    at most one change row per key per batch — dedupe upstream (e.g.
+    ``latest_snapshot`` on a change-sequence column).
+
+    Parquet fallback: one broadcast anti-join removes every touched key,
+    then non-delete change rows union back in — single shuffle-free rewrite,
+    same semantics. At scale, partition the table so the rewrite scope is
+    the touched partitions only.
+    """
+    if _HAS_DELTA:
+        target_cols = spark.read.format(_FORMAT).load(path).columns
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(changes.alias("u"), f"t.{key} = u.{key}")
+            .whenMatchedDelete(condition=f"u.{op_col} = 'D'")
+            .whenMatchedUpdate(set={c: f"u.{c}" for c in target_cols})
+            .whenNotMatchedInsert(
+                condition=f"u.{op_col} <> 'D'",
+                values={c: f"u.{c}" for c in target_cols},
+            )
+            .execute()
+        )
+        return
+    current = spark.read.format(_FORMAT).load(path)
+    touched = changes.select(key).distinct()
+    kept = current.join(F.broadcast(touched), key, "left_anti")
+    upserts = changes.where(F.col(op_col) != "D").select(*current.columns)
+    merged = kept.unionByName(upserts)
     tmp = path + "__merge_tmp"
     try:
         merged.write.format(_FORMAT).mode("overwrite").save(tmp)

@@ -77,6 +77,111 @@ def test_merge_upsert_cleans_temp_dir(spark):
         assert not os.path.exists(path + "__merge_tmp")
 
 
+def _py_merge(current_rows, change_rows, key, op_col=None):
+    """Independent MERGE oracle: plain-Python dict replay of the clause
+    matrix (matched+D → delete, matched → replace, unmatched non-D →
+    insert, unmatched D → no-op). Deliberately shares no code with the
+    Spark implementation so a bug in the anti-join/union decomposition
+    cannot cancel out in the comparison."""
+    table = {r[key]: dict(r) for r in current_rows}
+    for r in change_rows:
+        if op_col is not None and r[op_col] == "D":
+            table.pop(r[key], None)
+        else:
+            table[r[key]] = {k: v for k, v in r.items() if k != op_col}
+    return sorted(
+        (tuple(sorted(r.items())) for r in table.values()),
+    )
+
+
+def _as_row_dicts(df):
+    return [r.asDict() for r in df.collect()]
+
+
+MERGE_MATRIX = [
+    ("update_only", [(0, "U0"), (1, "U1")]),
+    ("insert_only", [(90, "N90")]),
+    ("mixed", [(0, "U0"), (91, "N91")]),
+    ("empty", []),
+]
+
+
+def test_merge_upsert_matrix_vs_python_oracle(spark):
+    """Parquet-simulated MERGE oracle (VERDICT r2 §Next 5): every
+    upsert scenario asserted row-for-row against the independent
+    pure-Python merge replay."""
+    base = load_table(spark, SF_SMOKE, "region")
+    cols = base.columns  # r_regionkey, r_name
+    for name, changes in MERGE_MATRIX:
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/region_tbl"
+            sinks.overwrite_table(base, path)
+            updates = spark.createDataFrame(changes, schema=base.schema)
+            sinks.merge_upsert(spark, updates, path, "r_regionkey")
+            got = _py_merge(
+                _as_row_dicts(sinks.read_table(spark, path)), [], "r_regionkey"
+            )
+            want = _py_merge(
+                _as_row_dicts(base),
+                [dict(zip(cols, c)) for c in changes],
+                "r_regionkey",
+            )
+            assert got == want, f"scenario {name}: {got} != {want}"
+
+
+CDC_MATRIX = [
+    ("upsert_and_delete", [(0, "U0", "U"), (2, "x", "D"), (93, "N93", "I")]),
+    ("delete_only", [(1, "x", "D")]),
+    ("delete_absent_key_is_noop", [(95, "x", "D")]),
+    ("all_clauses", [(0, "U0", "U"), (1, "x", "D"),
+                     (94, "N94", "I"), (96, "x", "D")]),
+    ("empty", []),
+]
+
+
+def test_apply_cdc_matrix_vs_python_oracle(spark):
+    """CDC MERGE (upsert + delete clause matrix) asserted against the
+    independent pure-Python replay — covers the whenMatchedDelete /
+    whenMatchedUpdate / whenNotMatchedInsert semantics that the
+    Delta-gated test cannot execute in this sandbox."""
+    base = load_table(spark, SF_SMOKE, "region")
+    cols = base.columns + ["op"]
+    import pyspark.sql.types as T
+
+    ch_schema = T.StructType(
+        base.schema.fields + [T.StructField("op", T.StringType())]
+    )
+    for name, changes in CDC_MATRIX:
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/region_tbl"
+            sinks.overwrite_table(base, path)
+            chdf = spark.createDataFrame(changes, schema=ch_schema)
+            sinks.apply_cdc(spark, chdf, path, "r_regionkey")
+            got = _py_merge(
+                _as_row_dicts(sinks.read_table(spark, path)), [], "r_regionkey"
+            )
+            want = _py_merge(
+                _as_row_dicts(base),
+                [dict(zip(cols, c)) for c in changes],
+                "r_regionkey",
+                op_col="op",
+            )
+            assert got == want, f"scenario {name}: {got} != {want}"
+
+
+def test_append_snapshot_rejects_offset_stamp(spark):
+    """Offset-bearing ISO stamps break lexicographic==chronological
+    ordering for latest_ingest's string max — rejected up front."""
+    import pytest
+
+    df = load_table(spark, SF_SMOKE, "region")
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(ValueError, match="offset-naive"):
+            sinks.append_snapshot(
+                df, f"{d}/log", "2026-01-02T03:04:05+05:00"
+            )
+
+
 def _has_delta() -> bool:
     from data_lakehouse_hygiene_spark.sinks import _HAS_DELTA
 
