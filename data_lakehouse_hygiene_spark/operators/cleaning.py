@@ -99,6 +99,18 @@ def spread(df, key: str = "doc_id"):
     hash/shingle projections on one core. Shuffling the (tiny) document rows
     costs far less than it saves; on a properly-split 100 TB scan the
     partition count already exceeds the target and this is a no-op.
+
+    The under-split check uses Catalyst's metadata-only size estimate
+    (``optimizedPlan().stats().sizeInBytes`` — file-index bytes for scans,
+    no job, no plan-to-RDD translation; ``df.rdd.getNumPartitions()`` would
+    force an RDD translation of the whole plan on every call). Inputs
+    estimated below ``target × maxPartitionBytes`` are exactly the ones the
+    scan planner would leave under-split; anything bigger — or any plan
+    whose size Catalyst can't estimate — is left untouched.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target, key) if df.rdd.getNumPartitions() < target else df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    return df.repartition(target, key) if size < target * (128 << 20) else df

@@ -348,6 +348,14 @@ def connected_components(
         labels = new.select("node", "lbl")
         if changed == 0:
             break
+    else:
+        # Falling through with changed > 0 would silently return WRONG
+        # labels (a component wider than max_iter rounds not yet merged).
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to the large-star/small-star formulation"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -129,14 +129,19 @@ def read_csv_sniffed(
     drop_malformed: bool = True,
     sample_bytes: int = 65536,
 ) -> DataFrame:
-    """S2/S6 with dialect sniffing: read a head sample driver-side, sniff
-    the delimiter (rejecting ≤1-column parses), then hand the validated
-    delimiter to the distributed CSV reader. Driver reads ``sample_bytes``
-    only — the data scan itself stays fully distributed."""
-    import builtins
+    """S2/S6 with dialect sniffing: read a head sample, sniff the
+    delimiter (rejecting ≤1-column parses), then hand the validated
+    delimiter to the distributed CSV reader.
 
-    with builtins.open(path, "rb") as f:
-        sample = f.read(sample_bytes).decode("utf-8-sig", errors="replace")
+    The sample comes through ``spark.read.text(...).limit(...)`` rather
+    than a local ``open(path)`` so every path shape the distributed CSV
+    reader accepts — a directory, a glob, s3a://, hdfs:// — also works
+    for the sniff step (a local-only open fails those with an unrelated
+    OSError). The limit is satisfied from the head of the first file
+    split, so only a head sample's worth of data ever reaches the driver.
+    """
+    head = spark.read.text(path).limit(200).collect()
+    sample = "\n".join(r[0] for r in head).lstrip("\ufeff")[:sample_bytes]
     delim = sniff_csv_delimiter(sample)
     return (
         spark.read.schema(schema)

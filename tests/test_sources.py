@@ -77,6 +77,49 @@ def test_fetch_json_guardrails():
         )
 
 
+def test_fetch_json_error_paths():
+    """Recorded-payload failure fixtures (VERDICT r2 §Missing 3): the
+    hardening behaviors of clean_aqicn.py:56-57 / bmkg_to_raw.py:43-46 —
+    a hung fetch surfaces as the transport's timeout error, a 2xx body
+    that isn't JSON fails parsing, and a missing status field is treated
+    as not-ok."""
+
+    def timing_out(url, timeout):
+        raise TimeoutError(f"no response within {timeout}s")
+
+    with pytest.raises(TimeoutError, match="no response"):
+        fetch_json("http://x/slow", transport=timing_out, timeout=3)
+
+    with pytest.raises(json.JSONDecodeError):
+        fetch_json(
+            "http://x", transport=lambda u, t: (200, b"<html>gateway error")
+        )
+
+    with pytest.raises(ValueError, match="status=None"):
+        fetch_json(
+            "http://x",
+            transport=lambda u, t: (200, json.dumps({"v": 1}).encode()),
+            status_field="status",
+        )
+
+
+def test_read_csv_sniffed_directory_and_bom(spark):
+    """The sniff sample is read through the distributed reader, so the
+    same path shapes the CSV scan accepts (directories, BOM'd files)
+    work for sniffing too (ADVICE r2)."""
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("name", StringType())]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "part-0.csv"
+        p.write_bytes("id;name\n1;alpha\n2;beta\n".encode("utf-8-sig"))
+        rows = {
+            r["id"]: r["name"]
+            for r in read_csv_sniffed(spark, d, schema).collect()
+        }
+        assert rows == {1: "alpha", 2: "beta"}
+
+
 def test_sniff_csv_delimiter():
     assert sniff_csv_delimiter("a,b,c\n1,2,3\n") == ","
     assert sniff_csv_delimiter("a;b;c\n1;2;3\n") == ";"
