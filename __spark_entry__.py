@@ -1912,6 +1912,98 @@ FROM c GROUP BY 1
 """
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: modal-token fraction +
+    duplicate-bigram fraction per document, keep/drop verdict. Pure
+    in-row higher-order-function compute — no shuffle."""
+    return text_ops.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_METRICS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+m AS (
+  SELECT doc_id, len(ts) AS n,
+         list_max(list_transform(list_distinct(ts),
+                  u -> len(list_filter(ts, x -> x = u)))) AS topc,
+         CASE WHEN len(ts) >= 2
+              THEN list_transform(range(1, len(ts)),
+                                  i -> ts[i] || ' ' || ts[i+1])
+         END AS bi
+  FROM t),
+f AS (
+  SELECT doc_id, n,
+         floor(CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+           / 1000000.0 AS top_token_frac,
+         CASE WHEN n >= 2
+              THEN floor(CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE)
+                         / CAST(len(bi) AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0
+              ELSE 0.0
+         END AS dup_bigram_frac
+  FROM m)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, top_token_frac,
+       dup_bigram_frac,
+       (top_token_frac <= CAST(0.2 AS DOUBLE)
+        AND dup_bigram_frac <= CAST(0.4 AS DOUBLE)) AS keep
+FROM f
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decisions: n-gram-Jaccard pair graph → connected
+    components → one keeper per cluster (highest n_chars, then smallest
+    doc_id); everything else marked drop."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.dedup_keep_best(docs, pairs)
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD}) t),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u),
+cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+ranked AS (
+  SELECT cc.doc_id, cc.cluster_id,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
+SELECT doc_id, cluster_id, (rn = 1) AS keep FROM ranked
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling weights (alpha=0.5) per (lang, source) —
+    the training-mixture rebalancing rule."""
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    return sampling.mixture_weights(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH c AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+s AS (
+  SELECT lang, source, n,
+         CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,18)) AS sq
+  FROM c),
+t AS (SELECT SUM(sq) AS tot FROM s)
+SELECT lang, source, n,
+       floor(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS weight
+FROM s, t
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing word-3-gram shingles
     with the held-out benchmark set (doc_id < 10 stands in for it)."""
@@ -2346,6 +2438,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "collect_set_agg": (q_collect_set_agg, SQL_COLLECT_SET_AGG),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    # -- new this round ----------------------------------------------------
+    "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     # -- redesigned this round ---------------------------------------------
     "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
     # -- new or redesigned last round --------------------------------------

@@ -22,7 +22,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .aggregates import quantize
@@ -358,6 +358,41 @@ def connected_components(
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    max_iter: int = 50,
+) -> DataFrame:
+    """End-to-end dedup DECISIONS: pair graph → connected components →
+    one keeper per cluster, everything else marked for drop. Pairwise
+    output alone is not actionable (A~B, B~C must collapse to ONE kept
+    document); this is the step that turns near-dup mining into a
+    training-set filter.
+
+    Keeper rule (deterministic): highest ``quality_col``, ties broken by
+    smallest ``doc_id``. Scale shape: components via min-label propagation
+    (see ``connected_components``), then ONE broadcast-sized join of the
+    cluster labels to the quality column and a per-cluster argmax window —
+    the window partitions on ``cluster_id`` (no global ordering), and only
+    documents that appear in ≥1 pair enter the join (near-dup clusters are
+    a small fraction of any real corpus, so the labeled side is sparse).
+    """
+    cc = connected_components(pairs, max_iter=max_iter)
+    labeled = cc.join(df.select("doc_id", quality_col), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("__rn") == 1).alias("keep"),
+        )
     )
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .aggregates import quantize
 from .dedup import base_hash
 
 # 60-bit hash space (15 hex chars of md5, see dedup.base_hash).
@@ -54,6 +55,40 @@ def fixed_size_sample(df: DataFrame, key: str, n: int) -> DataFrame:
         .orderBy("__h")
         .limit(n)
         .drop("__h")
+    )
+
+
+def mixture_weights(
+    df: DataFrame, *group_cols: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based resampling weights for a training mixture
+    (the multilingual/multi-source rebalancing rule: sample group g with
+    probability ∝ (n_g)^alpha — alpha < 1 upsamples the tail, alpha = 1 is
+    natural frequency). Returns per-group counts and the normalized weight.
+
+    Since (n_g/N)^alpha normalized is (n_g)^alpha / Σ(n_g)^alpha, the total
+    N cancels and alpha = 0.5 is a plain ``sqrt`` — which (unlike pow/log)
+    is IEEE correctly-rounded and therefore bit-identical across engines.
+    The normalizing sum runs over DECIMAL(38,18) casts of the per-group
+    sqrt so it is exact and order-independent (a double sum's value depends
+    on partial-aggregation merge order); the final ratio is computed in
+    double and floor-quantized. One hash aggregate over the groups + one
+    broadcast of the 1-row total: two tiny shuffles regardless of scale.
+    """
+    assert alpha == 0.5, "only alpha=0.5 (sqrt) is cross-engine bit-stable"
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    s = F.sqrt(F.col("n").cast("double")).cast("decimal(38,18)")
+    withs = counts.withColumn("__s", s)
+    tot = withs.agg(F.sum("__s").alias("__tot"))
+    return (
+        withs.crossJoin(F.broadcast(tot))
+        .select(
+            *group_cols,
+            "n",
+            quantize(
+                F.col("__s").cast("double") / F.col("__tot").cast("double"), 6
+            ).alias("weight"),
+        )
     )
 
 

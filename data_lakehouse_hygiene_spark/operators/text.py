@@ -217,6 +217,86 @@ def chunk_documents(
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, the
+    standard "repetitive document" filters in LLM data pipelines):
+
+    - ``top_token_frac``: occurrences of the modal token / total tokens
+      (catches "spam spam spam ..." degenerate pages),
+    - ``dup_bigram_frac``: fraction of word bigrams that are repeats
+      (catches looped boilerplate),
+    - ``keep``: both below the Gopher-ish thresholds (0.20 / 0.40).
+
+    Scale: pure in-row higher-order-function compute — O(distinct_tokens ×
+    n_tokens) per document, no shuffle, scan throughput at 100 TB. The
+    modal count uses transform-over-distinct + filter rather than an
+    explode + groupBy so the text never leaves its row."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    top_frac = quantize(top.cast("double") / n.cast("double"), 6)
+    bi = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+        ),
+    )
+    dup_frac = F.when(
+        n >= 2,
+        quantize(
+            (F.size(bi) - F.size(F.array_distinct(bi))).cast("double")
+            / F.size(bi).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        (
+            (top_frac <= F.lit(0.2)) & (dup_frac <= F.lit(0.4))
+        ).alias("keep"),
+    )
+
+
+# RE2-compatible (no lookahead/backrefs) so Spark's Java regex and any
+# RE2-based engine redact identically.
+PII_EMAIL_REGEX = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_REGEX = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style PII redaction: replace email addresses and phone-number
+    shapes with typed placeholders and report per-document redaction
+    counts. Pure per-row projection (regexp_replace / regexp_count on the
+    JVM) — no shuffle, scan throughput; the order (emails first) is part
+    of the contract since the phone pattern could otherwise eat digit runs
+    inside an already-redacted placeholder's neighborhood."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_REGEX))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_REGEX, "<EMAIL>"),
+        PII_PHONE_REGEX,
+        "<PHONE>",
+    )
+    n_phone = F.regexp_count(
+        F.regexp_replace(t, PII_EMAIL_REGEX, "<EMAIL>"),
+        F.lit(PII_PHONE_REGEX),
+    )
+    return df.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        n_email.cast("bigint").alias("n_emails_redacted"),
+        n_phone.cast("bigint").alias("n_phones_redacted"),
+    )
+
+
 def pack_sequences(
     df: DataFrame, text_col: str = "text", budget: int = 2048
 ) -> DataFrame:

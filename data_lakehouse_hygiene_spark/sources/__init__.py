@@ -187,6 +187,45 @@ def fail_soft(spark: SparkSession, schema: StructType, loader) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def latest_partition_scan(
+    spark: SparkSession,
+    path: str,
+    ingest_col: str = "ingest_ts",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """S5 at 100 TB: the SURVEY §4.2-item-4 stretch — "inject
+    ``ingest_ts = max`` predicates" — done the Spark-first way.
+
+    A Catalyst ``OptimizerRule`` would need a JVM extension jar; the
+    equivalent without one is to resolve the max partition VALUE from the
+    file index (one driver-side ``listStatus`` of the Hive-style partition
+    directories — pure metadata, no job, no data tasks) and inject it as a
+    literal equality predicate. Catalyst's static partition pruning then
+    plans a scan of ONLY the newest partition's files — unlike
+    ``latest_ingest``, whose runtime max still runs tasks over every
+    partition's (pruned) column before the join filter kicks in.
+
+    Partition values are URL-decoded before comparison (Hive encodes ':'
+    as ``%3A``); ``append_snapshot``'s fixed-width ISO-8601 contract makes
+    the lexicographic max chronological.
+    """
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = ingest_col + "="
+    vals = [
+        unquote(st.getPath().getName()[len(prefix):])
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+    if not vals:
+        raise FileNotFoundError(f"no {prefix}* partitions under {path}")
+    df = spark.read.format(fmt).load(path)
+    return df.where(F.col(ingest_col) == F.lit(max(vals)))
+
+
 def latest_ingest(df: DataFrame, ingest_col: str = "ingest_ts") -> DataFrame:
     """S5 over an append log: max-partition pruning.
 

@@ -42,10 +42,38 @@ def test_append_log_latest_ingest(spark):
         assert {r["ingest_ts"] for r in rows} == {"2026-01-02T00:00:00"}
 
 
+def test_latest_partition_scan_prunes_at_planning(spark):
+    """S5 stretch (SURVEY §4.2 item 4): the max-partition predicate is
+    resolved from file-index metadata and injected as a literal, so the
+    PLANNED scan touches only the newest partition's files — asserted on
+    the PartitionFilters plan node and runtime input_file_name()."""
+    from data_lakehouse_hygiene_spark.sources import latest_partition_scan
+
+    df = load_table(spark, SF_SMOKE, "region")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/region_log"
+        sinks.append_snapshot(df, path, "2026-01-01T00:00:00")
+        sinks.append_snapshot(df.limit(2), path, "2026-01-02T00:00:00")
+        latest = latest_partition_scan(spark, path)
+        rows = latest.collect()
+        assert len(rows) == 2
+        assert {r["ingest_ts"] for r in rows} == {"2026-01-02T00:00:00"}
+        # Planning-time pruning: the literal shows up as a PartitionFilter
+        # on the scan node...
+        plan = latest._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "= 2026-01-02T00:00:00" in plan, plan
+        # ...and the files actually opened at runtime are only the newest
+        # partition's (input_file_name is post-pruning, unlike inputFiles).
+        scanned = {
+            r[0]
+            for r in latest.select(F.input_file_name()).distinct().collect()
+        }
+        assert scanned and all("2026-01-02" in f for f in scanned), scanned
+
+
 def test_merge_upsert(spark):
     """MERGE semantics: matched keys replaced, new keys appended."""
-    from pyspark.sql import functions as F
-
     base = load_table(spark, SF_SMOKE, "region")  # 5 rows, r_regionkey 0-4
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/region_tbl"

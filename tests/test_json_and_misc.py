@@ -91,3 +91,63 @@ def test_sessionize_matches_python_reference(spark):
         last_ts_by_user[user] = ts
         want[eid] = sess_by_user[user]
     assert got == want
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Email/phone redaction with per-doc counts; clean rows untouched."""
+    from data_lakehouse_hygiene_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c@d.org and digits 123 only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_emails_redacted"] == 1
+    assert got[1]["n_phones_redacted"] == 1
+    assert "<EMAIL>" in got[1]["text"] and "<PHONE>" in got[1]["text"]
+    assert "example.co.uk" not in got[1]["text"]
+    assert got[2]["text"] == "no pii here at all"
+    assert got[2]["n_emails_redacted"] == 0 == got[2]["n_phones_redacted"]
+    assert got[3]["n_emails_redacted"] == 2
+    assert got[3]["n_phones_redacted"] == 0
+
+
+def test_repetition_metrics_edges(spark):
+    """Degenerate docs: single token (no bigrams -> 0.0), fully repeated
+    text (top fraction 1.0, all bigrams duplicate), diverse text keeps."""
+    from data_lakehouse_hygiene_spark.operators.text import repetition_metrics
+
+    rows = [
+        (1, "solo"),
+        (2, "spam spam spam spam"),
+        (3, "all tokens here are different words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert got[1]["n_tokens"] == 1 and got[1]["dup_bigram_frac"] == 0.0
+    assert got[1]["top_token_frac"] == 1.0 and not got[1]["keep"]
+    assert got[2]["top_token_frac"] == 1.0
+    # 3 bigrams, 1 distinct -> 2/3 duplicated
+    assert abs(got[2]["dup_bigram_frac"] - 0.666667) < 1e-9
+    assert not got[2]["keep"]
+    assert got[3]["keep"] and got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_dedup_keep_best_keeper_rule(spark):
+    """One keeper per connected cluster: highest quality, tie -> smallest
+    doc_id; chain A~B, B~C collapses to one cluster."""
+    from data_lakehouse_hygiene_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (5, 10)],
+        ["doc_id", "n_chars"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert {d for d, r in got.items() if r["keep"]} == {2, 4}
+    assert {r["cluster_id"] for r in got.values()} == {1, 4}
+    assert len(got) == 5
