@@ -396,6 +396,10 @@ def dedup_keep_best(
     )
 
 
+_SWAR_MASK = 0x0001000100010001  # one 16-bit counting lane per mask bit
+_SWAR_LANE_LIMIT = 65535  # max shingles/doc before a 16-bit lane overflows
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document as a 64-char bit string.
 
@@ -403,51 +407,82 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     small shared vocabulary every document uses nearly the same token SET,
     which collapses unigram SimHash — shingles carry sequence information).
     Per shingle, md5 supplies 64 bits; bit j of the signature is the
-    majority vote (sum of ±1). Pure projection + one groupBy — the 64
-    conditional sums fold into a single hash-aggregate pass.
+    majority vote over shingles.
+
+    The per-bit vote counts run as a SWAR vertical popcount: the 64-bit
+    shingle hash is AND-masked into four 16-bit counting lanes
+    (``0x0001000100010001``) at each of 16 shift offsets, so ONE hash
+    aggregate carries 16 packed BIGINT sums + a count instead of 64
+    per-bit sums. That shrinks both the per-row work (16 shift/AND adds
+    vs 64 shift/AND/± sums) and — measured as the dominant cost at toy
+    scale — the Janino compile of the generated aggregate (17 buffer
+    slots vs 64; fresh-plan wall time 2.6s → 1.6s at sf0.1). Lane
+    arithmetic is exact as long as every per-bit count fits 16 bits,
+    enforced by an ``assert_true`` on the shingle count (> 65535
+    distinct shingles in ONE document means ~verbatim-unique text that
+    no near-dup pass should fingerprint whole; chunk first). The packed
+    sum may wrap Long.MAX via lane 48 — harmless: lanes are extracted
+    with ``shiftrightunsigned``, and the session pins ANSI off so SUM
+    wraps instead of erroring.
+
+    Values are identical to the per-digit formulation the oracle SQL
+    uses: hex digit k of the md5 prefix contributes bits ``4*(7-k)+r``
+    of each 32-bit half (conv is big-endian), and majority is the
+    strict ``2*ones > n`` (ties → 0), exactly ``sum(±1) > 0``.
     """
     df = spread(df)
     ex = df.select(
         "doc_id", F.explode(shingles(F.col(text_col))).alias("tok")
     ).select("doc_id", F.md5("tok").alias("__h"))
-    # Parse the 16 signature hex digits with TWO conv() calls (32 bits
-    # each) instead of 16 substr+instr string ops per shingle row; the 64
-    # bit-sums are then pure integer shift/AND over the two halves. Values
-    # are identical to the per-digit formulation the oracle SQL uses:
-    # digit k of c0/c1 is (c >> 4*(7-k)) & 15 (conv is big-endian).
-    halves = ex.select(
-        "doc_id",
-        F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint").alias("c0"),
-        F.conv(F.substring("__h", 9, 8), 16, 10).cast("bigint").alias("c1"),
-    )
-    sums = []
-    for j in range(64):
-        half = F.col("c0") if j < 32 else F.col("c1")
-        shift = 4 * (7 - (j // 4) % 8) + (j % 4)
-        bit = F.shiftright(half, shift).bitwiseAND(F.lit(1))
-        sums.append(F.sum(bit * 2 - F.lit(1)).alias(f"s{j}"))
-    agg = halves.groupBy("doc_id").agg(*sums)
-    bits = F.concat(
-        *[
-            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(64)
-        ]
-    )
-    # Integer halves (bits 0-31 / 32-63) let Hamming distance be two
-    # bit_count(xor) ops instead of 64 per-character comparisons.
-    lo = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        for j in range(32)
-    )
+    # Parse the 16 signature hex digits with TWO conv() calls packed into
+    # one 64-bit word: c0 (digits 1-8) in bits 32-63, c1 (digits 9-16) in
+    # bits 0-31.
+    h = F.shiftleft(
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint"), 32
+    ).bitwiseOR(F.conv(F.substring("__h", 9, 8), 16, 10).cast("bigint"))
+    hh = ex.select("doc_id", h.alias("__w"))
+    sums = [
+        F.sum(
+            F.shiftrightunsigned(F.col("__w"), k).bitwiseAND(F.lit(_SWAR_MASK))
+        ).alias(f"w{k}")
+        for k in range(16)
+    ]
+    agg = hh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"), *sums)
+
+    def _pos(j: int) -> int:
+        # position in the packed word of signature bit j: digit-major
+        # big-endian within each 32-bit half, c0 half shifted up 32.
+        half, jj = (32, j) if j < 32 else (0, j - 32)
+        return half + 28 - 4 * (jj // 4) + jj % 4
+
+    def _sign(j: int) -> Column:
+        q = _pos(j)
+        ones = F.shiftrightunsigned(
+            F.col(f"w{q % 16}"), 16 * (q // 16)
+        ).bitwiseAND(F.lit(0xFFFF))
+        return ones * 2 > F.col("__n")
+
+    lo = sum(F.when(_sign(j), F.lit(2**j)).otherwise(F.lit(0)) for j in range(32))
     hi = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(2 ** (j - 32))).otherwise(F.lit(0))
+        F.when(_sign(j), F.lit(2 ** (j - 32))).otherwise(F.lit(0))
         for j in range(32, 64)
     )
-    return agg.select(
+    # assert_true returns NULL (or raises); routing lo/hi through the
+    # when() keeps the guard from being pruned as an unused column.
+    guard = F.assert_true(F.col("__n") <= F.lit(_SWAR_LANE_LIMIT))
+    packed = agg.select(
         "doc_id",
-        bits.alias("simhash_bits"),
-        lo.cast("bigint").alias("sh_lo"),
-        hi.cast("bigint").alias("sh_hi"),
+        F.when(guard.isNull(), lo).cast("bigint").alias("sh_lo"),
+        F.when(guard.isNull(), hi).cast("bigint").alias("sh_hi"),
+    )
+    # Bit string rendered from the integer halves (LSB-first to match the
+    # j-ascending definition) — 6 string ops instead of 64 CASE branches.
+    bits = F.concat(
+        F.reverse(F.lpad(F.conv(F.col("sh_lo").cast("string"), 10, 2), 32, "0")),
+        F.reverse(F.lpad(F.conv(F.col("sh_hi").cast("string"), 10, 2), 32, "0")),
+    )
+    return packed.select(
+        "doc_id", bits.alias("simhash_bits"), "sh_lo", "sh_hi"
     )
 
 
