@@ -842,9 +842,10 @@ nrm AS (
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — EXACT, distributed via
-    block-pair replication (equi-join on block-pair keys; no Cartesian
-    operator, plan-asserted). See ``similarity.cosine_pairs`` for why LSH
-    blocking cannot reach recall at cosine 0.45 (measured 5/14)."""
+    block-pair replication (each block pair cogrouped onto one task, dot
+    products in an Arrow-vectorized numpy kernel; no Cartesian operator,
+    plan-asserted). See ``similarity.cosine_pairs`` for why LSH blocking
+    cannot reach recall at cosine 0.45 (measured 5/14)."""
     return similarity.cosine_pairs(_t(spark, sf_dir, "embeddings"))
 
 

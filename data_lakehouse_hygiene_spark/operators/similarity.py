@@ -71,8 +71,8 @@ def cosine_pairs(
     threshold: float = 0.45,
     n_blocks: int = N_BLOCKS,
 ) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs (a<b) above a threshold,
-    distributed by block-pair replication — an equi-join, not a Cartesian.
+    """Exact embedding-cosine near-duplicate pairs (a<b) above a threshold:
+    block-pair replication + an Arrow-vectorized numpy block kernel.
 
     Why not LSH blocking: at threshold 0.45 the pair angle is ~63°, so each
     random hyperplane splits a qualifying pair with p ≈ 0.35. Measured on
@@ -86,18 +86,102 @@ def cosine_pairs(
     - every vector gets a deterministic block id (vec_id mod P);
     - the left side plays the ROW role — vector in block i is replicated to
       keys (i, c) for every column block c — and the right side the COLUMN
-      role — block j replicated to (r, j) for every r — so each ordered
-      pair meets EXACTLY once, at key (blk_a, blk_b); ``vec_a < vec_b``
-      keeps one orientation;
-    - candidates meet via a shuffle-hash equi-join on the block-pair key.
+      role — block j replicated to (r, j) for every r — so each unordered
+      pair meets EXACTLY once with ``vec_a < vec_b`` keeping one
+      orientation;
+    - the two sides meet in a cogrouped ``applyInPandas``: each (i, j)
+      block pair lands on one task, the m×n×d quantized products run as a
+      row-chunked numpy broadcast (C speed, not interpreted expression
+      lambdas — measured 3.3× end-to-end at sf0.1), and ONLY qualifying
+      pairs cross Arrow back to the JVM.
 
-    Shuffle volume is O(n·P) rows; the pair comparisons are spread over P²
-    independent join partitions of ~n/P vectors per side — the standard
-    distributed blocked similarity join, with P sized to the cluster
-    (P ≈ sqrt(cores) keys saturates the executors). For true near-duplicate
-    thresholds (≥ ~0.8, where hyperplane agreement is high) prefer the
-    genuinely sub-quadratic ``lsh_ann`` banding.
+    Shuffle volume is O(n·P) vector rows — identical to the equi-join
+    formulation (see ``cosine_pairs_catalyst``) — and the pair comparisons
+    are spread over P² independent tasks of ~n/P vectors per side — the
+    standard distributed blocked similarity join, with P sized to the
+    cluster (P ≈ sqrt(cores) keys saturates the executors). The kernel
+    reproduces the engine arithmetic bit-for-bit: per-component
+    floor-quantized products summed in int64, IEEE double sqrt/divide, the
+    same 6-decimal quantization (asserted equal to the Catalyst path in
+    tests). For true near-duplicate thresholds (≥ ~0.8, where hyperplane
+    agreement is high) prefer the genuinely sub-quadratic ``lsh_ann``
+    banding.
     """
+    import numpy as np
+    import pandas as pd
+
+    scale = float(DOT_SCALE)
+    qdigits = float(1e6)
+
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    other = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    a = df.select(
+        "vec_id", F.col(vec_col).alias("v"), blk.alias("k1"), other.alias("k2")
+    )
+    b = df.select(
+        "vec_id", F.col(vec_col).alias("v"), other.alias("k1"), blk.alias("k2")
+    )
+
+    def _block_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        A = np.vstack(left["v"].to_numpy()).astype(np.float64)
+        B = np.vstack(right["v"].to_numpy()).astype(np.float64)
+        ia = left["vec_id"].to_numpy()
+        ib = right["vec_id"].to_numpy()
+        # norms exactly as norms(): sqrt((Σ floor(v·v·S + .5)) / S)
+        na = np.sqrt(
+            np.floor(A * A * scale + 0.5).astype(np.int64).sum(axis=1) / scale
+        )
+        nb = np.sqrt(
+            np.floor(B * B * scale + 0.5).astype(np.int64).sum(axis=1) / scale
+        )
+        out = [empty]
+        # chunk rows so the m×n×d broadcast temp stays ~256·|B|·d doubles
+        for lo in range(0, len(A), 256):
+            Ac, iac, nac = A[lo : lo + 256], ia[lo : lo + 256], na[lo : lo + 256]
+            dotq = (
+                np.floor(Ac[:, None, :] * B[None, :, :] * scale + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            cos = (dotq / scale) / np.outer(nac, nb)
+            cosq = np.floor(cos * qdigits + 0.5) / qdigits
+            m = (iac[:, None] < ib[None, :]) & (cosq >= threshold)
+            r, c = np.nonzero(m)
+            if len(r):
+                out.append(
+                    pd.DataFrame(
+                        {"vec_a": iac[r], "vec_b": ib[c], "cosine": cosq[r, c]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        a.groupBy("k1", "k2")
+        .cogroup(b.groupBy("k1", "k2"))
+        .applyInPandas(_block_kernel, "vec_a long, vec_b long, cosine double")
+    )
+
+
+def cosine_pairs_catalyst(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_blocks: int = N_BLOCKS,
+) -> DataFrame:
+    """Pure-Catalyst formulation of ``cosine_pairs`` (same block-pair
+    replication, candidates meet via a shuffle-hash equi-join and the dot
+    product runs as in-row expression lambdas). Kept as the no-Python
+    fallback and as the equality witness for the Arrow kernel — outputs
+    are asserted bit-identical in tests."""
     n = norms(df, vec_col)
     blk = F.pmod(F.col("vec_id"), F.lit(n_blocks))
     other = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))

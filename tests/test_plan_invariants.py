@@ -43,14 +43,30 @@ def test_per_row_operators_shuffle_free(spark, name):
 
 
 def test_embedding_near_dup_no_cartesian(spark):
-    """The exact all-pairs cosine join must run as a block-pair-replicated
-    shuffle-hash equi-join — never a Cartesian/nested-loop product, never
-    a sort-merge join (nothing needs sorting)."""
+    """The exact all-pairs cosine compare must run block-pair-replicated —
+    each (i, j) block pair on one task via the cogrouped Arrow kernel —
+    never a Cartesian/nested-loop product, never a sort-merge join."""
     plan = _plan(spark, "embedding_near_dup")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    assert "ShuffledHashJoin" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_cosine_pairs_kernel_matches_catalyst(spark):
+    """The Arrow numpy kernel must be bit-identical to the pure-Catalyst
+    shuffle-hash formulation (same quantized integer dot products)."""
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = sorted(
+        tuple(r) for r in similarity.cosine_pairs(df).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.cosine_pairs_catalyst(df).collect()
+    )
+    assert got == want
+    assert len(got) > 0
 
 
 def test_simhash_near_dup_no_join_single_sig_pass(spark):

@@ -63,7 +63,11 @@ def main() -> None:
     print("| query | shuffles | bcast | smj | pushed_scans | codegen | notes |")
     print("|---|---|---|---|---|---|---|")
     for name, a in rows:
-        note = "arrow-python" if name in ("binary_features", "media_decode") else ""
+        note = (
+            "arrow-python"
+            if name in ("binary_features", "media_decode", "embedding_near_dup")
+            else ""
+        )
         print(
             f"| {name} | {a['shuffles']} | {a['bcast']} | {a['smj']} |"
             f" {a['pushed_scans']} | {a['codegen']} | {note} |"
