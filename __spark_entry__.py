@@ -2005,6 +2005,84 @@ FROM s, t
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the 'src0' batch anti-joined against the
+    digest set of the rest of the corpus (the already-ingested history).
+    Digest-keyed LEFT ANTI join — history text is hashed once, never
+    rejoined; md5 keys shuffle uniformly by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.incremental_dedup(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_INCREMENTAL_DEDUP = """
+SELECT doc_id, lang, source, n_chars
+FROM documents d
+WHERE d.source = 'src0'
+  AND NOT EXISTS (
+    SELECT 1 FROM documents h
+    WHERE h.source <> 'src0'
+      AND md5(lower(trim(h.text))) = md5(lower(trim(d.text))))
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-3 documents per (lang, source) by length — the per-stratum
+    curation cut. Window partitions BY GROUP (no global sort); ties broken
+    deterministically by doc_id."""
+    out = ordering.top_k_per_group(
+        _t(spark, sf_dir, "documents"), ["lang", "source"],
+        "n_chars", 3, tie="doc_id",
+    )
+    return out.select(
+        "doc_id", "lang", "source", "n_chars", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT doc_id, lang, source, n_chars, rk
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 3
+"""
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score per document (CCNet-style
+    perplexity filtering, log-free for cross-engine bit parity)."""
+    return text_ops.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_LM_SCORE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+inst AS (
+  SELECT t.doc_id, t.ts[g.i] AS a, t.ts[g.i + 1] AS b
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts))) AS i) g
+  WHERE len(t.ts) >= 2),
+c1 AS (SELECT a, count(*) AS c1 FROM inst GROUP BY a),
+c2 AS (SELECT a, b, count(*) AS c2 FROM inst GROUP BY a, b),
+lm AS (
+  SELECT c2.a, c2.b,
+         CAST(floor(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+              * 1000000000000.0 + 0.5) AS BIGINT) AS units
+  FROM c2 JOIN c1 USING (a)),
+sc AS (
+  SELECT i.doc_id, count(*) AS n_bigrams, sum(lm.units) AS su
+  FROM inst i JOIN lm ON i.a = lm.a AND i.b = lm.b
+  GROUP BY i.doc_id)
+SELECT doc_id, n_bigrams,
+       floor(CAST(su AS DOUBLE) / 1000000000000.0 / n_bigrams
+             * 1000000.0 + 0.5) / 1000000.0 AS lm_score
+FROM sc
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing word-3-gram shingles
     with the held-out benchmark set (doc_id < 10 stands in for it)."""
@@ -2440,6 +2518,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "collect_set_agg": (q_collect_set_agg, SQL_COLLECT_SET_AGG),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     # -- new this round ----------------------------------------------------
+    "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),

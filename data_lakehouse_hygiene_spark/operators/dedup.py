@@ -65,6 +65,33 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame, history_df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Rows of ``new_df`` whose (normalized) content digest does NOT appear
+    in ``history_df`` — the incremental form of exact dedup: dedup each
+    incoming batch against the already-ingested corpus without re-reading
+    the corpus text.
+
+    Scale shape: the history side collapses to DISTINCT 16-byte digests
+    (one hash agg over history — in a real deployment this digest set is a
+    maintained table, written once per batch, so the daily cost is the NEW
+    batch only), then a LEFT ANTI equi-join on the digest. Spark plans the
+    anti join hash-partitioned on the digest — perfectly uniform keys (md5),
+    no skew by construction. When the history digest set is small enough it
+    broadcasts; at 100 TB-corpus scale, keep it partitioned and let the
+    anti join shuffle the (digest, doc_id) pairs of the new batch only —
+    or pre-filter with a Bloom filter built over the digest table and
+    anti-join the survivors (same semantics; the Bloom pass only removes
+    guaranteed-novel rows early).
+    """
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    hist = history_df.select(digest.alias("__digest")).distinct()
+    return new_df.withColumn("__digest", digest).join(
+        hist, "__digest", "left_anti"
+    ).drop("__digest")
+
+
 def shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a single-space-joined text column.
 

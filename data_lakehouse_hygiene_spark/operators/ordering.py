@@ -144,12 +144,22 @@ def global_ntile(
     return ranked.withColumn(tile_col, tile.cast("int")).drop("__rank")
 
 
-def top_k_per_group(df: DataFrame, group: str, order: str, k: int) -> DataFrame:
-    """Top-k rows per group via ranked window — one shuffle on the group key;
-    AQE splits skewed groups."""
-    w = Window.partitionBy(group).orderBy(F.desc(order))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+def top_k_per_group(
+    df: DataFrame,
+    group: str | list[str],
+    order: str,
+    k: int,
+    tie: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group via ranked window, rank kept in ``rk``.
+
+    The canonical "best k documents per (lang, source) by quality" selector
+    of a curation pipeline. One shuffle on the group key — the window
+    partitions BY GROUP (never a global sort), so every group ranks
+    independently and AQE splits skewed groups. ``tie`` (ascending) makes
+    the cut deterministic when ``order`` values repeat; pass the primary
+    key."""
+    group = [group] if isinstance(group, str) else group
+    ordering = [F.desc(order)] + ([F.asc(tie)] if tie else [])
+    w = Window.partitionBy(*group).orderBy(*ordering)
+    return df.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -377,3 +377,59 @@ def pack_sequences(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality score from a corpus-trained bigram language
+    model: the average conditional probability p(b|a) over the document's
+    bigram instances — the distributed shape of CCNet-style perplexity
+    filtering, with the LM trained on the corpus itself instead of an
+    external model file.
+
+    Determinism across engines (the whole point of the arithmetic): each
+    conditional probability is one IEEE double division c2/c1 (correctly
+    rounded, identical everywhere), floor-quantized to integer units of
+    1e-12; the per-document accumulation then runs over exact BIGINTs and
+    only the final average is divided and 6-decimal-quantized. No log —
+    libm log is not bit-stable across implementations, so the score is an
+    avg probability, monotone-equivalent to perplexity for filtering.
+
+    Scale shape: one explode of bigram instances, two hash aggregates for
+    the counts (uniform-ish keys; the a-marginal reuses nothing but is
+    narrow), then the LM table — vocabulary-bounded, tiny relative to the
+    corpus — BROADCASTS onto the instance stream (the "ship the model to
+    every worker" pattern), and one per-doc hash aggregate. No global
+    windows, no self-joins.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
+        lambda i: F.struct(
+            toks[i].alias("a"), toks[i + F.lit(1)].alias("b")
+        ),
+    )
+    safe = F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+    inst = df.select("doc_id", F.explode(safe).alias("bg"))
+    c1 = inst.groupBy(F.col("bg.a").alias("a")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    c2 = inst.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    units = F.floor(
+        F.col("c2").cast("double") / F.col("c1").cast("double")
+        * F.lit(1e12) + F.lit(0.5)
+    ).cast("bigint")
+    lm = c2.join(c1, c2["bg.a"] == c1["a"]).select(
+        "bg", units.alias("__units")
+    )
+    per_doc = inst.join(F.broadcast(lm), "bg").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__units").alias("__su"),
+    )
+    score = (
+        F.col("__su").cast("double") / F.lit(1e12)
+    ) / F.col("n_bigrams").cast("double")
+    return per_doc.select(
+        "doc_id", "n_bigrams", quantize(score, 6).alias("lm_score")
+    )

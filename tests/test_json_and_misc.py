@@ -151,3 +151,56 @@ def test_dedup_keep_best_keeper_rule(spark):
     assert {d for d, r in got.items() if r["keep"]} == {2, 4}
     assert {r["cluster_id"] for r in got.values()} == {1, 4}
     assert len(got) == 5
+
+
+def test_incremental_dedup_digest_semantics(spark):
+    """Anti-join drops new rows whose NORMALIZED digest exists in history
+    (case/whitespace-insensitive); empty history keeps everything."""
+    from data_lakehouse_hygiene_spark.operators.dedup import incremental_dedup
+
+    hist = spark.createDataFrame(
+        [(1, "Hello World"), (2, "other doc")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, "  hello world "), (11, "hello worlds"), (12, "other doc")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in incremental_dedup(new, hist).collect())
+    assert kept == [11]
+    empty_hist = hist.where("doc_id < 0")
+    kept2 = sorted(
+        r["doc_id"] for r in incremental_dedup(new, empty_hist).collect()
+    )
+    assert kept2 == [10, 11, 12]
+
+
+def test_top_k_per_group_tie_break(spark):
+    """rk is deterministic: order desc, ties -> smallest tie column first;
+    k cuts per group, not globally."""
+    from data_lakehouse_hygiene_spark.operators.ordering import top_k_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "a", 5), (4, "b", 1)],
+        ["doc_id", "grp", "score"],
+    )
+    got = {
+        r["doc_id"]: r["rk"]
+        for r in top_k_per_group(df, "grp", "score", 2, tie="doc_id").collect()
+    }
+    assert got == {1: 1, 2: 2, 4: 1}
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """p(b|a) = bigram count / prefix count over instances; score = avg.
+    'a a a b' -> bigrams (a,a),(a,a),(a,b): p(a|a)=2/3, p(b|a)=1/3,
+    score = (2/3+2/3+1/3)/3 = 5/9. Docs with <2 tokens are excluded."""
+    from data_lakehouse_hygiene_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x")], ["doc_id", "text"]
+    )
+    rows = bigram_lm_score(df).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    r = rows[0]
+    assert r["n_bigrams"] == 3
+    assert abs(r["lm_score"] - 5 / 9) < 1e-6
