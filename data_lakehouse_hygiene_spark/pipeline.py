@@ -109,3 +109,67 @@ def run_pipeline(
     result = curate(spark, lake, as_of=ingest_ts)
     serve(spark, lake)
     return result
+
+
+def run_stage(
+    name: str,
+    fn,
+    retries: int = 1,
+    retry_delay_s: float = 300.0,
+    sleep=None,
+):
+    """Run one pipeline stage under the reference's task policy: ``retries``
+    re-attempts with a fixed delay (``dags/hygiene_dag.py:6-8`` — 1 retry,
+    5-minute delay), then fail fast (``run_pipeline.py:9-19`` exits on the
+    first stage whose subprocess fails).
+
+    Returns the stage result; re-raises the LAST error once attempts are
+    exhausted, with the stage name attached via exception notes so the
+    caller's log shows which stage died. ``sleep`` is injectable for tests
+    (defaults to ``time.sleep``).
+    """
+    import time as _time
+
+    sleep = _time.sleep if sleep is None else sleep
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — stage boundary, policy layer
+            last = e
+            if attempt < retries:
+                sleep(retry_delay_s)
+    assert last is not None
+    last.add_note(f"pipeline stage '{name}' failed after {retries + 1} attempts")
+    raise last
+
+
+def run_pipeline_with_policy(
+    spark: SparkSession,
+    sf_dir: str,
+    lake: str,
+    ingest_ts: str,
+    retries: int = 1,
+    retry_delay_s: float = 300.0,
+    sleep=None,
+) -> DataFrame:
+    """``run_pipeline`` under the reference's orchestration contract: each
+    stage is an independently-retried task; a stage that exhausts its
+    retries aborts the run (downstream stages never see half-written
+    state — every stage boundary is a materialized zone, so a re-run
+    resumes cleanly from raw).
+
+    The reference's dual-cadence layout (hourly main DAG + 6-hourly API
+    DAG with an eventual-consistency handoff) stays EXTERNAL here exactly
+    as it is there: cron fires this entry point per cadence; ``curate``
+    reads whatever clean state is latest, which is the same cross-DAG
+    contract as ``hygiene_dag.py:106-107``.
+    """
+    kw = {"retries": retries, "retry_delay_s": retry_delay_s, "sleep": sleep}
+    run_stage("ingest", lambda: ingest(spark, sf_dir, lake, ingest_ts), **kw)
+    run_stage("clean", lambda: clean(spark, lake), **kw)
+    result = run_stage(
+        "curate", lambda: curate(spark, lake, as_of=ingest_ts), **kw
+    )
+    run_stage("serve", lambda: serve(spark, lake), **kw)
+    return result

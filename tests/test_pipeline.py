@@ -55,3 +55,52 @@ def test_curate_rerun_is_bit_identical(spark):
         r1 = pipeline.curate(spark, lake, as_of="2026-01-01T00:00:00").collect()
         r2 = pipeline.curate(spark, lake, as_of="2026-01-01T00:00:00").collect()
         assert r1 == r2
+
+
+def test_run_stage_retry_then_success():
+    """Flaky stage succeeds on the retry; delay honored via injected
+    sleep (the reference policy: 1 retry, fixed delay)."""
+    from data_lakehouse_hygiene_spark.pipeline import run_stage
+
+    calls, delays = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("transient")
+        return "ok"
+
+    got = run_stage("clean", flaky, retries=1, retry_delay_s=300,
+                    sleep=delays.append)
+    assert got == "ok"
+    assert len(calls) == 2
+    assert delays == [300]
+
+
+def test_run_stage_exhausted_fails_fast():
+    """Retries exhausted -> the stage error propagates (fail-fast), named."""
+    import pytest
+    from data_lakehouse_hygiene_spark.pipeline import run_stage
+
+    def dead():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError) as ei:
+        run_stage("ingest", dead, retries=1, retry_delay_s=0,
+                  sleep=lambda _: None)
+    assert "permanent" in str(ei.value)
+    notes = getattr(ei.value, "__notes__", [])
+    assert any("ingest" in n for n in notes)
+
+
+def test_run_pipeline_with_policy_end_to_end(spark, tmp_path):
+    """Policy wrapper produces the same curated result as the plain run."""
+    from data_lakehouse_hygiene_spark.pipeline import run_pipeline_with_policy
+
+    lake = str(tmp_path / "lake")
+    out = run_pipeline_with_policy(
+        spark, "/root/testdata/sf0.001", lake, "2026-01-02T03:04:05",
+        retries=0,
+    )
+    rows = out.collect()
+    assert len(rows) == 1
