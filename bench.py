@@ -59,6 +59,9 @@ HEADLINE = [
     "salted_join",
     "unpivot_metrics",
     "rollup_counts",
+    "bigram_lm_score",
+    "incremental_dedup",
+    "topk_per_group",
 ]
 
 
