@@ -2083,6 +2083,97 @@ FROM sc
 """
 
 
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their customer's average — the classic
+    correlated scalar subquery, DECORRELATED into one per-customer
+    aggregate + a join (what any scale-sane engine rewrites it to; the
+    oracle keeps the correlated form). Exactness: the comparison is
+    ``price × count > sum`` over DECIMALs — multiply instead of divide, so
+    no float average whose value depends on accumulation order."""
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(38,6)")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(dec).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        orders.join(per_cust, "o_custkey")
+        .where(dec * F.col("__n") > F.col("__s"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_CORRELATED_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(38,6))
+      * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(i.o_totalprice AS DECIMAL(38,6)))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond ROLLUP/CUBE): per-status, per-
+    priority, and grand-total counts in ONE pass — Spark plans a single
+    Expand + hash aggregate, no multi-scan UNION ALL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function completeness bundle: first/last/nth value over an
+    explicit full-partition frame, lead/lag, percent_rank and cume_dist —
+    all partitioned BY GROUP with a unique ordering key (deterministic,
+    never a global sort)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.first_value("o_totalprice").over(wf).alias("first_price"),
+        F.last_value("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        quantize(F.percent_rank().over(w), 6).alias("pct_rank"),
+        quantize(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
+
+
+SQL_WINDOW_FUNCS = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       first_value(o_totalprice) OVER wf AS first_price,
+       last_value(o_totalprice) OVER wf AS last_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price,
+       lead(o_totalprice) OVER w AS next_price,
+       lag(o_totalprice) OVER w AS prev_price,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume_d
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
+       wf AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing word-3-gram shingles
     with the held-out benchmark set (doc_id < 10 stands in for it)."""
@@ -2519,6 +2610,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     # -- new this round ----------------------------------------------------
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "window_funcs": (q_window_funcs, SQL_WINDOW_FUNCS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
