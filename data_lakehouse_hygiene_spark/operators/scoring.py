@@ -95,7 +95,14 @@ def hygiene_result_single_source(
     ).collect()[0]
 
     def _ts_lit(v):
-        return F.lit(v).cast("timestamp_ntz")
+        # Route the collected naive datetime through an ISO STRING literal:
+        # ``F.lit(datetime)`` builds a session-zone TimestampType literal by
+        # converting the naive value with the OS-LOCAL timezone (mktime), so
+        # under a non-UTC host zone the later NTZ cast lands hours off. A
+        # string parsed straight to TIMESTAMP_NTZ never touches a zone.
+        if v is None:
+            return F.lit(None).cast("timestamp_ntz")
+        return F.lit(v.isoformat(sep=" ")).cast("timestamp_ntz")
 
     # P8: pushable window predicate. NULL marker (no marker rows) → NULL
     # predicate → empty window, matching the SQL `ts > NULL` semantics.
