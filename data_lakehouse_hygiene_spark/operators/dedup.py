@@ -97,6 +97,11 @@ def shingles(text_col: Column, n: int = 3) -> Column:
 
     Documents shorter than ``n`` tokens contribute the whole text as one
     shingle (so they still participate in dedup).
+
+    NOTE: evaluating this directly over a raw text column re-evaluates the
+    token split for every element reference inside the transform lambda
+    (~n per shingle) — use :func:`shingle_rows`, which materializes the
+    token array behind a projection boundary, for any full-corpus path.
     """
     toks = tokens(text_col)
     grams = F.transform(
@@ -108,6 +113,32 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", n: int = 3, alias: str = "s"
+) -> DataFrame:
+    """Exploded (doc_id, shingle) rows with the token array split ONCE.
+
+    The split is pinned in its own projection so Catalyst cannot inline it
+    into the shingle lambda: CollapseProject keeps the boundary because a
+    non-cheap expression (split) is referenced more than once above it.
+    Without the boundary, every one of the ~n element accesses per shingle
+    re-runs the split over the whole text — an O(n_tokens·n) scan-side
+    blowup measured at ~7× wall on the bench corpus. Same output as
+    ``explode(shingles(col))`` row for row.
+    """
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(n)]),
+    )
+    sh = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.col(text_col))
+    )
+    return df.select(
+        "doc_id", F.col(text_col), tokens(F.col(text_col)).alias("__toks")
+    ).select("doc_id", F.explode(sh).alias(alias))
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
 ) -> DataFrame:
@@ -117,9 +148,9 @@ def minhash_signatures(
     One md5 + N cheap integer transforms per shingle (instead of N md5s);
     the min-aggregate is a single map-side-combining hash aggregate."""
     df = spread(df)
-    ex = df.select(
-        "doc_id", F.explode(shingles(F.col(text_col))).alias("s")
-    ).select("doc_id", (base_hash(F.col("s")) % F.lit(2**31)).alias("h"))
+    ex = shingle_rows(df, text_col).select(
+        "doc_id", (base_hash(F.col("s")) % F.lit(2**31)).alias("h")
+    )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
         for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
@@ -253,7 +284,7 @@ def ngram_jaccard_pairs(
     from pyspark.sql.window import Window
 
     df = spread(df)
-    sh = df.select("doc_id", F.explode(shingles(F.col(text_col))).alias("s"))
+    sh = shingle_rows(df, text_col)
     wdf = F.count(F.lit(1)).over(Window.partitionBy("s"))
     sh_ok = sh.withColumn("df", wdf).where(F.col("df") <= df_cap)
     sizes = sh_ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -305,9 +336,7 @@ def contamination_check(
     broadcast (benchmarks are small by construction), then one aggregate
     per contaminated doc. No O(n²) anywhere; candidate text never moves —
     only (doc_id, shingle) pairs."""
-    sh = df.select(
-        "doc_id", F.explode(shingles(F.col(text_col))).alias("s")
-    )
+    sh = shingle_rows(df, text_col)
     bench_ids = df.where(bench_pred).select("doc_id")
     bench_sh = sh.join(F.broadcast(bench_ids), "doc_id").select(
         F.col("doc_id").alias("bench_doc"), "s"
@@ -458,9 +487,9 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     strict ``2*ones > n`` (ties → 0), exactly ``sum(±1) > 0``.
     """
     df = spread(df)
-    ex = df.select(
-        "doc_id", F.explode(shingles(F.col(text_col))).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("__h"))
+    ex = shingle_rows(df, text_col, alias="tok").select(
+        "doc_id", F.md5("tok").alias("__h")
+    )
     # Parse the 16 signature hex digits with TWO conv() calls packed into
     # one 64-bit word: c0 (digits 1-8) in bits 32-63, c1 (digits 9-16) in
     # bits 0-31.

@@ -47,6 +47,22 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def project_tokens(df: DataFrame, text_col: str = "text", *keep: str) -> DataFrame:
+    """(doc_id, [keep...], text, __toks) with the token split done ONCE.
+
+    Any operator whose lambdas index the token array more than a couple of
+    times must read it from this projection: Catalyst inlines a raw
+    ``split(text)`` into every element reference inside a ``transform``
+    lambda (CollapseProject only merges projections whose multiply-
+    referenced expressions are cheap — split is not, so THIS boundary
+    survives), and without it an n-gram lambda re-splits the whole text
+    O(n_tokens) times per row — measured ~7× wall on the bench corpus.
+    """
+    return df.select(
+        "doc_id", *keep, F.col(text_col), tokens(F.col(text_col)).alias("__toks")
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counts per document.
 
@@ -71,8 +87,9 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality heuristic with a CASE
     quality bucket — the A8/A9 score-and-classify shape applied to text.
     """
+    df = project_tokens(df, text_col, "n_chars")
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_chars = F.length(t)
     # single-space joined => chars excluding separators / token count
@@ -112,7 +129,8 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     with a deterministic first-wins CASE ladder so ties resolve identically
     in any engine.
     """
-    toks = tokens(F.col(text_col))
+    df = project_tokens(df, text_col)
+    toks = F.col("__toks")
     hits = {lang: _stopword_hits(toks, words) for lang, words in LANG_MARKERS}
     best = F.greatest(*hits.values())
     pred = F.lit(None).cast("string")
@@ -136,9 +154,9 @@ def fingerprints(df: DataFrame, text_col: str = "text", window: int = 5) -> Data
     """
     from .cleaning import spread
 
-    df = spread(df)
+    df = project_tokens(spread(df), text_col)
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col("__toks")
     n = F.size(toks)
     shingle_hashes = F.transform(
         F.sequence(F.lit(0), n - F.lit(window)),
@@ -198,7 +216,8 @@ def chunk_documents(
     Pure per-row explode (no shuffle): chunk i covers tokens
     [i·stride, i·stride + size) for every start inside the document; the
     last chunks truncate. Runs at scan throughput at any scale."""
-    toks = tokens(F.col(text_col))
+    df = project_tokens(df, text_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     last = F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
     chunks = F.transform(
@@ -231,7 +250,8 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens) per document, no shuffle, scan throughput at 100 TB. The
     modal count uses transform-over-distinct + filter rather than an
     explode + groupBy so the text never leaves its row."""
-    toks = tokens(F.col(text_col))
+    df = project_tokens(df, text_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     top = F.array_max(
         F.transform(
@@ -394,14 +414,21 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     libm log is not bit-stable across implementations, so the score is an
     avg probability, monotone-equivalent to perplexity for filtering.
 
-    Scale shape: one explode of bigram instances, two hash aggregates for
-    the counts (uniform-ish keys; the a-marginal reuses nothing but is
-    narrow), then the LM table — vocabulary-bounded, tiny relative to the
-    corpus — BROADCASTS onto the instance stream (the "ship the model to
-    every worker" pattern), and one per-doc hash aggregate. No global
+    Scale shape: ONE explode of bigram instances feeding ONE hash
+    aggregate to the per-document bigram-count table D = (doc_id, bg,
+    cnt) — every downstream quantity derives from D, never from the raw
+    instance stream, so the corpus text is scanned and exploded exactly
+    once and D's shuffle exchange is REUSED across the three consumers
+    (Spark's ReuseExchange kicks in because the subplans are identical —
+    the same trick as ngram_jaccard's pair groupBy). The corpus bigram
+    count c2 and its a-marginal c1 are two tiny rollups of D; the LM
+    table — vocabulary-bounded, tiny relative to the corpus — BROADCASTS
+    back onto D (the "ship the model to every worker" pattern), and the
+    per-doc score is one weighted hash aggregate over D. No global
     windows, no self-joins.
     """
-    toks = tokens(F.col(text_col))
+    df = project_tokens(df, text_col)
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
         lambda i: F.struct(
@@ -412,10 +439,11 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.array().cast("array<struct<a:string,b:string>>")
     )
     inst = df.select("doc_id", F.explode(safe).alias("bg"))
-    c1 = inst.groupBy(F.col("bg.a").alias("a")).agg(
-        F.count(F.lit(1)).alias("c1")
+    d = inst.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    c2 = d.groupBy("bg").agg(F.sum("cnt").alias("c2"))
+    c1 = c2.groupBy(F.col("bg.a").alias("a")).agg(
+        F.sum("c2").alias("c1")
     )
-    c2 = inst.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     units = F.floor(
         F.col("c2").cast("double") / F.col("c1").cast("double")
         * F.lit(1e12) + F.lit(0.5)
@@ -423,9 +451,9 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     lm = c2.join(c1, c2["bg.a"] == c1["a"]).select(
         "bg", units.alias("__units")
     )
-    per_doc = inst.join(F.broadcast(lm), "bg").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("__units").alias("__su"),
+    per_doc = d.join(F.broadcast(lm), "bg").groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(F.col("cnt") * F.col("__units")).alias("__su"),
     )
     score = (
         F.col("__su").cast("double") / F.lit(1e12)
