@@ -2593,6 +2593,172 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment (range) join, bucketed into an equi-join: click
+    events falling inside any same-user 6-hour window opened by an error
+    event. Each interval explodes to the hour buckets it overlaps; events
+    land in one bucket; the match is equi on (user, bucket) + a residual
+    BETWEEN — no BroadcastNestedLoop/Cartesian (the quadratic trap a naive
+    theta join plans). Oracle = DuckDB's native range join (IEJoin)."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOUR")).alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = temporal.range_join(
+        clicks, intervals, key="user_id", ts="ts", bucket_seconds=3600
+    )
+    return out.select("interval_id", "event_id", "user_id", "ts")
+
+
+SQL_RANGE_JOIN = """
+SELECT i.interval_id, e.event_id, e.user_id, e.ts
+FROM (SELECT event_id AS interval_id, user_id, ts AS start_ts,
+             ts + INTERVAL 6 HOUR AS end_ts
+      FROM events WHERE event_type = 'error') i
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+  ON e.user_id = i.user_id AND e.ts >= i.start_ts AND e.ts < i.end_ts
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog application (CDC upsert/delete collapse): events replayed
+    as a per-user changelog where 'error' is a DELETE and anything else an
+    UPSERT carrying (event_type, value); a user's final row is their last
+    change unless that change is a delete. ONE max-of-struct aggregate
+    with full map-side combine — the shuffle carries one row per key per
+    partition, vs. the whole changelog under a row_number window."""
+    from data_lakehouse_hygiene_spark.operators import cdc
+
+    ev = _t(spark, sf_dir, "events")
+    return cdc.cdc_apply(
+        ev,
+        key="user_id",
+        ts="ts",
+        delete_pred=F.col("event_type") == "error",
+        payload=["event_type", "value"],
+        tiebreak="event_id",
+    )
+
+
+SQL_CDC_APPLY = """
+SELECT user_id, ts AS last_ts, event_type, value
+FROM (SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a changelog: each signup event of a
+    user becomes a version row with [valid_from, valid_to) and a current
+    flag. Key-partitioned window — one shuffle by user, never global."""
+    from data_lakehouse_hygiene_spark.operators import cdc
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    return cdc.scd2_history(
+        ev, key="user_id", ts="ts", payload=["value"], tiebreak="event_id"
+    )
+
+
+SQL_SCD2_HISTORY = """
+SELECT user_id, value, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by doc_id hash,
+    verified through per-split aggregates. Pure projection + one tiny
+    groupBy: assignment is a function of the key alone, so the split is
+    identical under any partitioning, retry, or incremental rerun."""
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    out = sampling.hash_split(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        [("train", 80), ("valid", 10), ("test", 10)],
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = """
+WITH s AS (
+  SELECT *, CASE
+      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        THEN 'train'
+      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+        THEN 'valid'
+      ELSE 'test' END AS split
+  FROM documents)
+SELECT split, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM s GROUP BY split
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-series resample: hourly avg(value) per event_type with
+    every missing hour synthesized from the per-type min/max bound
+    aggregate (sequence + explode — no driver loop) and filled with the
+    latest preceding value via a KEY-partitioned running window. Exact
+    DECIMAL sum-then-divide keeps the average bit-identical across
+    engines."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    avg_exact = (
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    out = temporal.gap_fill(
+        ev, key="event_type", ts="ts", value_agg=avg_exact, bucket="hour"
+    )
+    return out.select("event_type", "bucket", "n", "filled")
+
+
+SQL_GAP_FILL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type,
+         min(date_trunc('hour', ts)) AS mn, max(date_trunc('hour', ts)) AS mx
+  FROM events GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds)
+SELECT s.event_type, s.bucket,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+       last_value(a.v IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM spine s LEFT JOIN agg a
+  ON a.event_type = s.event_type AND a.bucket = s.bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry / driver contract
 # ---------------------------------------------------------------------------
@@ -2609,6 +2775,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "collect_set_agg": (q_collect_set_agg, SQL_COLLECT_SET_AGG),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     # -- new this round ----------------------------------------------------
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+    "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),

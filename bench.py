@@ -62,6 +62,9 @@ HEADLINE = [
     "bigram_lm_score",
     "incremental_dedup",
     "topk_per_group",
+    "range_join",
+    "cdc_apply",
+    "gap_fill",
 ]
 
 

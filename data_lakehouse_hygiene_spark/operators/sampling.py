@@ -45,6 +45,33 @@ def stratified_hash_sample(
     return df.where(base_hash(F.col(key).cast("string")) % 100 < rate)
 
 
+def hash_split(
+    df: DataFrame, key: str, splits: list[tuple[str, int]]
+) -> DataFrame:
+    """Deterministic multi-way split (train/valid/test) by key hash.
+
+    ``splits`` is a list of (label, pct) whose percentages sum to 100;
+    a row's split is the first label whose cumulative percentage exceeds
+    its hash bucket. Pure projection (no shuffle, no RNG): the assignment
+    is a function of the key alone, so it is stable under repartitioning,
+    retries, and incremental reruns — the property that matters when the
+    split must never leak rows across sets between pipeline runs.
+    """
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percentages must sum to 100, got {total}")
+    h = base_hash(F.col(key).cast("string")) % 100
+    expr = F.lit(splits[-1][0])
+    acc = 0
+    ladder: list[tuple[str, int]] = []
+    for label, p in splits[:-1]:
+        acc += p
+        ladder.append((label, acc))
+    for label, bound in reversed(ladder):
+        expr = F.when(h < bound, F.lit(label)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def fixed_size_sample(df: DataFrame, key: str, n: int) -> DataFrame:
     """Exactly-n deterministic sample: the n rows with the smallest key
     hashes (global sort-limit on the hash, ties impossible for distinct

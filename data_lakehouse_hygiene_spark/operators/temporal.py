@@ -1,5 +1,5 @@
-"""Temporal operators Spark lacks as builtins: as-of join and gap-based
-sessionization.
+"""Temporal operators Spark lacks as builtins: as-of join, range
+(interval-containment) join, gap-based sessionization, and LOCF gap fill.
 
 The reference approximates "state relative to the latest marker" with a
 global scalar (``prescriptive_logic.py:78-90``); these generalize it
@@ -13,6 +13,16 @@ Scale design:
   shape and scales linearly in events+markers.
 - ``sessionize`` is lag + conditional cumulative sum over the same
   (key, ts) window — again one shuffle + one sort.
+- ``range_join`` buckets the time axis: each interval explodes to the
+  fixed-width buckets it overlaps, events land in exactly one bucket, and
+  the match becomes an EQUI-join on (key, bucket) + a residual containment
+  filter. Without this, Spark plans a point-in-interval theta join as
+  BroadcastNestedLoop / Cartesian — the quadratic trap. Expansion factor
+  is bounded by interval_length/bucket + 1, chosen per workload.
+- ``gap_fill`` builds the bucket spine from a per-key min/max aggregate
+  (tiny) exploded via ``sequence`` — never a driver-side loop — and
+  carries values forward with a KEY-partitioned ``last(ignorenulls)``
+  window.
 """
 
 from __future__ import annotations
@@ -58,6 +68,98 @@ def asof_join(
     )
     out = unioned.withColumn(marker_ts_out, F.last("__mts", ignorenulls=True).over(w))
     return out.where(F.col("__is_marker") == 0).drop("__is_marker", "__mts")
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-containment join: every (interval, event) pair of the same
+    ``key`` with ``start <= event.ts < end``, as a bucketed equi-join.
+
+    Intervals explode to the ``bucket_seconds``-wide epoch buckets they
+    overlap; events compute their single bucket; the join is equi on
+    (key, bucket) with the exact containment predicate as a residual
+    filter. Each qualifying pair meets exactly once (the event's bucket),
+    so no post-join dedup is needed. Pick ``bucket_seconds`` near the
+    typical interval length: expansion is len/bucket + 1 rows per
+    interval, and residual selectivity stays high.
+    """
+    i_start = F.unix_timestamp(F.col(start))
+    i_end = F.unix_timestamp(F.col(end))
+    ibkts = F.sequence(
+        F.floor(i_start / bucket_seconds), F.floor(i_end / bucket_seconds)
+    )
+    iv = intervals.select(
+        F.col(key).alias("__ik"),
+        F.col(start),
+        F.col(end),
+        *[c for c in intervals.columns if c not in (key, start, end)],
+        F.explode(ibkts).alias("__bkt"),
+    )
+    ev = events.withColumn(
+        "__bkt", F.floor(F.unix_timestamp(F.col(ts)) / bucket_seconds)
+    )
+    joined = ev.join(
+        iv,
+        (ev[key] == iv["__ik"])
+        & (ev["__bkt"] == iv["__bkt"])
+        & (F.col(ts) >= F.col(start))
+        & (F.col(ts) < F.col(end)),
+    )
+    return joined.drop("__bkt", "__ik")
+
+
+def gap_fill(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    value_agg: Column,
+    bucket: str = "hour",
+    bucket_interval: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Regular time-series resample with last-observation-carried-forward.
+
+    Aggregates ``value_agg`` per (key, date_trunc bucket), builds the
+    complete bucket spine per key from its min/max bucket, left-joins the
+    aggregate onto the spine, and fills empty buckets with the latest
+    preceding value (NULL before the first observation). ``filled`` is the
+    LOCF column; ``n`` is 0 on synthesized buckets.
+    """
+    b = F.date_trunc(bucket, F.col(ts))
+    agg = df.groupBy(F.col(key), b.alias("bucket")).agg(
+        value_agg.alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    bounds = df.groupBy(key).agg(
+        F.min(b).alias("__mn"), F.max(b).alias("__mx")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr(bucket_interval))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, [key, "bucket"], "left")
+        .select(
+            key,
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+        )
+    )
 
 
 def sessionize(

@@ -77,6 +77,26 @@ def test_simhash_near_dup_no_join_single_sig_pass(spark):
     assert plan.count("documents.parquet") == 1, plan
 
 
+def test_range_join_is_equi_never_nested_loop(spark):
+    """The bucketed interval join must plan as an EQUI-join (hash keys
+    (user, bucket), containment as residual filter) — a naive theta join
+    here plans BroadcastNestedLoopJoin, the quadratic trap at scale."""
+    plan = _plan(spark, "range_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_cdc_apply_partial_aggregated_no_window(spark):
+    """cdc_apply must stay a partial-aggregated max-of-struct (one row per
+    key per map partition crosses the shuffle) — never a row_number
+    window, which would shuffle the whole changelog."""
+    plan = _plan(spark, "cdc_apply")
+    assert "Window" not in plan, plan
+    # partial + final pair of the sort-based struct aggregate
+    assert plan.count("SortAggregate") >= 2, plan
+
+
 def test_hygiene_score_single_fact_scan(spark):
     plan = _plan(spark, "hygiene_score")
     assert plan.count("events.parquet") == 1, plan
