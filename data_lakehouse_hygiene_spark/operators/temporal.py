@@ -137,8 +137,14 @@ def gap_fill(
     agg = df.groupBy(F.col(key), b.alias("bucket")).agg(
         value_agg.alias("v"), F.count(F.lit(1)).alias("n")
     )
-    bounds = df.groupBy(key).agg(
-        F.min(b).alias("__mn"), F.max(b).alias("__mx")
+    # Bounds roll up from the bucket aggregate (every observed bucket is
+    # in `agg`, so min/max agree). Column pruning keeps the two branches'
+    # agg subtrees different (this one drops v/n), so ReuseExchange does
+    # not fire and the input is read twice — but the second scan is pruned
+    # to (key, ts) only. To strictly single-scan at 100 TB, materialize
+    # the bucket aggregate (checkpoint/table) between the two consumers.
+    bounds = agg.groupBy(key).agg(
+        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
     )
     spine = bounds.select(
         key,
