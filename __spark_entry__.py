@@ -2759,6 +2759,70 @@ FROM spine s LEFT JOIN agg a
 """
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join: lineitem rows of high-value orders, with the
+    probe side cut by a broadcast 2^20-bit Bloom bitmap (md5-derived
+    positions, k=2) BEFORE the exact semi join — the explicit, engine-
+    portable form of Spark's runtime row-level Bloom join. Result is
+    bit-identical to the plain semi join (no false negatives)."""
+    from data_lakehouse_hygiene_spark.operators import joins
+
+    li = _t(spark, sf_dir, "lineitem")
+    hv = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return joins.bloom_prune_semi_join(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        hv,
+        key="l_orderkey",
+    )
+
+
+SQL_BLOOM_PRUNE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > 400000)
+"""
+
+
+ZORDER_SQL_TERMS = " + ".join(
+    f"(((a >> {j}) & 1) << {2 * j}) + (((b >> {j}) & 1) << {2 * j + 1})"
+    for j in range(16)
+)
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two bucketed dimensions — the
+    layout key of Delta OPTIMIZE ZORDER BY, as 32 unrolled shift-AND
+    terms (pure codegen, engine-portable). maintenance.zorder_layout
+    range-partitions + locally sorts on this key so every file covers a
+    compact rectangle of the 2-D space (file-skipping on BOTH columns)."""
+    from data_lakehouse_hygiene_spark import maintenance
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = F.pmod(F.col("l_partkey"), F.lit(65536))
+    b = F.pmod(F.col("l_suppkey"), F.lit(65536))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        maintenance.zorder_key(a, b).alias("zkey"),
+    )
+
+
+SQL_ZORDER_KEY = f"""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       CAST({ZORDER_SQL_TERMS} AS BIGINT) AS zkey
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry / driver contract
 # ---------------------------------------------------------------------------
@@ -2775,6 +2839,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "collect_set_agg": (q_collect_set_agg, SQL_COLLECT_SET_AGG),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     # -- new this round ----------------------------------------------------
+    "bloom_prune": (q_bloom_prune, SQL_BLOOM_PRUNE),
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),

@@ -107,6 +107,55 @@ def compact_small_files(
     )
 
 
+ZORDER_BITS = 16  # per-dimension resolution of the interleave
+
+
+def zorder_key(a: "F.Column", b: "F.Column", bits: int = ZORDER_BITS) -> "F.Column":
+    """Morton (Z-order) key of two non-negative integer bucket columns:
+    bit j of ``a`` lands at position 2j, bit j of ``b`` at 2j+1.
+
+    This is the multi-column clustering key behind Delta ``OPTIMIZE
+    ZORDER BY`` — sorting/range-partitioning a table by this key gives
+    every data file a tight min/max envelope on BOTH columns at once, so
+    predicates on either column (not just the leading sort column) skip
+    files. Callers bucket raw values to ``bits``-bit ranks first
+    (``F.width_bucket`` / ntile / epoch-scaling); the interleave itself is
+    ``2*bits`` unrolled shift-AND terms — pure codegen, engine-portable,
+    and exactly reproducible in the DuckDB oracle.
+    """
+    terms = []
+    for j in range(bits):
+        terms.append(
+            F.shiftleft(
+                F.shiftrightunsigned(a.cast("bigint"), j).bitwiseAND(F.lit(1)),
+                2 * j,
+            )
+        )
+        terms.append(
+            F.shiftleft(
+                F.shiftrightunsigned(b.cast("bigint"), j).bitwiseAND(F.lit(1)),
+                2 * j + 1,
+            )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def zorder_layout(
+    df: DataFrame, a: str, b: str, n_files: int, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """Cluster a table for two-column file skipping: range-partition by the
+    Morton key of the two (pre-bucketed) columns and sort within
+    partitions — each output file then covers a compact rectangle of the
+    (a, b) space. One range exchange (sampled bounds) + local sorts; at
+    100 TB this is the layout pass you run once per table rewrite, not per
+    query."""
+    keyed = df.withColumn("__z", zorder_key(F.col(a), F.col(b), bits))
+    return keyed.repartitionByRange(n_files, "__z").sortWithinPartitions("__z")
+
+
 def schema_drift(expected: DataFrame, actual: DataFrame) -> list[dict[str, str]]:
     """Diff two schemas: columns added, removed, or retyped. Returns a list
     of {column, kind, detail} dicts (empty = no drift)."""

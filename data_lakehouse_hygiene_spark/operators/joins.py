@@ -61,6 +61,83 @@ def window_after_event(
     )
 
 
+BLOOM_BITS_LOG2 = 20  # 2^20 bits = 128 KiB bitmap, 16384 64-bit words
+BLOOM_K = 2
+
+
+def bloom_prune_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    bits_log2: int = BLOOM_BITS_LOG2,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Semi join with an explicit Bloom-filter pre-prune: rows of ``probe``
+    whose ``key`` exists in ``build``, with the probe side first reduced by
+    a broadcast Bloom bitmap built from the build keys.
+
+    Result is EXACTLY the plain left-semi join (a Bloom filter has no
+    false negatives; survivors still pass through the exact semi join).
+    What changes is the shuffle economics at 100 TB: the probe side is cut
+    to (true matches + false-positive rate) BEFORE any exchange, the same
+    job Spark's runtime row-level Bloom join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) does for purely
+    equi plans — this operator makes the reduction explicit, engine-
+    portable (md5-derived bit positions, no engine-native hash), and
+    usable in front of joins the runtime filter does not cover.
+
+    Plan shape: the bitmap is ONE hash aggregate over the build keys
+    (2^bits_log2 / 64 words — 16 K rows at the default, broadcastable by
+    construction), ``k`` broadcast-hash probes attach the relevant words
+    to each probe row (word index is a pure column expr), and a residual
+    AND-mask filter drops non-members. No shuffle touches the probe side
+    until after the prune.
+    """
+    def positions(col: Column) -> list[Column]:
+        # k independent bit positions from disjoint md5 nibbles of the key
+        h = F.md5(col.cast("string"))
+        return [
+            F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10)
+            .cast("bigint")
+            .bitwiseAND(F.lit(2**bits_log2 - 1))
+            for j in range(k)
+        ]
+
+    words = None
+    for j, pos in enumerate(positions(F.col(key))):
+        part = build.select(
+            (pos / 64).cast("int").alias("__w"),
+            F.shiftleft(F.lit(1).cast("bigint"), (pos % 64).cast("int")).alias(
+                "__b"
+            ),
+        )
+        words = part if words is None else words.unionByName(part)
+    bitmap = words.groupBy("__w").agg(
+        F.bit_or("__b").alias("__word")
+    )
+
+    pruned = probe
+    for j, pos in enumerate(positions(F.col(key))):
+        w = bitmap.select(
+            F.col("__w").alias(f"__w{j}"), F.col("__word").alias(f"__word{j}")
+        )
+        pruned = pruned.join(
+            F.broadcast(w),
+            (pos / 64).cast("int") == F.col(f"__w{j}"),
+            "left",
+        ).where(
+            F.coalesce(
+                F.shiftrightunsigned(
+                    F.col(f"__word{j}"), (pos % 64).cast("int")
+                ).bitwiseAND(F.lit(1)),
+                F.lit(0),
+            )
+            == 1
+        ).drop(f"__w{j}", f"__word{j}")
+    # exact semi join on the (tiny) survivor stream — correctness anchor
+    return pruned.join(build.select(key).distinct(), key, "left_semi")
+
+
 def salted_join(
     fact: DataFrame,
     other: DataFrame,
