@@ -2,8 +2,13 @@
 
 Prints exactly ONE JSON line:
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "duckdb_sec": {"q": sec, ...},
-     "ratio_vs_duckdb": {"q": r, ...}, "duckdb_total": N, "sf": 0.1}
+     "queries": {"q": sec, ...}, "duckdb_total": N, "sf": 0.1}
+
+The line is kept COMPACT on purpose: the driver records only the last
+2000 characters of stdout, and the per-query DuckDB timing / ratio dicts
+pushed round 3's line past that window, truncating its head so the round
+recorded no parsed bench at all. Full per-query DuckDB timings and
+Spark/DuckDB ratios now go to BENCH_DETAIL.json next to this script.
 
 Each query is forced end-to-end with the `noop` datasource sink (full
 computation on executors, no driver collect / toPandas overhead), which is
@@ -131,6 +136,22 @@ def main() -> None:
         for n in names
         if n in duck
     }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "queries": timings,
+                "duckdb_sec": duck,
+                "ratio_vs_duckdb": ratio,
+                "spark_total": total,
+                "duckdb_total": round(sum(duck.values()), 3),
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -138,8 +159,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "duckdb_sec": duck,
-                "ratio_vs_duckdb": ratio,
                 "duckdb_total": round(sum(duck.values()), 3),
                 "sf": sf,
             }

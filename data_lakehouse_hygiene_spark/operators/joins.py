@@ -103,13 +103,16 @@ def bloom_prune_semi_join(
             for j in range(k)
         ]
 
+    # NB: the SQL shiftleft/shiftrightunsigned accept a column shift amount;
+    # the Python wrappers accept only a literal int, so go through
+    # call_function for the per-row shift.
     words = None
     for j, pos in enumerate(positions(F.col(key))):
         part = build.select(
             (pos / 64).cast("int").alias("__w"),
-            F.shiftleft(F.lit(1).cast("bigint"), (pos % 64).cast("int")).alias(
-                "__b"
-            ),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+            ).alias("__b"),
         )
         words = part if words is None else words.unionByName(part)
     bitmap = words.groupBy("__w").agg(
@@ -127,8 +130,10 @@ def bloom_prune_semi_join(
             "left",
         ).where(
             F.coalesce(
-                F.shiftrightunsigned(
-                    F.col(f"__word{j}"), (pos % 64).cast("int")
+                F.call_function(
+                    "shiftrightunsigned",
+                    F.col(f"__word{j}"),
+                    (pos % 64).cast("int"),
                 ).bitwiseAND(F.lit(1)),
                 F.lit(0),
             )
