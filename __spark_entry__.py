@@ -2827,85 +2827,22 @@ FROM t
 # Registry / driver contract
 # ---------------------------------------------------------------------------
 
-# Registry order = verification priority, not build order: entries whose
-# implementation is newest / most recently redesigned come FIRST so that any
-# driver sweep that samples a prefix (round 1 covered exactly the first 50)
-# always covers the riskiest work. The tail (51+) holds single-expression
-# cleaning/agg/function queries that were driver-green in round 1 and have
-# not changed since.
+# Registry order = verification priority, not build order: the driver's
+# per-round correctness sweep samples a ~50-entry PREFIX (rounds 3 and 4
+# checked the identical first 50), so the prefix must always hold (a) entries
+# whose code changed this round and (b) entries whose official driver record
+# is stalest. Round 5 rotation: the 53 entries last driver-checked in r01/r02
+# (before the round-3 tokenization/window refactors) move to the front, after
+# this round's two modified operators; the r03/r04-green unchanged entries
+# rotate to the back. Every oracle-declared entry is additionally re-verified
+# on every local run by tests/test_oracle_parity.py regardless of position.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- round-2 failures, fixed this round — MUST be verified first -------
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "collect_set_agg": (q_collect_set_agg, SQL_COLLECT_SET_AGG),
-    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
-    # -- new this round ----------------------------------------------------
-    "bloom_prune": (q_bloom_prune, SQL_BLOOM_PRUNE),
-    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
-    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
-    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
-    "gap_fill": (q_gap_fill, SQL_GAP_FILL),
-    "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
-    "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
-    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
-    "window_funcs": (q_window_funcs, SQL_WINDOW_FUNCS),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
-    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
-    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
-    # -- redesigned this round ---------------------------------------------
-    "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
-    # -- new or redesigned last round --------------------------------------
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
-    "price_qty_corr": (q_price_qty_corr, SQL_PRICE_QTY_CORR),
-    "orphan_counts": (q_orphan_counts, SQL_ORPHAN_COUNTS),
-    "set_ops": (q_set_ops, SQL_SET_OPS),
-    "lag_diff": (q_lag_diff, SQL_LAG_DIFF),
-    "regex_funcs": (q_regex_funcs, SQL_REGEX_FUNCS),
-    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
-    # Sketch values are engine-specific, so the oracle checks the exact
-    # 1%-rank tolerance ENVELOPE (computed by both engines) plus Spark's
-    # in-envelope verdict — see q_approx_quantiles.
-    "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
-    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    # -- modified THIS round (re-banded simhash / reshuffled bigram LM) ----
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
-    "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    # -- declared in round 1 but beyond the driver's 50-entry sweep -------
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "streaming_session_window": (
-        q_streaming_session_window,
-        SQL_STREAMING_SESSION_WINDOW,
-    ),
-    "streaming_sliding_window": (
-        q_streaming_sliding_window,
-        SQL_STREAMING_SLIDING_WINDOW,
-    ),
-    "dq_check": (q_dq_check, SQL_DQ_CHECK),
-    "dq_unique": (q_dq_unique, SQL_DQ_UNIQUE),
-    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
-    "salted_group_count": (q_salted_group_count, SQL_SALTED_GROUP_COUNT),
-    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
-    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
-    "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
-    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
-    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
-    "anti_semi_join": (q_anti_semi_join, SQL_ANTI_SEMI_JOIN),
-    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "fixed_size_sample": (q_fixed_size_sample, SQL_FIXED_SIZE_SAMPLE),
-    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
-    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
-    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
-    "date_format": (q_date_format, SQL_DATE_FORMAT),
-    # -- driver-green in round 1, heavier operator families ----------------
+    "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    # -- stale official record: last driver-checked in r01/r02, before
+    # -- the round-3 refactors; locally green (test_oracle_parity) but
+    # -- the CORRECTNESS_r{N} record should say so too ------------------
     "hygiene_score": (q_hygiene_score, SQL_HYGIENE_SCORE),
     "latest_snapshot": (q_latest_snapshot, SQL_LATEST_SNAPSHOT),
     "full_sort": (q_full_sort, SQL_FULL_SORT),
@@ -2931,28 +2868,91 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "percentile_disc": (q_percentile_disc, SQL_PERCENTILE_DISC),
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "partition_skew": (q_partition_skew, SQL_PARTITION_SKEW),
-    # -- driver-green in round 1, unchanged single-expression queries ------
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "fixed_size_sample": (q_fixed_size_sample, SQL_FIXED_SIZE_SAMPLE),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "null_funcs": (q_null_funcs, SQL_NULL_FUNCS),
+    "date_format": (q_date_format, SQL_DATE_FORMAT),
     "normalize_columns": (q_normalize_columns, SQL_NORMALIZE_COLUMNS),
     "cast_timestamp": (q_cast_timestamp, SQL_CAST_TIMESTAMP),
-    "cast_numeric": (q_cast_numeric, SQL_CAST_NUMERIC),
-    "drop_null_ts": (q_drop_null_ts, SQL_DROP_NULL_TS),
     "flatten_json": (q_flatten_json, SQL_FLATTEN_JSON),
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
-    "project_serving": (q_project_serving, SQL_PROJECT_SERVING),
     "window_after_event": (q_window_after_event, SQL_WINDOW_AFTER_EVENT),
     "sweaty_filter": (q_sweaty_filter, SQL_SWEATY_FILTER),
     "dim_join": (q_dim_join, SQL_DIM_JOIN),
     "fact_dim_join": (q_fact_dim_join, SQL_FACT_DIM_JOIN),
     "since_last_event": (q_since_last_event, SQL_SINCE_LAST_EVENT),
     "global_max_min": (q_global_max_min, SQL_GLOBAL_MAX_MIN),
-    "global_sum": (q_global_sum, SQL_GLOBAL_SUM),
-    "global_count": (q_global_count, SQL_GLOBAL_COUNT),
-    "global_avg": (q_global_avg, SQL_GLOBAL_AVG),
     "conditional_agg_pct": (q_conditional_agg_pct, SQL_CONDITIONAL_AGG_PCT),
     "group_count_ordered": (q_group_count_ordered, SQL_GROUP_COUNT_ORDERED),
     "time_bucket_avg": (q_time_bucket_avg, SQL_TIME_BUCKET_AVG),
     "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
     "case_classify": (q_case_classify, SQL_CASE_CLASSIFY),
+    # -- driver-checked green in r03+r04 (code unchanged since) ---------
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "collect_set_agg": (q_collect_set_agg, SQL_COLLECT_SET_AGG),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "bloom_prune": (q_bloom_prune, SQL_BLOOM_PRUNE),
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+    "gap_fill": (q_gap_fill, SQL_GAP_FILL),
+    "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "window_funcs": (q_window_funcs, SQL_WINDOW_FUNCS),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
+    "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
+    "price_qty_corr": (q_price_qty_corr, SQL_PRICE_QTY_CORR),
+    "orphan_counts": (q_orphan_counts, SQL_ORPHAN_COUNTS),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "lag_diff": (q_lag_diff, SQL_LAG_DIFF),
+    "regex_funcs": (q_regex_funcs, SQL_REGEX_FUNCS),
+    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
+    "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_session_window": (
+        q_streaming_session_window,
+        SQL_STREAMING_SESSION_WINDOW,
+    ),
+    "streaming_sliding_window": (
+        q_streaming_sliding_window,
+        SQL_STREAMING_SLIDING_WINDOW,
+    ),
+    "dq_check": (q_dq_check, SQL_DQ_CHECK),
+    "dq_unique": (q_dq_unique, SQL_DQ_UNIQUE),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "salted_group_count": (q_salted_group_count, SQL_SALTED_GROUP_COUNT),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
+    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
+    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "anti_semi_join": (q_anti_semi_join, SQL_ANTI_SEMI_JOIN),
+    # -- trivial single-expression queries, r01-green, deferred to the
+    # -- next sweep (also re-verified every run by test_oracle_parity) --
+    "cast_numeric": (q_cast_numeric, SQL_CAST_NUMERIC),
+    "drop_null_ts": (q_drop_null_ts, SQL_DROP_NULL_TS),
+    "global_count": (q_global_count, SQL_GLOBAL_COUNT),
+    "global_avg": (q_global_avg, SQL_GLOBAL_AVG),
+    "global_sum": (q_global_sum, SQL_GLOBAL_SUM),
+    "project_serving": (q_project_serving, SQL_PROJECT_SERVING),
 }
 
 
