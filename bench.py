@@ -87,6 +87,7 @@ HEADLINE = [
     "unpivot_metrics",
     "rollup_counts",
     "bigram_lm_score",
+    "substring_dedup",
     "incremental_dedup",
     "topk_per_group",
     "range_join",

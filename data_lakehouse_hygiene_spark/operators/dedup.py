@@ -456,6 +456,97 @@ _SWAR_MASK = 0x0001000100010001  # one 16-bit counting lane per mask bit
 _SWAR_LANE_LIMIT = 65535  # max shingles/doc before a 16-bit lane overflows
 
 
+def _simhash_agg(df: DataFrame, text_col: str) -> DataFrame:
+    """SWAR vertical-popcount aggregate shared by ``simhash_signatures``
+    and ``simhash_near_dup_pairs``: one row per document with the shingle
+    count ``__n`` and 16 packed lane sums ``w0..w15``.
+
+    The 64-bit shingle hash (md5 prefix, parsed with TWO conv() calls —
+    c0 = digits 1-8 in bits 32-63, c1 = digits 9-16 in bits 0-31) is
+    AND-masked into four 16-bit counting lanes (``0x0001000100010001``)
+    at each of 16 shift offsets, so ONE hash aggregate carries 16 packed
+    BIGINT sums + a count instead of 64 per-bit sums — 17 agg buffer
+    slots vs 64, which halves both per-row work and the Janino compile
+    of the generated aggregate. Lane arithmetic is exact as long as
+    every per-bit count fits 16 bits (enforced downstream via
+    ``_swar_guard``); the packed sum may wrap Long.MAX via lane 48 —
+    harmless: lanes are extracted with ``shiftrightunsigned``, and the
+    session pins ANSI off so SUM wraps instead of erroring.
+    """
+    df = spread(df)
+    ex = shingle_rows(df, text_col, alias="tok").select(
+        "doc_id", F.md5("tok").alias("__h")
+    )
+    h = F.shiftleft(
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint"), 32
+    ).bitwiseOR(F.conv(F.substring("__h", 9, 8), 16, 10).cast("bigint"))
+    hh = ex.select("doc_id", h.alias("__w"))
+    # SQL-string form: ONE py4j parse per lane sum instead of ~6 Column
+    # round-trips each — see _swar_bits on why driver-side construction
+    # cost matters here.
+    sums = [
+        F.expr(f"sum(shiftrightunsigned(__w, {k}) & {_SWAR_MASK}) AS w{k}")
+        for k in range(16)
+    ]
+    return hh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"), *sums)
+
+
+def _swar_bits_sql(j0: int, n_bits: int) -> str:
+    """SQL string for a packed BIGINT of signature bits [j0, j0+n_bits)
+    from the SWAR lane columns, LSB = bit j0 — a majority vote
+    ``2*ones > __n`` per bit.
+
+    Why a GENERATED SQL STRING and not pyspark Column algebra: this
+    expression family is instantiated 10× per query (two 32-bit halves +
+    eight 8-bit band keys), and building it from Column calls costs
+    hundreds of Python↔JVM py4j round-trips — measured at ~1.8 s of
+    driver-side DataFrame CONSTRUCTION per call (data-size-independent;
+    Catalyst itself was only ~0.3 s), the dominant cost of the whole
+    simhash family at sf0.1. One ``F.expr`` parse of a generated string
+    is a single round-trip; the JVM-side SQL parser handles the rest.
+
+    Why the bit terms are EXPANDED (one ``if()`` per bit with every
+    position literal precomputed in Python) rather than a compact
+    ``transform``/``aggregate`` lambda over a bit sequence: Spark's
+    higher-order functions are CodegenFallback — interpreted per
+    element — and the interpreted vote loop cost ~1.2 s of executor
+    time at sf0.1 where the codegen'd expanded sum costs ~0.1 s. String
+    expansion is free at construction; what matters is that the PARSED
+    tree is plain comparisons/adds that whole-stage codegen compiles.
+
+    Position math mirrors the hex layout: signature bit j lives at
+    packed-word position q = (60 if j < 32 else 28) - 4*((j%32)//4) +
+    (j%32)%4 — digit-major big-endian within each 32-bit conv() half,
+    c0 half shifted up 32; lane word q%16, lane shift 16*(q//16).
+    Values are identical to the per-digit formulation the oracle SQL
+    uses: hex digit k of the md5 prefix contributes bits ``4*(7-k)+r``
+    of each 32-bit half, and majority is the strict ``2*ones > n``
+    (ties → 0), exactly ``sum(±1) > 0``.
+    """
+    terms = []
+    for j in range(j0, j0 + n_bits):
+        jj = j % 32
+        q = (60 if j < 32 else 28) - 4 * (jj // 4) + jj % 4
+        lane, shift, weight = q % 16, 16 * (q // 16), 2 ** (j - j0)
+        terms.append(
+            f"if(2 * (shiftrightunsigned(w{lane}, {shift}) & 65535) > __n, "
+            f"{weight}L, 0L)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _swar_half(j0: int, alias: str) -> Column:
+    """Guarded 32-bit signature half: ``assert_true`` keeps every 16-bit
+    counting lane exact (> 65535 distinct shingles in ONE document means
+    ~verbatim-unique text that no near-dup pass should fingerprint
+    whole; chunk first). Routing the value through the if(... is null)
+    keeps the guard from being pruned as an unused column."""
+    return F.expr(
+        f"if(assert_true(__n <= {_SWAR_LANE_LIMIT}) is null, "
+        f"cast(({_swar_bits_sql(j0, 32)}) as bigint), null) AS {alias}"
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document as a 64-char bit string.
 
@@ -463,73 +554,12 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     small shared vocabulary every document uses nearly the same token SET,
     which collapses unigram SimHash — shingles carry sequence information).
     Per shingle, md5 supplies 64 bits; bit j of the signature is the
-    majority vote over shingles.
-
-    The per-bit vote counts run as a SWAR vertical popcount: the 64-bit
-    shingle hash is AND-masked into four 16-bit counting lanes
-    (``0x0001000100010001``) at each of 16 shift offsets, so ONE hash
-    aggregate carries 16 packed BIGINT sums + a count instead of 64
-    per-bit sums. That shrinks both the per-row work (16 shift/AND adds
-    vs 64 shift/AND/± sums) and — measured as the dominant cost at toy
-    scale — the Janino compile of the generated aggregate (17 buffer
-    slots vs 64; fresh-plan wall time 2.6s → 1.6s at sf0.1). Lane
-    arithmetic is exact as long as every per-bit count fits 16 bits,
-    enforced by an ``assert_true`` on the shingle count (> 65535
-    distinct shingles in ONE document means ~verbatim-unique text that
-    no near-dup pass should fingerprint whole; chunk first). The packed
-    sum may wrap Long.MAX via lane 48 — harmless: lanes are extracted
-    with ``shiftrightunsigned``, and the session pins ANSI off so SUM
-    wraps instead of erroring.
-
-    Values are identical to the per-digit formulation the oracle SQL
-    uses: hex digit k of the md5 prefix contributes bits ``4*(7-k)+r``
-    of each 32-bit half (conv is big-endian), and majority is the
-    strict ``2*ones > n`` (ties → 0), exactly ``sum(±1) > 0``.
+    majority vote over shingles. Aggregation and bit-assembly mechanics:
+    ``_simhash_agg`` / ``_swar_bits``.
     """
-    df = spread(df)
-    ex = shingle_rows(df, text_col, alias="tok").select(
-        "doc_id", F.md5("tok").alias("__h")
-    )
-    # Parse the 16 signature hex digits with TWO conv() calls packed into
-    # one 64-bit word: c0 (digits 1-8) in bits 32-63, c1 (digits 9-16) in
-    # bits 0-31.
-    h = F.shiftleft(
-        F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint"), 32
-    ).bitwiseOR(F.conv(F.substring("__h", 9, 8), 16, 10).cast("bigint"))
-    hh = ex.select("doc_id", h.alias("__w"))
-    sums = [
-        F.sum(
-            F.shiftrightunsigned(F.col("__w"), k).bitwiseAND(F.lit(_SWAR_MASK))
-        ).alias(f"w{k}")
-        for k in range(16)
-    ]
-    agg = hh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"), *sums)
-
-    def _pos(j: int) -> int:
-        # position in the packed word of signature bit j: digit-major
-        # big-endian within each 32-bit half, c0 half shifted up 32.
-        half, jj = (32, j) if j < 32 else (0, j - 32)
-        return half + 28 - 4 * (jj // 4) + jj % 4
-
-    def _sign(j: int) -> Column:
-        q = _pos(j)
-        ones = F.shiftrightunsigned(
-            F.col(f"w{q % 16}"), 16 * (q // 16)
-        ).bitwiseAND(F.lit(0xFFFF))
-        return ones * 2 > F.col("__n")
-
-    lo = sum(F.when(_sign(j), F.lit(2**j)).otherwise(F.lit(0)) for j in range(32))
-    hi = sum(
-        F.when(_sign(j), F.lit(2 ** (j - 32))).otherwise(F.lit(0))
-        for j in range(32, 64)
-    )
-    # assert_true returns NULL (or raises); routing lo/hi through the
-    # when() keeps the guard from being pruned as an unused column.
-    guard = F.assert_true(F.col("__n") <= F.lit(_SWAR_LANE_LIMIT))
+    agg = _simhash_agg(df, text_col)
     packed = agg.select(
-        "doc_id",
-        F.when(guard.isNull(), lo).cast("bigint").alias("sh_lo"),
-        F.when(guard.isNull(), hi).cast("bigint").alias("sh_hi"),
+        "doc_id", _swar_half(0, "sh_lo"), _swar_half(32, "sh_hi")
     )
     # Bit string rendered from the integer halves (LSB-first to match the
     # j-ascending definition) — 6 string ops instead of 64 CASE branches.
@@ -574,25 +604,31 @@ def simhash_near_dup_pairs(
     are exact duplicates, not near-duplicates. Pairs colliding in several
     bands are deduped by a groupBy on the pair key (hamming is identical
     in every collision, so any-value aggregation is exact).
+
+    The 8-bit band keys are assembled straight from the SWAR lane sums
+    (``_swar_bits(8k, 8)``) in the SAME projection that assembles
+    sh_lo/sh_hi — deriving them from sh_lo/sh_hi instead makes
+    CollapseProject inline 4+ copies of each 32-bit assembly expression
+    into the band array, and the resulting Catalyst planning time (~1.4s
+    per call, data-size-independent) dominated the whole operator at
+    sf0.1. Band k of the signature equals bits [8k, 8k+8) in both
+    formulations, so blocked-pair results are unchanged.
     """
     assert max_hamming < SIMHASH_BANDS, "recall guarantee needs h < n_bands"
-    sig = simhash_signatures(df, text_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("band"),
-                F.shiftright(
-                    F.col("sh_lo") if k < 4 else F.col("sh_hi"),
-                    (k % 4) * 8,
-                )
-                .bitwiseAND(F.lit(255))
-                .alias("band_val"),
-            )
+    agg = _simhash_agg(df, text_col)
+    bands = F.expr(
+        "array("
+        + ",".join(
+            f"struct({k} AS band, ({_swar_bits_sql(8 * k, 8)}) AS band_val)"
             for k in range(SIMHASH_BANDS)
-        ]
+        )
+        + ")"
     )
-    ex = sig.select(
-        "doc_id", "sh_lo", "sh_hi", F.explode(bands).alias("bk")
+    ex = agg.select(
+        "doc_id",
+        _swar_half(0, "sh_lo"),
+        _swar_half(32, "sh_hi"),
+        F.explode(bands).alias("bk"),
     ).select("doc_id", "sh_lo", "sh_hi", "bk.band", "bk.band_val")
     grp = (
         ex.groupBy("band", "band_val")
@@ -625,4 +661,92 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .groupBy("doc_a", "doc_b")
         .agg(F.max("hamming").alias("hamming"))
+    )
+
+
+def substring_dedup_spans(
+    df: DataFrame, text_col: str = "text", min_tokens: int = 8
+) -> DataFrame:
+    """Duplicate-substring span mining — the distributed form of
+    exact-substring training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499,
+    which builds a corpus-wide suffix array; no reference-repo
+    counterpart — capability extension per SURVEY.md §2.11).
+
+    A position p of a document is DUPLICATED if the ``min_tokens``-token
+    shingle starting at p occurs at least twice in the corpus (other
+    document or elsewhere in the same one). Output: one row per maximal
+    run of overlapping duplicated shingles — (doc_id, span_start,
+    span_end) in token offsets, [start, end), plus span length and the
+    number of duplicated shingles merged into the run. Downstream
+    curation cuts or drops these spans.
+
+    SCALE DESIGN — a suffix array across a cluster is not buildable;
+    shingle-position mining gives the same "every duplicated run of ≥
+    min_tokens tokens is found" guarantee (a duplicated run of length L
+    contains L-min_tokens+1 duplicated shingles, and any shared
+    min_tokens-gram IS a duplicated run) with only: one position
+    explode (shuffle-free), ONE hash exchange on the shingle digest
+    carrying a corpus-frequency COUNT window (the ngram_jaccard
+    pattern; the md5 digest is a fixed-width uniform shuffle key), and
+    ONE key-partitioned exchange on doc_id under which both the
+    gaps-and-islands run merge (two windows, same partitioning) and the
+    final per-run aggregate execute — the aggregate's (doc_id, island)
+    grouping is co-located by the doc_id exchange, so it adds no
+    shuffle. The frequency filter keeps only duplicated positions, so
+    the second exchange moves a small fraction of the corpus. Spans
+    merge on strict overlap (pos < previous span end): two adjacent
+    but non-overlapping duplicated shingles are separate runs — their
+    concatenation was never itself observed twice.
+    """
+    k = min_tokens
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(k)])
+            ).alias("gh"),
+        ),
+    )
+    safe = F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<struct<pos:int,gh:string>>")
+    )
+    pos = (
+        spread(df)
+        .select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+        .select("doc_id", F.explode(safe).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    hits = (
+        pos.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .where(F.col("__c") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("pos") >= prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn("__brk", brk).withColumn(
+        "__island",
+        F.sum("__brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_grams",
+        )
     )

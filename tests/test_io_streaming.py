@@ -217,22 +217,35 @@ def _has_delta() -> bool:
 
 
 def test_merge_upsert_delta_branch(spark):
-    """Exercises DeltaTable.merge + time travel when delta-spark is
-    importable. This container ships no delta-spark (and installs are not
-    permitted), so here the test records the gate as a skip; on a cluster
-    with Delta it runs the reference's actual storage path
-    (clean_sheets.py:70-82)."""
+    """Merge RESULT semantics are asserted against the pure-Python oracle
+    on whatever branch ``merge_upsert`` takes — parquet fallback in this
+    container (no delta-spark, installs not permitted), DeltaTable.merge
+    on a cluster with Delta (the reference's actual storage path,
+    clean_sheets.py:70-82). Only the Delta-API observability assertions
+    (commit history, time travel) sit behind the skip, so the gate covers
+    strictly the Delta API surface, never the merge semantics."""
     import pytest
-
-    if not _has_delta():
-        pytest.skip("delta-spark not installed in this environment")
-    from delta import DeltaTable
 
     base = load_table(spark, SF_SMOKE, "region")
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/region_delta"
         sinks.overwrite_table(base, path)
-        sinks.merge_upsert(spark, base.limit(2), path, "r_regionkey")
+        updates = base.limit(2)
+        update_rows = _as_row_dicts(updates)
+        sinks.merge_upsert(spark, updates, path, "r_regionkey")
+        got = _py_merge(
+            _as_row_dicts(sinks.read_table(spark, path)), [], "r_regionkey"
+        )
+        want = _py_merge(_as_row_dicts(base), update_rows, "r_regionkey")
+        assert got == want
+
+        if not _has_delta():
+            pytest.skip(
+                "delta-spark absent: Delta history/time-travel assertions "
+                "skipped (merge result asserted above on the fallback branch)"
+            )
+        from delta import DeltaTable
+
         dt = DeltaTable.forPath(spark, path)
         assert dt.history().count() >= 2  # write + merge commits
         v0 = spark.read.format("delta").option("versionAsOf", 0).load(path)

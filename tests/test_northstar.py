@@ -240,3 +240,42 @@ def test_approx_quantiles_within_tolerance(spark):
     for r in rows:
         assert r["lo_bound"] <= r["hi_bound"]
         assert r["within_bound"], r
+
+
+def test_substring_dedup_planted_spans(spark):
+    """Recall on planted duplicate spans: two documents sharing a 12-token
+    run (inside otherwise-unique text) must each get exactly one span
+    covering precisely the planted token range; fully unique documents
+    must produce no spans. Also: a span duplicated WITHIN one document
+    must be found twice in that document."""
+    shared = " ".join(f"dup{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(10)) + " " + shared),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(10))),
+            (3, " ".join(f"c{i}" for i in range(30))),
+            (4, shared + " mid " + shared),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.substring_dedup_spans(docs, min_tokens=8).collect()
+    }
+    # doc 1: tokens 10..22 are the planted run; doc 2: tokens 0..12.
+    assert (1, 10, 22) in rows
+    assert (2, 0, 12) in rows
+    # doc 4 repeats the run at offsets 0 and 13 (separated by 'mid', so
+    # the runs don't overlap and must stay two spans).
+    assert (4, 0, 12) in rows and (4, 13, 25) in rows
+    assert not any(d == 3 for d, _, _ in rows)
+    assert len(rows) == 4
+
+
+def test_substring_dedup_no_false_spans_on_unique_corpus(spark):
+    """A corpus of fully distinct token streams yields zero spans."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(40))) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    assert dedup.substring_dedup_spans(docs, min_tokens=8).count() == 0

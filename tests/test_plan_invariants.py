@@ -127,6 +127,59 @@ def test_no_sortmergejoin_or_cartesian_anywhere(spark):
     assert not bad, bad
 
 
+def _top_level_groups(s: str) -> list[str]:
+    """Split a physical-plan argument string into its top-level
+    [...]-bracket groups (bracket-depth-aware — window frame specs nest
+    brackets inside the group)."""
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            if depth > 0:
+                cur += ch
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        elif depth > 0:
+            cur += ch
+    return groups
+
+
+def test_no_unpartitioned_window_anywhere(spark):
+    """Engine-wide physical invariant: no declared batch query may plan a
+    Window with an EMPTY partition spec — ``Window.orderBy`` without
+    ``partitionBy`` funnels the whole input through one task (round 2
+    shipped exactly this bug in pack_sequences/ntile_quartiles; both were
+    redesigned as two-phase bucketed forms in round 3, and this guard
+    keeps the class of bug from regressing silently).
+
+    Plan text: a Window node prints ``Window [funcs], [part], [order]``;
+    the partition group is the one with no ASC/DESC sort direction. A
+    node whose non-function groups are all sort specs (or all empty) is
+    an unpartitioned window."""
+    bad = []
+    for name in entrymod.queries():
+        if name in _PLAN_EXEMPT:
+            continue
+        plan = _plan(spark, name)
+        for line in plan.splitlines():
+            m = re.search(r"\bWindow (\[.*)$", line.strip())
+            if not m:
+                continue
+            spec = _top_level_groups(m.group(1))[1:]
+            partitioned = any(
+                g.strip() and not re.search(r"\b(ASC|DESC)\b", g)
+                for g in spec
+            )
+            if not partitioned:
+                bad.append((name, line.strip()[:120]))
+    assert not bad, bad
+
+
 def test_whole_stage_codegen_active(spark):
     plan = _plan(spark, "group_count_ordered")
     assert re.search(r"\*\(\d+\)", plan), plan
