@@ -126,13 +126,11 @@ def shingle_rows(
     blowup measured at ~7× wall on the bench corpus. Same output as
     ``explode(shingles(col))`` row for row.
     """
-    toks = F.col("__toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-        lambda i: F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(n)]),
-    )
-    sh = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array(F.col(text_col))
+    elems = ", ".join(f"__toks[i + {j}]" for j in range(n))
+    sh = F.expr(
+        f"if(size(__toks) >= {n}, "
+        f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', {elems}))), array({text_col}))"
     )
     return df.select(
         "doc_id", F.col(text_col), tokens(F.col(text_col)).alias("__toks")
@@ -146,40 +144,47 @@ def minhash_signatures(
     the j-th linear-congruential rehash of one md5-derived base hash.
 
     One md5 + N cheap integer transforms per shingle (instead of N md5s);
-    the min-aggregate is a single map-side-combining hash aggregate."""
+    the min-aggregate is a single map-side-combining hash aggregate.
+
+    The N rehash aggregates are generated SQL strings (one expr parse
+    each) — composing them from Column calls cost ~0.5 s of driver-side
+    py4j round-trips per query call (see _swar_bits_sql for the measured
+    pattern)."""
     df = spread(df)
     ex = shingle_rows(df, text_col).select(
         "doc_id", (base_hash(F.col("s")) % F.lit(2**31)).alias("h")
     )
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+        F.expr(f"min(({a} * h + {b}) % {MINHASH_P}) AS h{j}")
         for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
     ]
     return ex.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame) -> DataFrame:
-    """Explode a signature frame into (doc_id, band, band_key, sig array)."""
-    sig_arr = F.array(*[F.col(f"h{j}") for j in range(N_HASHES)])
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("band_key"),
+    """Explode a signature frame into (doc_id, band, band_key, sig array).
+
+    Band array and signature array are generated SQL strings — the
+    Column-call form cost ~80 py4j round-trips per query call (see
+    _swar_bits_sql for the measured pattern)."""
+    sig_arr = F.expr(
+        "array(" + ",".join(f"h{j}" for j in range(N_HASHES)) + ") AS sig"
+    )
+    bands = F.expr(
+        "array("
+        + ",".join(
+            f"struct({b} AS band, md5(concat_ws('|', "
+            + ", ".join(
+                f"cast(h{b * ROWS_PER_BAND + r} as string)"
+                for r in range(ROWS_PER_BAND)
             )
+            + ")) AS band_key)"
             for b in range(N_BANDS)
-        ]
+        )
+        + ")"
     )
     return sig.select(
-        "doc_id", sig_arr.alias("sig"), F.explode(bands).alias("bk")
+        "doc_id", sig_arr, F.explode(bands).alias("bk")
     ).select("doc_id", "sig", "bk.band", "bk.band_key")
 
 
@@ -219,25 +224,12 @@ def minhash_near_dup_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
         .where((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.size(
-                        F.filter(
-                            F.zip_with(
-                                x["sig"], y["sig"], lambda u, v: u == v
-                            ),
-                            lambda t: t,
-                        )
-                    ).alias("eq"),
-                ),
-            ),
-        )
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "size(filter(zip_with(x.sig, y.sig, (u, v) -> u = v), t -> t)) "
+        "AS eq))))"
     )
     est = F.col("p.eq").cast("double") / F.lit(float(N_HASHES))
     return (
@@ -639,21 +631,12 @@ def simhash_near_dup_pairs(
         )
         .where(F.size("ds") >= 2)
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    (
-                        F.bit_count(x["sh_lo"].bitwiseXOR(y["sh_lo"]))
-                        + F.bit_count(x["sh_hi"].bitwiseXOR(y["sh_hi"]))
-                    ).cast("bigint").alias("hamming"),
-                ),
-            ),
-        )
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "cast(bit_count(x.sh_lo ^ y.sh_lo) + bit_count(x.sh_hi ^ y.sh_hi) "
+        "as bigint) AS hamming))))"
     )
     return (
         grp.select(F.explode(combos).alias("p"))
