@@ -798,6 +798,37 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut every duplicated 8-token span out of the corpus text (the
+    curation half of exact-substring dedup)."""
+    return dedup.substring_dedup_apply(
+        _t(spark, sf_dir, "documents"), min_tokens=8
+    )
+
+
+SQL_SUBSTRING_DEDUP_APPLY = f"""
+WITH spans AS ({SQL_SUBSTRING_DEDUP}),
+sp AS (
+  SELECT doc_id, list(struct_pack(a := span_start, b := span_end)) AS ss
+  FROM spans GROUP BY doc_id),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+k AS (
+  SELECT t.doc_id, t.ts,
+         list_transform(
+           list_filter(range(0, len(t.ts)),
+             i -> s.ss IS NULL
+                  OR len(list_filter(s.ss, x -> i >= x.a AND i < x.b)) = 0),
+           i -> t.ts[i + 1]) AS kept
+  FROM tok t LEFT JOIN sp s USING (doc_id))
+SELECT doc_id,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+       -- array_join: coalesce for a fully-removed document
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(ts) - len(kept) AS BIGINT) AS n_tokens_removed
+FROM k
+"""
+
+
 def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (bit-string form)."""
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents")).select(
@@ -2880,6 +2911,10 @@ FROM t
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- NEW this round -----------------------------------------------------
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "substring_dedup_apply": (
+        q_substring_dedup_apply,
+        SQL_SUBSTRING_DEDUP_APPLY,
+    ),
     # -- modified THIS round (SQL-codegen simhash / reshuffled bigram LM) --
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "simhash_fp": (q_simhash_fp, SQL_SIMHASH_FP),

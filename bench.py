@@ -88,6 +88,7 @@ HEADLINE = [
     "rollup_counts",
     "bigram_lm_score",
     "substring_dedup",
+    "substring_dedup_apply",
     "incremental_dedup",
     "topk_per_group",
     "range_join",

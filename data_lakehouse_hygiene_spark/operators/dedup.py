@@ -733,3 +733,51 @@ def substring_dedup_spans(
             "n_grams",
         )
     )
+
+
+def substring_dedup_apply(
+    df: DataFrame, text_col: str = "text", min_tokens: int = 8
+) -> DataFrame:
+    """Apply duplicate-substring dedup: cut every token covered by a
+    ``substring_dedup_spans`` run out of the text, returning (doc_id,
+    clean_text, n_tokens_removed) — the curation half of exact-substring
+    dedup (the mining half documents the spans; this one edits the
+    corpus).
+
+    Policy: ALL occurrences of a duplicated run are removed (the
+    conservative variant — keeping one canonical copy requires a global
+    per-cluster election, which is a separate keeper-selection pass à la
+    ``dedup_keep_best``). Deterministic, so the DuckDB oracle replays it
+    bit-for-bit.
+
+    Scale shape: the span table (small — duplicated positions only)
+    aggregates per doc under the doc_id partitioning it already has,
+    then hash-joins back onto the corpus on doc_id; the token cut is one
+    in-row filter lambda, O(n_tokens × n_spans_in_doc) per row with no
+    additional shuffle. A left join keeps span-free documents untouched.
+    """
+    spans = substring_dedup_spans(df, text_col, min_tokens)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__ss")
+    )
+    base = df.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+    empty = (
+        "cast(array() as array<struct<span_start:bigint,span_end:bigint>>)"
+    )
+    kept = F.expr(
+        "transform(filter(sequence(0, size(__toks) - 1), "
+        f"i -> size(filter(coalesce(__ss, {empty}), "
+        "x -> i >= x.span_start and i < x.span_end)) = 0), "
+        "i -> __toks[i])"
+    )
+    return (
+        base.join(sp, "doc_id", "left")
+        .select("doc_id", "__toks", kept.alias("__kept"))
+        .select(
+            "doc_id",
+            F.array_join("__kept", " ").alias("clean_text"),
+            (F.size("__toks") - F.size("__kept"))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )

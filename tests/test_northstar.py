@@ -279,3 +279,26 @@ def test_substring_dedup_no_false_spans_on_unique_corpus(spark):
         "doc_id bigint, text string",
     )
     assert dedup.substring_dedup_spans(docs, min_tokens=8).count() == 0
+
+
+def test_substring_dedup_apply_cuts_planted_spans(spark):
+    """Applying span dedup must remove exactly the planted duplicated
+    tokens from every occurrence and leave unique documents byte-for-byte
+    untouched."""
+    shared = " ".join(f"dup{i}" for i in range(12))
+    uniq3 = " ".join(f"c{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(10)) + " " + shared),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(10))),
+            (3, uniq3),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in dedup.substring_dedup_apply(docs, min_tokens=8).collect()
+    }
+    assert out[1] == (" ".join(f"a{i}" for i in range(10)), 12)
+    assert out[2] == (" ".join(f"b{i}" for i in range(10)), 12)
+    assert out[3] == (uniq3, 0)
