@@ -267,50 +267,60 @@ def ngram_jaccard_pairs(
     key — no join, and the df≤cap filter runs inside the same stage), then
     generate the a<b pairs inside the row with array lambdas: the
     per-shingle doc list is bounded by ``df_cap``, so no unbounded
-    collect_list; pair rows per shingle are bounded by df_cap²/2. The
-    pair-side groupBy(s) REUSES the window's hash partitioning (no second
-    exchange on s). Per-doc sizes come from the same capped stream and
-    join back by BROADCAST (the size table is |docs| rows — tiny next to
-    pairs). At 100 TB, checkpoint the capped shingle stream so its two
-    consumers (sizes, pair lists) scan it once."""
+    collect_list; pair rows per shingle are bounded by df_cap²/2.
+
+    ONE LINEAR CHAIN, one corpus scan: per-doc capped set sizes ride a
+    SECOND count window (partitioned by doc_id) on the same stream and
+    travel inside the collect_list structs through pair generation, so
+    the Jaccard denominator is available in-row at the final pair
+    aggregate — no size table, no joins. The previous form derived a
+    size table from the stream and broadcast-joined it twice; its three
+    transitive consumers had diverging column prunings that defeat
+    ReuseExchange, so Catalyst re-scanned the corpus and re-ran the
+    count window once per consumer (3 scans, 3 windows, 9 exchanges —
+    the bigram_lm_score defect class; a localCheckpoint fixes the
+    re-scan but materializing the full shingle stream measured slower
+    than the re-scans at bench scale and merely trades scan I/O for
+    checkpoint I/O at 100 TB). Now: 1 scan, 5 exchanges, and the
+    shingle stream — the only corpus-sized thing — moves through
+    exactly the two windows and one groupBy the semantics require."""
     from pyspark.sql.window import Window
 
     df = spread(df)
     sh = shingle_rows(df, text_col)
     wdf = F.count(F.lit(1)).over(Window.partitionBy("s"))
     sh_ok = sh.withColumn("df", wdf).where(F.col("df") <= df_cap)
-    sizes = sh_ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ds = F.array_sort(F.collect_list("doc_id"))
+    sh_n = sh_ok.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     pair_lists = (
-        sh_ok.where(F.col("df") >= 2)
+        sh_n.where(F.col("df") >= 2)
         .groupBy("s")
-        .agg(ds.alias("ds"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
+        )
         .where(F.size("ds") >= 2)
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.n AS na, y.n AS nb))))"
     )
     inter = (
         pair_lists.select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.any_value("na").alias("na"),
+            F.any_value("nb").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "doc_a", "doc_b", quantize(j, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
 
 
 def contamination_check(
