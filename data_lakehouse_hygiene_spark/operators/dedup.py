@@ -333,17 +333,24 @@ def contamination_check(
     benchmark rows) — the overlap check every training pipeline runs
     before releasing a dataset.
 
-    Plan: one shingle explode over the corpus, split into benchmark /
-    candidate sides, equi-join on the shingle with the BENCHMARK side
-    broadcast (benchmarks are small by construction), then one aggregate
-    per contaminated doc. No O(n²) anywhere; candidate text never moves —
-    only (doc_id, shingle) pairs."""
-    sh = shingle_rows(df, text_col)
-    bench_ids = df.where(bench_pred).select("doc_id")
-    bench_sh = sh.join(F.broadcast(bench_ids), "doc_id").select(
+    Plan: the benchmark / candidate split happens BEFORE the shingle
+    explode — each side is a filtered scan exploded once, so the corpus
+    is exploded exactly once on the candidate side and the (tiny,
+    pushdown-pruned) benchmark side separately. The earlier form exploded
+    the WHOLE corpus on both sides and filtered afterwards via doc_id
+    joins (4 scans, 2 full explodes in the plan). The shingle equi-join
+    then broadcasts the BENCHMARK side (benchmarks are small by
+    construction), and one aggregate per contaminated doc finishes. No
+    O(n²) anywhere; candidate text never moves — only (doc_id, shingle)
+    pairs. The candidate filter is NULL-safe-negated so rows where
+    ``bench_pred`` is NULL stay candidates (matching the anti-join
+    semantics of the membership formulation)."""
+    bench_sh = shingle_rows(df.where(bench_pred), text_col).select(
         F.col("doc_id").alias("bench_doc"), "s"
     )
-    cand_sh = sh.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    cand_sh = shingle_rows(
+        df.where(F.coalesce(~bench_pred, F.lit(True))), text_col
+    )
     return (
         cand_sh.join(F.broadcast(bench_sh), "s")
         .groupBy("doc_id")

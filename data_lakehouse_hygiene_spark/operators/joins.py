@@ -106,17 +106,27 @@ def bloom_prune_semi_join(
     # NB: the SQL shiftleft/shiftrightunsigned accept a column shift amount;
     # the Python wrappers accept only a literal int, so go through
     # call_function for the per-row shift.
-    words = None
-    for j, pos in enumerate(positions(F.col(key))):
-        part = build.select(
-            (pos / 64).cast("int").alias("__w"),
-            F.call_function(
-                "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
-            ).alias("__b"),
-        )
-        words = part if words is None else words.unionByName(part)
-    bitmap = words.groupBy("__w").agg(
-        F.bit_or("__b").alias("__word")
+    # The k per-position word/bit rows come from ONE scan of the build
+    # side via an in-row explode — a unionByName of k projections scans
+    # (and at 100 TB re-shuffles) the build relation k times.
+    word_bits = F.array(
+        *[
+            F.struct(
+                (pos / 64).cast("int").alias("__w"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    (pos % 64).cast("int"),
+                ).alias("__b"),
+            )
+            for pos in positions(F.col(key))
+        ]
+    )
+    bitmap = (
+        build.select(F.explode(word_bits).alias("g"))
+        .select("g.__w", "g.__b")
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__word"))
     )
 
     pruned = probe
