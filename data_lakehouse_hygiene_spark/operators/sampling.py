@@ -101,9 +101,17 @@ def mixture_weights(
     on partial-aggregation merge order); the final ratio is computed in
     double and floor-quantized. One hash aggregate over the groups + one
     broadcast of the 1-row total: two tiny shuffles regardless of scale.
+    The per-group count table is materialized once (``localCheckpoint`` —
+    a handful of rows): it feeds both the normalizing sum and the output
+    projection, and the diverging prunings of those two consumers
+    otherwise make Catalyst re-scan and re-aggregate the corpus twice.
     """
     assert alpha == 0.5, "only alpha=0.5 (sqrt) is cross-engine bit-stable"
-    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     s = F.sqrt(F.col("n").cast("double")).cast("decimal(38,18)")
     withs = counts.withColumn("__s", s)
     tot = withs.agg(F.sum("__s").alias("__tot"))

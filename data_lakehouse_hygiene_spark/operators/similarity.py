@@ -367,13 +367,22 @@ def ivf_ann(
 
     Same join shape as ``lsh_ann`` — an equi-join on the cluster id — so at
     1e9 vectors each query touches ~n/n_clusters candidates. Unlike LSH the
-    partitioning is data-adaptive (centroids follow density)."""
+    partitioning is data-adaptive (centroids follow density).
+
+    The norm+label projection is computed inline (``norms()`` drops the
+    cluster column, and joining it back on vec_id self-joined the
+    embeddings table — two extra corpus scans for a column that was in
+    the scan all along)."""
     from pyspark.sql.window import Window
 
     if query_pred is None:
         query_pred = F.col("vec_id") < 3
-    n = norms(df, vec_col).join(
-        df.select("vec_id", cluster_col), "vec_id"
+    v = F.col(vec_col)
+    n = df.select(
+        "vec_id",
+        v.alias(vec_col),
+        F.sqrt(dot_exact(v, v)).alias("norm"),
+        cluster_col,
     )
     q = n.where(query_pred).select(
         F.col("vec_id").alias("query_id"),
