@@ -99,3 +99,65 @@ def test_wav_roundtrip_property(rate, n, seed):
 
     d = multimodal.decode_media(multimodal.make_wav(rate, n, seed), "audio/wav")
     assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (rate, 1, n)
+
+
+# Strategy: documents are sequences of tokens from a small alphabet so
+# duplicated k-grams arise naturally; doc_ids are distinct.
+_tok = st.sampled_from([f"w{i}" for i in range(12)])
+_doc = st.lists(_tok, min_size=0, max_size=40).map(" ".join)
+
+
+@given(st.lists(_doc, min_size=2, max_size=8))
+@settings(**_SETTINGS)
+def test_substring_spans_and_apply_match_python_replay(spark, texts):
+    """Full independent replay of duplicate-span mining + application on
+    arbitrary corpora: a plain-Python model mines the ≥2×-occurring
+    k-gram positions, merges them into strict-overlap islands, and cuts
+    the covered tokens; the Spark operators must match it exactly.
+    (Deliberately shares no code with the operators, so a bug in the
+    window/island decomposition cannot cancel out.)"""
+    from data_lakehouse_hygiene_spark.operators.dedup import (
+        substring_dedup_apply,
+        substring_dedup_spans,
+    )
+
+    k = 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    toks = {i: t.split(" ") for i, t in rows}  # split('') -> [''], as Spark
+    grams: dict[str, int] = {}
+    for ts in toks.values():
+        for p in range(len(ts) - k + 1):
+            g = " ".join(ts[p : p + k])
+            grams[g] = grams.get(g, 0) + 1
+    want_spans = set()
+    covered: dict[int, set[int]] = {}
+    for doc_id, ts in toks.items():
+        dup = [
+            p
+            for p in range(len(ts) - k + 1)
+            if grams[" ".join(ts[p : p + k])] >= 2
+        ]
+        isl: list[list[int]] = []
+        for p in dup:
+            if isl and p < isl[-1][-1] + k:  # strict overlap with prev gram
+                isl[-1].append(p)
+            else:
+                isl.append([p])
+        for ps in isl:
+            s, e = ps[0], ps[-1] + k
+            want_spans.add((doc_id, s, e, e - s, len(ps)))
+            covered.setdefault(doc_id, set()).update(range(s, e))
+    got_spans = {
+        tuple(r) for r in substring_dedup_spans(docs, min_tokens=k).collect()
+    }
+    assert got_spans == want_spans
+    applied = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in substring_dedup_apply(docs, min_tokens=k).collect()
+    }
+    assert set(applied) == set(toks)
+    for doc_id, ts in toks.items():
+        cov = covered.get(doc_id, set())
+        want = " ".join(t for p, t in enumerate(ts) if p not in cov)
+        assert applied[doc_id] == (want, len(cov)), doc_id
