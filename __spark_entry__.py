@@ -829,6 +829,63 @@ FROM k
 """
 
 
+def q_substring_dedup_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-one exact-substring dedup: cut only the redundant (non-first)
+    occurrences of duplicated 8-token spans."""
+    return dedup.substring_dedup_keep_first(
+        _t(spark, sf_dir, "documents"), min_tokens=8
+    )
+
+
+SQL_SUBSTRING_DEDUP_KEEP_FIRST = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pos AS (
+  SELECT t.doc_id, g.i AS pos,
+         array_to_string(t.ts[g.i+1 : g.i+8], ' ') AS gram
+  FROM tok t, LATERAL (SELECT unnest(range(0, len(t.ts) - 7)) AS i) g
+  WHERE len(t.ts) >= 8),
+red AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY gram) AS c,
+           ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM pos) t
+  WHERE c >= 2 AND rn >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos >= max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS brk
+  FROM red),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(pos) AS a, max(pos) + 8 AS b
+  FROM isl2 GROUP BY doc_id, island),
+sp AS (SELECT doc_id, list(struct_pack(a := a, b := b)) AS ss
+       FROM spans GROUP BY doc_id),
+k AS (
+  SELECT t.doc_id, t.ts,
+         list_transform(
+           list_filter(range(0, len(t.ts)),
+             i -> s.ss IS NULL
+                  OR len(list_filter(s.ss, x -> i >= x.a AND i < x.b)) = 0),
+           i -> t.ts[i + 1]) AS kept
+  FROM tok t LEFT JOIN sp s USING (doc_id))
+SELECT doc_id,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(ts) - len(kept) AS BIGINT) AS n_tokens_removed
+FROM k
+"""
+
+
 def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (bit-string form)."""
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents")).select(
@@ -2914,6 +2971,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "substring_dedup_apply": (
         q_substring_dedup_apply,
         SQL_SUBSTRING_DEDUP_APPLY,
+    ),
+    "substring_dedup_keep_first": (
+        q_substring_dedup_keep_first,
+        SQL_SUBSTRING_DEDUP_KEEP_FIRST,
     ),
     # -- code path MODIFIED this round (SQL-string expression generation,
     # -- single-scan redesigns, checkpointed branch points) — re-verify

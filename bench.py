@@ -89,6 +89,7 @@ HEADLINE = [
     "bigram_lm_score",
     "substring_dedup",
     "substring_dedup_apply",
+    "substring_dedup_keep_first",
     "incremental_dedup",
     "topk_per_group",
     "range_join",

@@ -798,3 +798,96 @@ def substring_dedup_apply(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def substring_dedup_keep_first(
+    df: DataFrame, text_col: str = "text", min_tokens: int = 8
+) -> DataFrame:
+    """Keep-one exact-substring dedup: like ``substring_dedup_apply`` but
+    each duplicated ``min_tokens``-token shingle KEEPS its globally first
+    occurrence (smallest (doc_id, position)) and only the redundant
+    occurrences are cut — the all-but-one removal policy of
+    exact-substring training-data dedup, losing no content entirely.
+
+    The keeper election is one ROW_NUMBER over the shingle-digest
+    partition (ordered by doc_id, pos — deterministic, retry-stable)
+    layered on the same digest exchange that carries the corpus-frequency
+    count, so it costs no extra shuffle over the mining pass. Positions
+    with rank ≥ 2 on a ≥2×-occurring shingle are redundant; their covering
+    tokens merge into strict-overlap islands and are cut exactly as in
+    ``substring_dedup_apply``. A token inside a KEPT occurrence survives
+    unless some other redundant occurrence also covers it.
+    """
+    k = min_tokens
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(k)])
+            ).alias("gh"),
+        ),
+    )
+    safe = F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<struct<pos:int,gh:string>>")
+    )
+    base = df.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+    pos = (
+        spread(base)
+        .select("doc_id", "__toks", F.explode(safe).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    wg = Window.partitionBy("gh")
+    redundant = (
+        pos.withColumn("__c", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "__rn", F.row_number().over(wg.orderBy("doc_id", "pos"))
+        )
+        .where((F.col("__c") >= 2) & (F.col("__rn") >= 2))
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("pos") >= prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        redundant.withColumn("__brk", brk)
+        .withColumn(
+            "__island",
+            F.sum("__brk").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("bigint").alias("span_end"),
+        )
+    )
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__ss")
+    )
+    empty = (
+        "cast(array() as array<struct<span_start:bigint,span_end:bigint>>)"
+    )
+    kept = F.expr(
+        "transform(filter(sequence(0, size(__toks) - 1), "
+        f"i -> size(filter(coalesce(__ss, {empty}), "
+        "x -> i >= x.span_start and i < x.span_end)) = 0), "
+        "i -> __toks[i])"
+    )
+    return (
+        base.join(sp, "doc_id", "left")
+        .select("doc_id", "__toks", kept.alias("__kept"))
+        .select(
+            "doc_id",
+            F.array_join("__kept", " ").alias("clean_text"),
+            (F.size("__toks") - F.size("__kept"))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )

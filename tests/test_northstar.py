@@ -302,3 +302,28 @@ def test_substring_dedup_apply_cuts_planted_spans(spark):
     assert out[1] == (" ".join(f"a{i}" for i in range(10)), 12)
     assert out[2] == (" ".join(f"b{i}" for i in range(10)), 12)
     assert out[3] == (uniq3, 0)
+
+
+def test_substring_dedup_keep_first_retains_one_copy(spark):
+    """Keep-one policy: the globally first occurrence (smallest
+    (doc_id, pos)) of a duplicated run survives; every later occurrence —
+    in other documents or later in the same document — is cut."""
+    shared = " ".join(f"dup{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(10))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(10))),
+            (4, shared + " mid " + shared),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in dedup.substring_dedup_keep_first(docs, min_tokens=8).collect()
+    }
+    # doc 1 holds the first occurrence -> untouched
+    assert out[1] == (shared + " " + " ".join(f"a{i}" for i in range(10)), 0)
+    # doc 2's copy is redundant -> cut
+    assert out[2] == (" ".join(f"b{i}" for i in range(10)), 12)
+    # doc 4: its first copy is redundant vs doc 1, its second redundant too
+    assert out[4] == ("mid", 24)
