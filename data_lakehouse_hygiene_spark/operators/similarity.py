@@ -21,6 +21,8 @@ Scale design (1e9+ vectors):
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -246,40 +248,53 @@ def cosine_topk(
     )
 
 
-def _plane_component(p: int, i: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
-    hex-digit value of md5('p:i') minus 7.5. Reproducible in any engine
-    with md5 — no RNG seed to disagree on."""
-    digit = (
-        F.instr(
-            F.lit(HEX),
-            F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 1),
-        )
-        - F.lit(1)
+# The deterministic hyperplanes are DATA-INDEPENDENT constants (component
+# (p, i) = hex-digit value of md5('p:i') minus 7.5, reproducible in any
+# engine with md5 — the oracle SQL derives the identical values from
+# DuckDB's md5). They are therefore precomputed here with hashlib —
+# bit-identical to the Spark-expression form — and shipped as ONE array
+# literal per plane: the expression form re-hashed md5 per VECTOR COMPONENT
+# per plane at runtime inside interpreted HOF lambdas, and cost ~0.9 s of
+# py4j construction per query call on top.
+_MAX_DIM = 1024
+
+
+@_lru_cache(maxsize=None)
+def _plane_values(p: int) -> tuple[float, ...]:
+    import hashlib
+
+    return tuple(
+        float(int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16)) - 7.5
+        for i in range(_MAX_DIM)
     )
-    return digit.cast("double") - F.lit(7.5)
+
+
+@_lru_cache(maxsize=None)
+def _plane_literal(p: int) -> str:
+    """SQL array literal for plane p. A string parsed by one F.expr:
+    ``F.lit(<python list>)`` round-trips every element through py4j
+    individually (~6 s for 8×1024 components), and per-element
+    ``F.array(F.lit(x), ...)`` is the same thing spelled out."""
+    return "array(" + ",".join(f"{x}D" for x in _plane_values(p)) + ")"
 
 
 def lsh_bucket(vec_col: str = "embedding") -> Column:
     """Random-hyperplane LSH bucket id (0..2^N_PLANES-1) for a vector:
-    bit p = sign of <v, plane_p>. Pure projection — no shuffle."""
+    bit p = sign of <v, plane_p>. Pure projection — no shuffle. Vectors
+    wider than the precomputed plane tables fail loudly via assert_true
+    (raise _MAX_DIM rather than silently truncating the projection)."""
     v = F.col(vec_col)
+    guard = F.assert_true(F.size(v) <= F.lit(_MAX_DIM))
     bucket = F.lit(0)
     for p in range(N_PLANES):
+        plane = F.slice(F.expr(_plane_literal(p)), F.lit(1), F.size(v))
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda i: _plane_component(p, i),
-                ),
-                _qprod,
-            ),
+            F.zip_with(v, plane, _qprod),
             F.lit(0).cast("bigint"),
             lambda s, x: s + x,
         )
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return bucket
+    return F.when(guard.isNull(), bucket)
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
