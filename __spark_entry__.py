@@ -2989,6 +2989,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "bloom_prune": (q_bloom_prune, SQL_BLOOM_PRUNE),
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
+    "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
     # -- stale official record: last driver-checked in r01/r02, before
     # -- the round-3 refactors; locally green (test_oracle_parity) but
     # -- the CORRECTNESS_r{N} record should say so too ------------------
@@ -3055,7 +3056,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
     "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
-    "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
