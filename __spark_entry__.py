@@ -1875,28 +1875,30 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB states TRUE (the contract); Spark computes it, so a sketch
     drifting outside its declared 1% rank error breaks the hash match.
 
-    The envelope computation (global row_number) is verification-only
-    machinery: at 100 TB you would run the sketch alone (the ``agg`` here)
-    and spot-check bounds on a sample. Scalar collects follow the A10
-    1-row-literal pattern."""
+    The exact-rank envelope is computed with ``ordering.global_rank`` —
+    the bucketed two-phase rank (approx-percentile range buckets, tiny
+    offset aggregate, then a PARTITIONED per-bucket row_number) — never a
+    global unpartitioned window, so no stage funnels the fact table
+    through one task; the value at rank k is tie-order-invariant, so the
+    bucketed rank and a serial sort agree on every extracted value. The
+    total row count is a free by-product of the offset pass (no separate
+    count scan). Scalar collects follow the A10 1-row-literal pattern
+    (wanted ranks pull back ≤ 8 rows)."""
     import math
 
-    from pyspark.sql.window import Window
+    from data_lakehouse_hygiene_spark.operators.ordering import global_rank
 
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
-    n = li.count()
+    ranked, n = global_rank(li, "l_extendedprice", rank_col="rn")
     ps = [0.25, 0.5, 0.75, 0.95]
     ranks = {
         p: (max(1, math.ceil((p - 0.01) * n)), math.ceil((p + 0.01) * n))
         for p in ps
     }
     wanted = sorted({k for pair in ranks.values() for k in pair})
-    w = Window.orderBy("l_extendedprice")
     vals = {
         r["rn"]: r["l_extendedprice"]
-        for r in li.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn").isin(wanted))
-        .collect()
+        for r in ranked.where(F.col("rn").isin(wanted)).collect()
     }
     q = F.expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)"

@@ -137,7 +137,9 @@ def main() -> None:
     timings = {n: min(r) for n, r in runs.items()}
     # Measured variance envelope: max/min across the timed runs of one
     # query. Cross-round deltas inside this envelope are noise.
-    spread = {n: round(max(r) / min(r), 2) for n, r in runs.items()}
+    # Guard min(r) at 1 ms: per-run values are rounded to 3 decimals, so a
+    # sub-millisecond run would otherwise divide by 0.0.
+    spread = {n: round(max(r) / max(min(r), 1e-3), 2) for n, r in runs.items()}
 
     total = round(sum(timings.values()), 3)
 
@@ -189,8 +191,11 @@ def main() -> None:
     }
     with open(os.path.join(here, detail_name), "w") as fh:
         json.dump(detail, fh, indent=1)
-    # Canonical latest for the default-sf run (what the judge reads).
-    if detail_name != "BENCH_DETAIL.json":
+    # Canonical latest (what the judge reads) — refreshed ONLY by the
+    # default-sf run, so a one-off sf=1 rehearsal can't clobber the
+    # canonical sf0.1 numbers.
+    default_sf_dir = "/root/testdata/sf0.1"
+    if detail_name != "BENCH_DETAIL.json" and sf_dir.rstrip("/") == default_sf_dir:
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1)
     # Driver contract wants per-query timings on the line; the driver's

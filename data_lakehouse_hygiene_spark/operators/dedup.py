@@ -127,10 +127,13 @@ def shingle_rows(
     ``explode(shingles(col))`` row for row.
     """
     elems = ", ".join(f"__toks[i + {j}]" for j in range(n))
+    # Backtick-quote the column identifier (doubling any embedded backtick)
+    # so names with spaces/dots/SQL metachars parse as identifiers, not SQL.
+    ident = "`" + text_col.replace("`", "``") + "`"
     sh = F.expr(
         f"if(size(__toks) >= {n}, "
         f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
-        f"i -> concat_ws(' ', {elems}))), array({text_col}))"
+        f"i -> concat_ws(' ', {elems}))), array({ident}))"
     )
     return df.select(
         "doc_id", F.col(text_col), tokens(F.col(text_col)).alias("__toks")

@@ -444,10 +444,19 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.array().cast("array<struct<a:string,b:string>>")
     )
     inst = df.select("doc_id", F.explode(safe).alias("bg"))
+    # Deferred (lazy) checkpoint: D (doc_id x bigram) feeds both the model
+    # aggregate and the per-doc join, so materializing it once avoids a
+    # double scan of the corpus — but eager=True would run a full Spark job
+    # at DataFrame-CONSTRUCTION time (even a bare .explain() triggered it).
+    # eager=False defers the job to first execution. Caveat at cluster
+    # scale: localCheckpoint blocks live on executors with no lineage to
+    # recompute them, so an executor loss mid-query fails the query; for a
+    # 100 TB run swap this for a reliable checkpoint dir or accept the
+    # double scan (cheap relative to the shuffle).
     d = (
         inst.groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     c2 = d.groupBy("bg").agg(F.sum("cnt").alias("c2"))
     c1 = F.sum("c2").over(Window.partitionBy(F.col("bg.a")))

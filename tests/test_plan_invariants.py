@@ -194,3 +194,27 @@ def test_profile_table_hll_path(spark):
         for r in maintenance.profile_table(docs, approx_distinct=True).collect()
     }
     assert abs(prof["doc_id"] - 500) / 500 < 0.10
+
+
+def test_approx_quantiles_envelope_rank_is_partitioned(spark):
+    """The exact-rank envelope inside approx_quantiles runs EAGERLY in the
+    query callable, so the engine-wide unpartitioned-window sweep (which
+    inspects only the RETURNED DataFrame, a literal) cannot see it. Guard
+    the internal plan directly: rank the same input with global_rank as
+    the query does and assert its Window is partitioned (round 5's form
+    used Window.orderBy — one task for the whole fact table)."""
+    from data_lakehouse_hygiene_spark.operators.ordering import global_rank
+    from data_lakehouse_hygiene_spark.schemas import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select("l_extendedprice")
+    ranked, n = global_rank(li, "l_extendedprice", rank_col="rn")
+    assert n > 0
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line.strip())
+        if not m:
+            continue
+        spec = _top_level_groups(m.group(1))[1:]
+        assert any(
+            g.strip() and not re.search(r"\b(ASC|DESC)\b", g) for g in spec
+        ), line
