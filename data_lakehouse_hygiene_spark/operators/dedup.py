@@ -247,11 +247,21 @@ def minhash_near_dup_pairs(
 DF_CAP = 100
 
 
+# Estimated-input-bytes crossover between the two ngram_jaccard plan
+# shapes (see ngram_jaccard_pairs docstring). Below: the 3-branch
+# broadcast form (branches overlap on idle cores, scans are page-cached —
+# measured 1.59 vs 1.94 s interleaved min-of-5 at sf0.1). Above: the
+# single-scan form (scan I/O is real and 3x scan + 3x shingle exchange
+# costs more than 1x scan + 2 exchanges).
+NGRAM_SINGLE_SCAN_BYTES = 8 * 1024**3
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     threshold: float = 0.5,
     df_cap: int = DF_CAP,
+    single_scan: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over INFORMATIVE shingles, join-free
     on the fact side.
@@ -265,34 +275,42 @@ def ngram_jaccard_pairs(
     mirrored verbatim in the oracle SQL. On the test corpus max df is 7,
     so the planted pairs are unaffected (test-asserted).
 
-    Plan shape: explode shingles once, attach per-shingle df with a
+    Common plan spine: explode shingles once, attach per-shingle df with a
     COUNT window partitioned by shingle (one hash exchange on the shingle
     key — no join, and the df≤cap filter runs inside the same stage), then
     generate the a<b pairs inside the row with array lambdas: the
     per-shingle doc list is bounded by ``df_cap``, so no unbounded
     collect_list; pair rows per shingle are bounded by df_cap²/2.
 
-    ONE LINEAR CHAIN, one corpus scan: per-doc capped set sizes ride a
-    SECOND count window (partitioned by doc_id) on the same stream and
-    travel inside the collect_list structs through pair generation, so
-    the Jaccard denominator is available in-row at the final pair
-    aggregate — no size table, no joins. The previous form derived a
-    size table from the stream and broadcast-joined it twice; its three
-    transitive consumers had diverging column prunings that defeat
-    ReuseExchange, so Catalyst re-scanned the corpus and re-ran the
-    count window once per consumer (3 scans, 3 windows, 9 exchanges —
-    the bigram_lm_score defect class; a localCheckpoint fixes the
-    re-scan but materializing the full shingle stream measured slower
-    than the re-scans at bench scale and merely trades scan I/O for
-    checkpoint I/O at 100 TB). Now: 1 scan, 5 exchanges, and the
-    shingle stream — the only corpus-sized thing — moves through
-    exactly the two windows and one groupBy the semantics require."""
-    from pyspark.sql.window import Window
+    TWO plan shapes for the Jaccard denominator, value-identical
+    (test-asserted), selected by ``single_scan`` (None = by the optimizer's
+    estimated input size vs ``NGRAM_SINGLE_SCAN_BYTES``):
 
+    - ``single_scan=False`` (small inputs): per-doc sizes become a tiny
+      size table broadcast-joined onto the pairs. The size table's three
+      transitive consumers have diverging column prunings that defeat
+      ReuseExchange, so Catalyst re-scans the corpus and re-runs the
+      shingle window once per consumer (3 scans, 9 exchanges) — but the
+      branches run CONCURRENTLY on idle cores over page-cached parquet,
+      so wall time ≈ max(branch), not sum. Measured 1.59 s vs the
+      single-scan form's 1.94 s at sf0.1 (interleaved min-of-5; round 5
+      shipped single-scan unconditionally and regressed 1.67×).
+    - ``single_scan=True`` (large inputs): per-doc capped set sizes ride
+      a SECOND count window (partitioned by doc_id) on the same stream
+      and travel inside the collect_list structs through pair
+      generation — 1 scan, 5 exchanges, no joins. At 100 TB the cluster
+      has no idle cores to hide triple scans behind, and
+      3·(scan + shingle-exchange) > 1·scan + 2 exchanges, so the linear
+      chain wins; a localCheckpoint hybrid measured slower still (it
+      materializes the full shingle stream)."""
+    if single_scan is None:
+        single_scan = _estimated_bytes(df) > NGRAM_SINGLE_SCAN_BYTES
     df = spread(df)
     sh = shingle_rows(df, text_col)
     wdf = F.count(F.lit(1)).over(Window.partitionBy("s"))
     sh_ok = sh.withColumn("df", wdf).where(F.col("df") <= df_cap)
+    if not single_scan:
+        return _ngram_pairs_broadcast_sizes(sh_ok, threshold)
     sh_n = sh_ok.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
@@ -324,6 +342,54 @@ def ngram_jaccard_pairs(
     return inter.select(
         "doc_a", "doc_b", quantize(j, 6).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated size of ``df``'s input (file-size based for
+    parquet scans) — a planning-time statistic, no job runs. Falls back to
+    0 (→ the small-input plan) if the stats walk fails."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 0
+
+
+def _ngram_pairs_broadcast_sizes(
+    sh_ok: DataFrame, threshold: float
+) -> DataFrame:
+    """Small-input ngram_jaccard tail: per-doc sizes as a broadcast size
+    table (see ngram_jaccard_pairs docstring for the crossover analysis).
+    ``sh_ok`` is the capped (doc_id, s, df) shingle stream."""
+    sizes = sh_ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ds = F.array_sort(F.collect_list("doc_id"))
+    pair_lists = (
+        sh_ok.where(F.col("df") >= 2)
+        .groupBy("s")
+        .agg(ds.alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        pair_lists.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def contamination_check(

@@ -327,3 +327,28 @@ def test_substring_dedup_keep_first_retains_one_copy(spark):
     assert out[2] == (" ".join(f"b{i}" for i in range(10)), 12)
     # doc 4: its first copy is redundant vs doc 1, its second redundant too
     assert out[4] == ("mid", 24)
+
+
+def test_ngram_jaccard_plan_shapes_value_identical(spark):
+    """The two ngram_jaccard plan shapes (broadcast size table vs
+    single-scan windowed sizes — selected by estimated input size) must
+    produce identical (doc_a, doc_b, jaccard) rows."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    bcast = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(docs, single_scan=False).collect()
+    }
+    single = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(docs, single_scan=True).collect()
+    }
+    assert bcast == single and bcast
+
+
+def test_ngram_size_heuristic_picks_broadcast_at_test_scale(spark):
+    """At sf0.01 the estimated input is far below the crossover, so the
+    default (single_scan=None) must resolve to the broadcast form; the
+    estimator must return a real positive size for a parquet scan."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    est = dedup._estimated_bytes(docs)
+    assert 0 < est < dedup.NGRAM_SINGLE_SCAN_BYTES
