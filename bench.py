@@ -78,6 +78,7 @@ HEADLINE = [
     "simhash_near_dup",
     "embedding_near_dup",
     "quality_score",
+    "pii_scrub",
     "cosine_topk",
     "asof_join",
     "sessionize",

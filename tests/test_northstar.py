@@ -352,3 +352,19 @@ def test_ngram_size_heuristic_picks_broadcast_at_test_scale(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     est = dedup._estimated_bytes(docs)
     assert 0 < est < dedup.NGRAM_SINGLE_SCAN_BYTES
+
+
+def test_ann_recall_deterministic_and_pinned(spark):
+    """The declared ann_recall diagnostic must be deterministic: on the
+    near-uniform synthetic corpus the true top-5 scatter across buckets,
+    so absolute recall is low by construction — what we pin is the exact
+    hit counts, so any change to bucketing/probing/clustering surfaces
+    as a changed row, not silently."""
+    rows = {
+        (r["method"], r["query_id"]): (r["n_hits"], r["recall_at_5"])
+        for r in entrymod.queries()["ann_recall"](spark, SF_ORACLE).collect()
+    }
+    assert len(rows) == 6  # 2 methods x 3 query vectors
+    assert sum(h for h, _ in rows.values()) == 3  # ivf 2 + lsh 1
+    for (_, _), (h, rec) in rows.items():
+        assert rec == h / 5.0
