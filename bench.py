@@ -99,7 +99,10 @@ HEADLINE = [
 ]
 
 
-N_PASSES = 3  # timed interleaved passes; per-query time = min across passes
+# Timed interleaved passes; per-query time = min across passes.
+# SPARK_GRAFT_PASSES overrides (scale rehearsals at sf>=1 use 2: a pass
+# costs ~10x sf0.1, and the interleaving already decorrelates co-load).
+N_PASSES = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
 
 # Oracles exempt from the warmup+min-of-2 protocol: deliberately
 # brute-force quadratic baselines whose single run already dominates the
@@ -120,6 +123,15 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+    # Scale-rehearsal knobs: SPARK_GRAFT_QUERIES=a,b,c limits the run to a
+    # subset; SPARK_GRAFT_NO_DUCK=1 skips the DuckDB oracle timings (whose
+    # deliberately brute-force members are intractable at sf >= 1).
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        keep = [s.strip() for s in subset.split(",") if s.strip()]
+        names = [n for n in names if n in keep] + [
+            n for n in keep if n in qs and n not in HEADLINE
+        ]
 
     # Untimed warmup pass over the whole list: whole-stage-codegen compile
     # + JIT, amortized to nothing on a long-lived cluster.
@@ -159,7 +171,8 @@ def main() -> None:
         )
     oracles = entrymod.oracle_sql()
     duck: dict[str, float] = {}
-    for name in names:
+    no_duck = os.environ.get("SPARK_GRAFT_NO_DUCK") == "1"
+    for name in ([] if no_duck else names):
         sql = oracles.get(name)
         if sql is None:
             continue
@@ -178,7 +191,9 @@ def main() -> None:
         if n in duck
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    detail_name = f"BENCH_DETAIL_sf{sf}.json" if sf is not None else "BENCH_DETAIL.json"
+    detail_name = (
+        f"BENCH_DETAIL_sf{sf:g}.json" if sf is not None else "BENCH_DETAIL.json"
+    )
     detail = {
         "queries": timings,
         "spark_runs": runs,

@@ -191,3 +191,30 @@ def test_dataframe_from_payload_nested_explode(spark):
         ("kota", 29.0, 75.0, "berawan"),
         ("kota", 30.0, 70.0, "cerah"),
     ]
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S3/S9/S10 happy path against a REAL database: Apache Derby's
+    embedded JDBC driver ships inside PySpark's jar directory (for the
+    Hive metastore), so the JDBC source and both sink modes can be
+    exercised end-to-end with zero extra dependencies — overwrite
+    creates, append grows, read round-trips values. Derby uppercases
+    unquoted identifiers; the reference normalizes serving-table columns
+    to lower_snake_case on read, mirrored here."""
+    from data_lakehouse_hygiene_spark.operators.cleaning import (
+        normalize_columns,
+    )
+    from data_lakehouse_hygiene_spark.sinks import jdbc_write
+    from data_lakehouse_hygiene_spark.sources import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1, "mandi"), (2, "olahraga")], "id int, nama string"
+    )
+    jdbc_write(df, url, "t_roundtrip", mode="overwrite", **props)
+    jdbc_write(df, url, "t_roundtrip", mode="append", **props)
+    back = normalize_columns(read_jdbc(spark, url, "t_roundtrip", properties=props))
+    rows = sorted(tuple(r) for r in back.collect())
+    assert back.columns == ["id", "nama"]
+    assert rows == [(1, "mandi"), (1, "mandi"), (2, "olahraga"), (2, "olahraga")]
