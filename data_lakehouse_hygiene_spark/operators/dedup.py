@@ -658,6 +658,7 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_bands: int = SIMHASH_BANDS,
 ) -> DataFrame:
     """SimHash near-dup pairs over the WHOLE corpus: Hamming distance ≤
     ``max_hamming``, blocked on signature prefix bands with guaranteed
@@ -691,14 +692,28 @@ def simhash_near_dup_pairs(
     per call, data-size-independent) dominated the whole operator at
     sf0.1. Band k of the signature equals bits [8k, 8k+8) in both
     formulations, so blocked-pair results are unchanged.
+
+    ``n_bands`` is the SCALE knob (must divide 64; the guarantee needs
+    ``max_hamming < n_bands``): a band bucket holds ~n / 2^(64/n_bands)
+    docs, and the in-bucket pair term grows with occupancy², so growing
+    the corpus 2^k× while keeping bucket occupancy — and therefore
+    per-task pair work — constant means WIDENING bands by k bits (fewer,
+    wider bands), trading down the guaranteed Hamming radius: 8×8-bit
+    bands guarantee h≤7 at ~n/256 occupancy; 4×16-bit bands guarantee
+    h≤3 at ~n/65536. Measured in SCALING.md (7.1× time at 10× corpus
+    with the default geometry — the quadratic term, not the shuffle, is
+    what the knob controls).
     """
-    assert max_hamming < SIMHASH_BANDS, "recall guarantee needs h < n_bands"
+    assert 64 % n_bands == 0, "band width must divide the 64-bit signature"
+    assert max_hamming < n_bands, "recall guarantee needs h < n_bands"
+    width = 64 // n_bands
     agg = _simhash_agg(df, text_col)
     bands = F.expr(
         "array("
         + ",".join(
-            f"struct({k} AS band, ({_swar_bits_sql(8 * k, 8)}) AS band_val)"
-            for k in range(SIMHASH_BANDS)
+            f"struct({k} AS band, ({_swar_bits_sql(width * k, width)})"
+            " AS band_val)"
+            for k in range(n_bands)
         )
         + ")"
     )

@@ -368,3 +368,23 @@ def test_ann_recall_deterministic_and_pinned(spark):
     assert sum(h for h, _ in rows.values()) == 3  # ivf 2 + lsh 1
     for (_, _), (h, rec) in rows.items():
         assert rec == h / 5.0
+
+
+def test_simhash_band_geometry_knob_exact_at_reduced_radius(spark):
+    """The n_bands scale knob (wider bands -> smaller buckets -> lower
+    guaranteed Hamming radius) must stay EXACT: 4x16-bit bands at
+    max_hamming=3 must return precisely the default 8x8-bit result
+    filtered to hamming <= 3 (both are pigeonhole-complete at h<=3)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    wide = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(
+            docs, max_hamming=3, n_bands=4
+        ).collect()
+    }
+    default = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(docs).collect()
+        if r["hamming"] <= 3
+    }
+    assert wide == default and wide
