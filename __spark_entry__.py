@@ -3028,6 +3028,42 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-blocked semantic near-dup drop list (keeper =
+    smallest earlier vec_id in the same coarse cluster at cosine ≥ 0.45).
+    See ``similarity.semantic_dedup`` for the scale shape and the
+    documented cross-cluster recall trade."""
+    return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_SQL_NORMS},
+lbl AS (
+  SELECT n.vec_id, n.embedding, n.norm, e.label
+  FROM nrm n JOIN embeddings e ON n.vec_id = e.vec_id),
+pairs AS (
+  SELECT b.label, b.vec_id, a.vec_id AS vec_a, a.norm AS na,
+         b.norm AS nb, a.embedding AS ea, b.embedding AS eb
+  FROM lbl b JOIN lbl a ON a.label = b.label AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT vec_id, vec_a, any_value(label) AS label,
+         any_value(na) AS na, any_value(nb) AS nb,
+         CAST(sum({_DOT.format(a='p.ea', b='p.eb')}) AS DOUBLE)
+           / 1000000000000.0 AS dot
+  FROM pairs p,
+       LATERAL (SELECT unnest(range(1, len(p.ea) + 1)) AS i) g
+  GROUP BY vec_id, vec_a),
+cand AS (
+  SELECT vec_id, label, vec_a,
+         floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM dots)
+SELECT vec_id, any_value(label) AS label, min(vec_a) AS dup_of,
+       arg_min(cosine, vec_a) AS cosine
+FROM cand WHERE cosine >= 0.45
+GROUP BY vec_id
+"""
+
+
 SQL_ANN_RECALL = f"""
 WITH truth AS (
   SELECT query_id, vec_id FROM ({SQL_COSINE_TOPK}) t WHERE rank <= 5),
@@ -3065,6 +3101,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- the ANN retrieval-quality diagnostic --------------------------------
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     # -- code path MODIFIED this round (ngram plan-shape gate, bucketed
     # -- approx_quantiles rank, lazy bigram checkpoint, shingle_rows
     # -- identifier quoting feeding the minhash/simhash/contamination

@@ -475,3 +475,67 @@ def lsh_ann(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — no reference-repo counterpart; capability
+    extension per SURVEY.md §2.11): drop an embedding when its cosine to
+    an EARLIER (lower ``vec_id``) member of the SAME coarse cluster
+    reaches ``threshold``. Output: one row per dropped vector with its
+    keeper (``dup_of`` = the smallest qualifying earlier vec_id, the
+    deterministic keeper election) and that pair's cosine.
+
+    Scale shape — the whole point of the algorithm: the quadratic
+    compare is confined WITHIN clusters, so the pair term is
+    sum(n_c²)/2, controlled by the clustering granularity k (cluster
+    size ~n/k; SemDeDup runs k-means with k large enough that clusters
+    fit a task — same contract here, where ``cluster_col`` is the
+    precomputed coarse assignment, cf. ``ivf_ann``). One hash exchange
+    on the cluster key; the self-join meets on that key (shuffled-hash
+    at scale, broadcast at toy scale — never SortMerge, plan-asserted
+    engine-wide), dot products stay in codegen via ``dot_exact``.
+
+    The documented trade (and why this is NOT ``embedding_near_dup``):
+    cross-cluster near-duplicates are invisible — on the sf0.01 fixture
+    only 2 of the 14 exact cosine≥0.45 pairs share a cluster, so
+    semantic dedup drops exactly those 2 (test-pinned). Exactness
+    within the blocking is oracle-checked; the blocking loss is the
+    algorithm's published recall trade, not an implementation gap."""
+    v = F.col(vec_col)
+    n = df.select(
+        "vec_id",
+        v.alias(vec_col),
+        F.sqrt(dot_exact(v, v)).alias("norm"),
+        cluster_col,
+    )
+    earlier = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"),
+        cluster_col,
+    )
+    cos = dot_exact(F.col("va"), F.col(vec_col)) / (
+        F.col("na") * F.col("norm")
+    )
+    cand = (
+        n.join(earlier, on=cluster_col)
+        .where(F.col("vec_a") < F.col("vec_id"))
+        .select(
+            F.col(cluster_col),
+            "vec_id",
+            "vec_a",
+            quantize(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return cand.groupBy("vec_id").agg(
+        F.any_value(cluster_col).alias(cluster_col),
+        F.min("vec_a").alias("dup_of"),
+        F.expr("min_by(cosine, vec_a)").alias("cosine"),
+    )

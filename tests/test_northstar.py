@@ -388,3 +388,22 @@ def test_simhash_band_geometry_knob_exact_at_reduced_radius(spark):
         if r["hamming"] <= 3
     }
     assert wide == default and wide
+
+
+def test_semantic_dedup_drops_exactly_in_cluster_pairs(spark):
+    """SemDeDup must drop precisely the exact-near-dup pairs that share a
+    coarse cluster (2 of 14 on this fixture) — the cross-cluster misses
+    are the algorithm's published blocking trade, and the kept/dropped
+    split must be reproducible from embedding_near_dup + labels."""
+    from data_lakehouse_hygiene_spark.schemas import load_table
+
+    qs = entrymod.queries()
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    exact = [
+        (r["vec_a"], r["vec_b"])
+        for r in qs["embedding_near_dup"](spark, SF_ORACLE).collect()
+    ]
+    same_cluster_drops = {b for a, b in exact if labels[a] == labels[b]}
+    dropped = {r["vec_id"] for r in qs["semantic_dedup"](spark, SF_ORACLE).collect()}
+    assert dropped == same_cluster_drops and dropped
