@@ -82,11 +82,17 @@ def fetch_json(
     if transport is None:
 
         def transport(u: str, timeout: int):
+            import urllib.error
             import urllib.request
 
             req = urllib.request.Request(u, headers={"User-Agent": USER_AGENT})
-            with urllib.request.urlopen(req, timeout=timeout) as resp:
-                return getattr(resp, "status", 200), resp.read()
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return getattr(resp, "status", 200), resp.read()
+            except urllib.error.HTTPError as e:
+                # normalize to (status, body) so the non-2xx contract below
+                # raises the same RuntimeError for every transport
+                return e.code, e.read()
 
     status, body = transport(url, timeout)
     if not 200 <= status < 300:

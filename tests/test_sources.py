@@ -218,3 +218,71 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     rows = sorted(tuple(r) for r in back.collect())
     assert back.columns == ["id", "nama"]
     assert rows == [(1, "mandi"), (1, "mandi"), (2, "olahraga"), (2, "olahraga")]
+
+
+def test_http_json_happy_path_live_localhost(spark):
+    """S1 happy path over a REAL http connection: a stdlib http.server on
+    localhost serves the nested BMKG-shaped payload, fetch_json pulls it
+    through the DEFAULT urllib transport (UA header, timeout,
+    raise-on-non-2xx all on the live path), and dataframe_from_payload
+    types it — the full source chain with no mock seams."""
+    import http.server
+    import json as _json
+    import threading
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_lakehouse_hygiene_spark.sources import (
+        dataframe_from_payload,
+        fetch_json,
+    )
+
+    payload = {"status": "ok", "lokasi": "kota", "t": 27.5}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/weather.json":
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = _json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        got = fetch_json(
+            f"http://127.0.0.1:{port}/weather.json", status_field="status"
+        )
+        assert got == payload
+        schema = StructType(
+            [
+                StructField("status", StringType()),
+                StructField("lokasi", StringType()),
+                StructField("t", DoubleType()),
+            ]
+        )
+        df = dataframe_from_payload(spark, got, schema)
+        assert [tuple(r) for r in df.collect()] == [("ok", "kota", 27.5)]
+        # non-2xx raises on the same live path
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="HTTP 404"):
+            fetch_json(f"http://127.0.0.1:{port}/missing.json")
+    finally:
+        srv.shutdown()
+        srv.server_close()
