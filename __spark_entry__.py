@@ -3086,19 +3086,173 @@ GROUP BY a.method, a.query_id
 # Registry / driver contract
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Round-6 additions: C4-style corpus line dedup, Gopher quality rules,
+# Zipf vocabulary head, per-source duplication diagnostics
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is single-line, so the line-dedup registry query
+# derives PSEUDO-LINES first: a newline after every 8th token (regex applied
+# identically in both engines). Line granularity is then 8-token spans —
+# non-degenerate corpus-wide line dedup on this corpus; on real crawl data
+# the operator runs directly on "\n".
+_PSEUDO_LINE_PAT = r"((\S+ ){7}\S+) "
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style corpus-wide duplicate-line removal (keep first
+    occurrence). See ``dedup.line_dedup`` for the scale shape."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), _PSEUDO_LINE_PAT, "$1\n")
+    )
+    return dedup.line_dedup(docs)
+
+
+SQL_LINE_DEDUP = r"""
+WITH pl AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents),
+ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS la FROM pl),
+lines AS (
+  SELECT t.doc_id, g.i - 1 AS pos, t.la[g.i] AS line
+  FROM ls t, LATERAL (SELECT unnest(range(1, len(t.la) + 1)) AS i) g),
+k AS (
+  SELECT doc_id, pos, line,
+         length(line) >= 1 AS elig,
+         doc_id * 1000000000 + pos AS key,
+         min(CASE WHEN length(line) >= 1
+                  THEN doc_id * 1000000000 + pos END)
+           OVER (PARTITION BY line) AS min_key
+  FROM lines),
+kept AS (
+  SELECT doc_id, pos, line,
+         ((NOT elig) OR key = min_key) AS keep
+  FROM k)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE keep), '') AS clean_text,
+       CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
+         AS n_lines_removed
+FROM kept
+GROUP BY doc_id
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule flags + conjunctive pass verdict (Rae et al.
+    2021 §A1.1). See ``text.gopher_quality``."""
+    return text_ops.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+_GOPHER_SW_LIST = (
+    "[" + ", ".join(f"'{w}'" for w in text_ops.GOPHER_STOPWORDS) + "]"
+)
+
+SQL_GOPHER_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ts) AS n_words,
+         floor(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+               / len(ts) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+         floor(CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+               / len(ts) * 10000.0 + 0.5) / 10000.0 AS symbol_word_ratio,
+         floor(CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))
+                    AS DOUBLE)
+               / len(ts) * 10000.0 + 0.5) / 10000.0 AS alpha_word_ratio,
+         len(list_filter({_GOPHER_SW_LIST},
+                         w -> list_contains(ts, w))) AS stop_hits
+  FROM base)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_ratio,
+       stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_word_len,
+       (symbol_word_ratio <= 0.1) AS flag_symbol_ratio,
+       (alpha_word_ratio >= 0.8) AS flag_alpha_ratio,
+       (stop_hits >= 2) AS flag_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (symbol_word_ratio <= 0.1)
+        AND (alpha_word_ratio >= 0.8)
+        AND (stop_hits >= 2)) AS passes
+FROM m
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf vocabulary head: top-100 tokens with rank / share / cumulative
+    share. See ``text.vocab_topk``."""
+    return text_ops.vocab_topk(_t(spark, sf_dir, "documents"))
+
+
+SQL_VOCAB_TOPK = """
+WITH tf AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+tot AS (SELECT sum(freq) AS total FROM tf),
+top AS (
+  SELECT token, freq FROM tf ORDER BY freq DESC, token ASC LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INT) AS rank,
+       token, freq,
+       floor(CAST(freq AS DOUBLE) / CAST(t.total AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS share,
+       floor(CAST(sum(freq) OVER (ORDER BY freq DESC, token ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(t.total AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS cum_share
+FROM top, tot t
+"""
+
+
+def q_source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-rate + cross-source leakage diagnostics. See
+    ``dedup.source_dup_stats``."""
+    return dedup.source_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_DUP_STATS = """
+WITH per AS (
+  SELECT source, md5(text) AS hh, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, md5(text)),
+srcs AS (
+  SELECT hh, count(DISTINCT source) AS n_sources FROM per GROUP BY hh)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(cnt) - count(*) AS BIGINT) AS dup_docs,
+       floor(CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio,
+       CAST(sum(CASE WHEN s.n_sources >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+         AS cross_source_docs
+FROM per JOIN srcs s USING (hh)
+GROUP BY source
+"""
+
+
 # Registry order = verification priority, not build order: the driver's
 # per-round correctness sweep samples a ~50-entry PREFIX (rounds 3 and 4
 # checked the identical first 50), so the prefix must always hold (a) entries
 # whose code changed this round and (b) entries whose official driver record
-# is stalest. Round 6 rotation: 2 new entries (pii_scrub, ann_recall), then
+# is stalest. Round 6 rotation: the new entries (line_dedup, gopher_quality,
+# vocab_topk, source_dup_stats, pii_scrub, ann_recall, semantic_dedup), then
 # the 7 operators whose code paths changed this round, then the 16 rows whose
 # official record is still r01 (closing round 5's last staleness gap), then
 # the r04-checked rows; the 41 r05-green unchanged entries rotate to the
 # back. Every oracle-declared entry is additionally re-verified on every
 # local run by tests/test_oracle_parity.py regardless of position.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- NEW this round (r06): the last undeclared §2.11 operator plus
-    # -- the ANN retrieval-quality diagnostic --------------------------------
+    # -- NEW this round (r06): the last undeclared §2.11 operator, the ANN
+    # -- retrieval-quality diagnostic, and the round-6 pipeline additions
+    # -- (C4 line dedup, Gopher rules, Zipf head, source dup diagnostics) ----
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "source_dup_stats": (q_source_dup_stats, SQL_SOURCE_DUP_STATS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),

@@ -975,3 +975,112 @@ def substring_dedup_keep_first(
             .alias("n_tokens_removed"),
         )
     )
+
+
+# Positions-per-document bound for packing (doc_id, pos) into one orderable
+# BIGINT key: supports documents up to 1e9 lines and doc_ids up to ~9.2e9.
+LINE_STRIDE = 1_000_000_000
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    delim: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide duplicate-line removal, keep-first — the C4/CCNet line
+    dedup policy (Raffel et al. 2020 dedup "three-sentence spans"; Dolma /
+    CCNet apply it at line granularity): every distinct line keeps only its
+    globally first occurrence (smallest (doc_id, position)); later
+    occurrences — boilerplate headers, nav bars, cookie banners — are cut
+    from their documents. Lines shorter than ``min_chars`` (e.g. blank
+    separator lines) carry structure, not content, and are always kept.
+
+    Returns (doc_id, clean_text, n_lines_removed) for EVERY input document
+    (a fully-deduplicated document comes back with ``clean_text = ''``).
+
+    ``delim`` must be a plain literal with no regex metacharacters (it is
+    passed to ``split``'s pattern position).
+
+    Scale shape (one corpus scan, two exchanges): posexplode lines; the
+    global keep-first election is a MIN window PARTITIONED BY the line
+    string — each partition is one distinct line's occurrence list, which
+    is boilerplate-frequency-bounded, never corpus-bounded, and the
+    (doc_id, pos) pair packs into a single BIGINT so the election is one
+    primitive-typed window aggregate (no struct comparators); then one
+    hash exchange on doc_id rebuilds documents with an array_sort over the
+    per-doc line list (document-length-bounded). No joins, no global
+    windows, no driver state. At 100 TB the only skew risk is a
+    pathological line duplicated across most of the corpus ("\\n" noise is
+    already excluded by ``min_chars``); such a partition still only
+    carries (doc_id-key, flag) longs, ~16 B/occurrence.
+    """
+    lines = spread(df).select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("pos", "line"),
+    )
+    elig = F.length("line") >= min_chars
+    key = (F.col("doc_id") * F.lit(LINE_STRIDE) + F.col("pos")).cast("bigint")
+    min_key = F.min(F.when(elig, key)).over(Window.partitionBy("line"))
+    rows = lines.select(
+        "doc_id",
+        "pos",
+        "line",
+        (~elig | (key == min_key)).alias("__kept"),
+    )
+    agg = rows.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "__kept", "line"))).alias(
+            "ls"
+        )
+    )
+    clean = F.array_join(
+        F.expr("transform(filter(ls, s -> s.__kept), s -> s.line)"), delim
+    )
+    removed = F.size("ls") - F.expr("size(filter(ls, s -> s.__kept))")
+    return agg.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        removed.cast("bigint").alias("n_lines_removed"),
+    )
+
+
+def source_dup_stats(
+    df: DataFrame, text_col: str = "text", key_col: str = "source"
+) -> DataFrame:
+    """Per-source duplication diagnostics: within-source duplicate rate and
+    cross-source leakage (docs whose exact text also appears under a
+    DIFFERENT source) — the domain-level dup-rate report a crawl-curation
+    pipeline runs before mixing sources.
+
+    Scale shape: digest texts (md5, never the raw string on the wire),
+    one partial-agg rollup to (source, digest, cnt), a COUNT DISTINCT
+    window on the digest key for the cross-source fan-out (digest
+    partitions are duplicate-frequency-bounded), then one rollup to the
+    source grain — which is tiny by definition. No joins.
+    """
+    h = F.md5(F.col(text_col))
+    per = (
+        spread(df)
+        .select(F.col(key_col).alias("source"), h.alias("hh"))
+        .groupBy("source", "hh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_src = F.size(F.collect_set("source").over(Window.partitionBy("hh")))
+    wide = per.withColumn("n_sources", n_src)
+    out = wide.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("cnt") - F.count(F.lit(1))).alias("dup_docs"),
+        F.sum(F.when(F.col("n_sources") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "cross_source_docs"
+        ),
+    )
+    ratio = F.col("dup_docs").cast("double") / F.col("n_docs").cast("double")
+    return out.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("dup_docs").cast("bigint").alias("dup_docs"),
+        quantize(ratio, 6).alias("dup_ratio"),
+        F.col("cross_source_docs").cast("bigint").alias("cross_source_docs"),
+    )

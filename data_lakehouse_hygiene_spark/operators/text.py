@@ -475,3 +475,128 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return per_doc.select(
         "doc_id", "n_bigrams", quantize(score, 6).alias("lm_score")
     )
+
+
+# The Gopher rules' stopword list (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1 quality filtering): a document must
+# contain at least min_stop_hits DISTINCT words from this list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as per-document flag
+    columns plus the conjunctive ``passes`` verdict — the standard
+    pre-training quality gate (word-count bounds, mean word length 3–10,
+    hash/ellipsis symbol ratio, ≥80% words containing a letter, ≥2
+    distinct stopwords present).
+
+    Scale: pure per-row column algebra over one token projection — no
+    shuffle, runs at scan throughput. All fractional values floor-quantized
+    to 4 decimals BEFORE threshold comparison, so the flags are
+    engine-portable (the oracle compares the same quantized value).
+    """
+    df = project_tokens(df, text_col)
+    t = F.col(text_col)
+    toks = F.col("__toks")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    mean_wl = quantize(sum_len.cast("double") / n_words.cast("double"), 4)
+    n_sym = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit("\\.\\.\\.")
+    )
+    sym_ratio = quantize(
+        n_sym.cast("double") / n_words.cast("double"), 4
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_ratio = quantize(
+        n_alpha.cast("double") / n_words.cast("double"), 4
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stop_arr, lambda w: F.array_contains(toks, w))
+    )
+    f_wc = (n_words >= min_words) & (n_words <= max_words)
+    f_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    f_sym = sym_ratio <= max_symbol_word_ratio
+    f_alpha = alpha_ratio >= min_alpha_word_ratio
+    f_stop = stop_hits >= min_stop_hits
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        f_wc.alias("flag_word_count"),
+        f_wl.alias("flag_mean_word_len"),
+        f_sym.alias("flag_symbol_ratio"),
+        f_alpha.alias("flag_alpha_ratio"),
+        f_stop.alias("flag_stopwords"),
+        (f_wc & f_wl & f_sym & f_alpha & f_stop).alias("passes"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` most frequent tokens with
+    rank, corpus share, and cumulative share — the Zipf-head report a
+    tokenizer-budget / data-mixture analysis starts from. (No log-log
+    slope on purpose: libm ``log`` is not bit-stable across engines; rank
+    and share carry the same signal and are exact-integer + one correctly
+    rounded division each.)
+
+    Scale shape: explode → map-side-combined hash aggregate to the term
+    grain (vocabulary-bounded); the corpus total is a 1-row rollup of that
+    SAME term table (never a second corpus scan) broadcast back onto the
+    head. The top-k selection is TakeOrderedAndProject (never a full sort), and
+    only the ≤ top_k survivors pass through the single-partition ranking
+    window — bounded by ``top_k``, not by the vocabulary.
+    """
+    from pyspark.sql.window import Window as W
+
+    from .cleaning import spread
+
+    tf = (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").alias("__total"))
+    top = (
+        tf.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = W.orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "freq",
+        quantize(
+            F.col("freq").cast("double") / F.col("__total").cast("double"), 6
+        ).alias("share"),
+        quantize(
+            F.sum("freq").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).cast("double")
+            / F.col("__total").cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+    return ranked

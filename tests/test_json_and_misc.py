@@ -204,3 +204,119 @@ def test_bigram_lm_score_hand_computed(spark):
     r = rows[0]
     assert r["n_bigrams"] == 3
     assert abs(r["lm_score"] - 5 / 9) < 1e-6
+
+
+def test_line_dedup_keep_first_and_structure(spark):
+    """Corpus-wide duplicate-line removal: the globally first occurrence
+    (smallest (doc_id, pos)) of each line survives, later occurrences are
+    cut; sub-min_chars lines (blank separators) always survive; a fully
+    deduplicated document comes back as ''."""
+    from data_lakehouse_hygiene_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "alpha line\nshared boilerplate\nunique one"),
+        (2, "shared boilerplate\n\nunique two"),
+        (3, "shared boilerplate"),
+        (4, "alpha line\nshared boilerplate"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert got[1]["clean_text"] == "alpha line\nshared boilerplate\nunique one"
+    assert got[1]["n_lines_removed"] == 0
+    # doc 2 loses the boilerplate but keeps its blank separator line
+    assert got[2]["clean_text"] == "\nunique two"
+    assert got[2]["n_lines_removed"] == 1
+    # doc 3 is nothing but the boilerplate -> fully removed
+    assert got[3]["clean_text"] == "" and got[3]["n_lines_removed"] == 1
+    assert got[4]["clean_text"] == "" and got[4]["n_lines_removed"] == 2
+
+
+def test_line_dedup_matches_python_replay(spark):
+    """Independent Python replay of the keep-first policy on a generated
+    corpus (deterministic seed, heavy cross-doc line reuse)."""
+    import random
+
+    from data_lakehouse_hygiene_spark.operators.dedup import line_dedup
+
+    rng = random.Random(42)
+    pool = [f"line {i} content" for i in range(12)]
+    rows = [
+        (d, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 8))))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+
+    seen: set[str] = set()
+    for d, text in rows:  # rows are already in (doc_id, pos) order
+        keep = []
+        removed = 0
+        for line in text.split("\n"):
+            if len(line) < 1:
+                keep.append(line)
+            elif line not in seen:
+                seen.add(line)
+                keep.append(line)
+            else:
+                removed += 1
+        assert got[d]["clean_text"] == "\n".join(keep)
+        assert got[d]["n_lines_removed"] == removed
+
+
+def test_gopher_quality_flags(spark):
+    """Each Gopher rule triggers independently on a crafted doc."""
+    from data_lakehouse_hygiene_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox jumps over that lazy dog with " * 6
+    rows = [
+        (1, good.strip()),                      # passes everything
+        (2, "the of short"),                    # word count too low
+        (3, ("a " * 59 + "the of").strip()),    # mean word length < 3
+        (4, ("### " * 30 + good).strip()),      # symbol ratio too high
+        (5, ("123 " * 50 + "the of").strip()),  # alpha-word ratio < 0.8
+        (6, ("zebra " * 60).strip()),           # no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[1]["passes"]
+    assert not got[2]["flag_word_count"] and not got[2]["passes"]
+    assert not got[3]["flag_mean_word_len"] and not got[3]["passes"]
+    assert not got[4]["flag_symbol_ratio"] and not got[4]["passes"]
+    assert not got[5]["flag_alpha_ratio"] and not got[5]["passes"]
+    assert not got[6]["flag_stopwords"] and not got[6]["passes"]
+
+
+def test_vocab_topk_ranks_and_shares(spark):
+    """Rank by freq desc then token asc; share/cum_share quantized."""
+    from data_lakehouse_hygiene_spark.operators.text import vocab_topk
+
+    rows = [(1, "b b b a a c"), (2, "a c d")]  # a:3 b:3 c:2 d:1, total 9
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = vocab_topk(df, top_k=3).orderBy("rank").collect()
+    assert [(r["rank"], r["token"], r["freq"]) for r in got] == [
+        (1, "a", 3),
+        (2, "b", 3),
+        (3, "c", 2),
+    ]
+    assert got[0]["share"] == 0.333333
+    assert got[2]["cum_share"] == 0.888889
+
+
+def test_source_dup_stats_cross_source(spark):
+    """Within-source dup rate + cross-source leakage counting."""
+    from data_lakehouse_hygiene_spark.operators.dedup import source_dup_stats
+
+    rows = [
+        (1, "shared text", "s1"),
+        (2, "shared text", "s2"),
+        (3, "shared text", "s2"),
+        (4, "only in s1", "s1"),
+        (5, "only in s2", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r for r in source_dup_stats(df).collect()}
+    assert got["s1"]["n_docs"] == 2 and got["s1"]["dup_docs"] == 0
+    assert got["s1"]["cross_source_docs"] == 1
+    assert got["s2"]["n_docs"] == 3 and got["s2"]["n_distinct"] == 2
+    assert got["s2"]["dup_docs"] == 1 and got["s2"]["dup_ratio"] == 0.333333
+    assert got["s2"]["cross_source_docs"] == 2
