@@ -3209,6 +3209,40 @@ FROM top, tot t
 """
 
 
+def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-language perplexity terciles (head/middle/tail) over the
+    corpus-trained bigram LM. See ``text.ccnet_buckets`` for why the
+    election is value-bounded, never a per-language global sort."""
+    return text_ops.ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+SQL_CCNET_BUCKET = f"""
+WITH lm AS (SELECT * FROM ({SQL_BIGRAM_LM_SCORE}) x),
+lab AS (
+  SELECT l.doc_id, d.lang, l.lm_score
+  FROM lm l JOIN documents d USING (doc_id)),
+dist AS (
+  SELECT lang, lm_score, CAST(count(*) AS BIGINT) AS cnt
+  FROM lab GROUP BY lang, lm_score),
+cumt AS (
+  SELECT lang, lm_score,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY lang
+                ORDER BY lm_score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+  FROM dist),
+b AS (
+  SELECT lang, lm_score,
+         CASE WHEN cum * 3 < n_lang THEN 'head'
+              WHEN cum * 3 < n_lang * 2 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM cumt)
+SELECT l.doc_id, l.lang, l.lm_score, b.ppl_bucket
+FROM lab l JOIN b USING (lang, lm_score)
+"""
+
+
 def q_source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplicate-rate + cross-source leakage diagnostics. See
     ``dedup.source_dup_stats``."""
@@ -3250,6 +3284,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- retrieval-quality diagnostic, and the round-6 pipeline additions
     # -- (C4 line dedup, Gopher rules, Zipf head, source dup diagnostics) ----
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "ccnet_bucket": (q_ccnet_bucket, SQL_CCNET_BUCKET),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "source_dup_stats": (q_source_dup_stats, SQL_SOURCE_DUP_STATS),

@@ -96,6 +96,11 @@ HEADLINE = [
     "range_join",
     "cdc_apply",
     "gap_fill",
+    "line_dedup",
+    "gopher_quality",
+    "vocab_topk",
+    "source_dup_stats",
+    "ccnet_bucket",
 ]
 
 

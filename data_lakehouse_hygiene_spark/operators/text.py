@@ -600,3 +600,53 @@ def vocab_topk(
         ).alias("cum_share"),
     )
     return ranked
+
+
+def ccnet_buckets(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    score every document with the corpus-trained bigram LM
+    (``bigram_lm_score`` — avg conditional probability, monotone in
+    perplexity), then label each document head / middle / tail by its
+    language-relative tercile. CCNet keeps "head" as the high-quality cut.
+
+    Scale shape — NO per-language global sort: the tercile election runs
+    on the (lang, lm_score) DISTINCT-VALUE distribution, which is
+    VALUE-bounded (lm_score is 6-decimal-quantized into [0,1], so ≤ 1e6+1
+    rows per language regardless of corpus size), never corpus-bounded.
+    cum_better = count of strictly-better-scored docs in the language (a
+    windowed prefix sum over the distinct-value table); a document lands
+    in head if 3·cum_better < n_lang, middle if < 2·n_lang, else tail —
+    tie groups share cum_better, so equal scores always share a bucket
+    (deterministic, engine-portable). The finished (lang, score → bucket)
+    table broadcasts back onto the scored corpus.
+    """
+    from pyspark.sql.window import Window as W
+
+    scored = bigram_lm_score(df, text_col)
+    labeled = scored.join(
+        df.select("doc_id", F.col(lang_col).alias("lang")), "doc_id"
+    )
+    dist = labeled.groupBy("lang", "lm_score").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_prev = (
+        W.partitionBy("lang")
+        .orderBy(F.col("lm_score").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_lang = W.partitionBy("lang")
+    cum = F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).cast("bigint")
+    n_lang = F.sum("cnt").over(w_lang).cast("bigint")
+    buckets = dist.select(
+        "lang",
+        "lm_score",
+        F.when(cum * 3 < n_lang, F.lit("head"))
+        .when(cum * 3 < n_lang * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    return labeled.join(
+        F.broadcast(buckets), ["lang", "lm_score"]
+    ).select("doc_id", "lang", "lm_score", "ppl_bucket")

@@ -320,3 +320,53 @@ def test_source_dup_stats_cross_source(spark):
     assert got["s2"]["n_docs"] == 3 and got["s2"]["n_distinct"] == 2
     assert got["s2"]["dup_docs"] == 1 and got["s2"]["dup_ratio"] == 0.333333
     assert got["s2"]["cross_source_docs"] == 2
+
+
+def test_ccnet_buckets_terciles(spark):
+    """Per-language tercile labels: monotone in lm_score, balanced when
+    scores are distinct, tie groups share a bucket."""
+    from data_lakehouse_hygiene_spark.operators.text import ccnet_buckets
+
+    # 6 en docs engineered to have distinct bigram-LM scores (varying
+    # amounts of corpus-frequent vs corpus-rare bigrams), plus 2 tied
+    # single-bigram de docs that must share a bucket.
+    rows = [
+        (1, "x y x y x y x y", "en"),
+        (2, "x y x y x y q r", "en"),
+        (3, "x y x y q r s t", "en"),
+        (4, "x y q r s t u v", "en"),
+        (5, "q r s t u v w a", "en"),
+        (6, "m n o p c d e f", "en"),
+        (7, "x y", "de"),
+        (8, "x y", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = ccnet_buckets(df).collect()
+    assert len(got) == 8
+
+    # Independent Python replay of the tercile rule on the observed scores:
+    # cum_better = docs in the language with a strictly higher score.
+    by_lang: dict = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        for r in rs:
+            cum = sum(1 for o in rs if o["lm_score"] > r["lm_score"])
+            want = (
+                "head"
+                if cum * 3 < n
+                else ("middle" if cum * 3 < 2 * n else "tail")
+            )
+            assert r["ppl_bucket"] == want, (lang, r)
+
+    # monotone: ordering en docs by score desc orders the labels
+    order = {"head": 0, "middle": 1, "tail": 2}
+    en = sorted(by_lang["en"], key=lambda r: (-r["lm_score"], r["doc_id"]))
+    labels = [r["ppl_bucket"] for r in en]
+    assert labels == sorted(labels, key=order.__getitem__)
+    assert labels[0] == "head" and labels[-1] == "tail"
+    # tie group: identical scores -> identical bucket (and with ALL de docs
+    # tied at the top, cum_better=0 -> everyone is head)
+    de = by_lang["de"]
+    assert len(de) == 2 and {r["ppl_bucket"] for r in de} == {"head"}
