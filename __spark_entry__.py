@@ -3209,6 +3209,37 @@ FROM top, tot t
 """
 
 
+def q_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal transform round-trip: synthesized BMP/WAV payloads
+    are resized (nearest-neighbor ÷2) / frame-sampled (every 4th sample)
+    by ``multimodal.transform_media``, then RE-DECODED by the real header
+    parser. The oracle states the post-transform geometry as closed-form
+    functions of (doc_id, length(text)) — a hash match proves the
+    transform emitted valid containers with exactly the right shape."""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_features(
+        multimodal.transform_media(media, scale_div=2, sample_every=4)
+    )
+
+
+SQL_MEDIA_TRANSFORM = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+         AS media_type,
+       CASE WHEN doc_id % 2 = 0
+            THEN greatest(1, (1 + doc_id % 16) // 2) END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN greatest(1, (1 + doc_id % 8) // 2) END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(24 AS BIGINT) END AS bpp,
+       CASE WHEN doc_id % 2 = 1
+            THEN (8000 + 4000 * (doc_id % 4)) // 4 END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(1 AS BIGINT) END AS n_channels,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST((length(text) + 3) // 4 AS BIGINT) END AS n_samples
+FROM documents
+"""
+
+
 def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet per-language perplexity terciles (head/middle/tail) over the
     corpus-trained bigram LM. See ``text.ccnet_buckets`` for why the
@@ -3285,6 +3316,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- (C4 line dedup, Gopher rules, Zipf head, source dup diagnostics) ----
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "ccnet_bucket": (q_ccnet_bucket, SQL_CCNET_BUCKET),
+    "media_transform": (q_media_transform, SQL_MEDIA_TRANSFORM),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "source_dup_stats": (q_source_dup_stats, SQL_SOURCE_DUP_STATS),

@@ -370,3 +370,49 @@ def test_ccnet_buckets_terciles(spark):
     # tied at the top, cum_better=0 -> everyone is head)
     de = by_lang["de"]
     assert len(de) == 2 and {r["ppl_bucket"] for r in de} == {"head"}
+
+
+def test_resize_bmp_exact_pixels():
+    """Nearest-neighbor BMP resize: exact pixel mapping vs an independent
+    Python replay, and the output is a valid container per the decoder."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _resize_bmp,
+        decode_media,
+        make_bmp,
+    )
+
+    w, h = 7, 5
+    src = make_bmp(w, h, seed=3)
+    out = _resize_bmp(src, 2)
+    meta = decode_media(out, "image/bmp")
+    ow, oh = w // 2, h // 2
+    assert (meta["width"], meta["height"], meta["bpp"]) == (ow, oh, 24)
+
+    in_stride = (3 * w + 3) // 4 * 4
+    out_stride = (3 * ow + 3) // 4 * 4
+    src_px = src[54:]
+    out_px = out[54:]
+    for y in range(oh):
+        for x in range(ow):
+            sx = (y * h // oh) * in_stride + (x * w // ow) * 3
+            dx = y * out_stride + x * 3
+            assert out_px[dx : dx + 3] == src_px[sx : sx + 3], (x, y)
+
+
+def test_decimate_wav_exact_samples():
+    """Frame sampling keeps exactly every k-th byte and rewrites the rate;
+    the output re-decodes as a valid WAV."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _decimate_wav,
+        decode_media,
+        make_wav,
+    )
+
+    src = make_wav(8000, 13, seed=5)
+    out = _decimate_wav(src, 4)
+    meta = decode_media(out, "audio/wav")
+    assert meta["sample_rate"] == 2000
+    assert meta["n_samples"] == (13 + 3) // 4 == 4
+    src_data = src[44:]  # canonical 44-byte header from make_wav
+    out_data = out[44:]
+    assert out_data == src_data[::4]

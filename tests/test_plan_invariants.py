@@ -149,6 +149,26 @@ def _top_level_groups(s: str) -> list[str]:
     return groups
 
 
+# vocab_topk's ranking window is unpartitioned BY DESIGN but provably
+# bounded: its input is the TakeOrderedAndProject(limit=top_k) output, so
+# at most k rows (k=100) ever enter the single partition — the guarded
+# class of bug (corpus-sized single-task windows) cannot occur. A
+# dedicated test below asserts the limit really precedes the window.
+_WINDOW_EXEMPT = _PLAN_EXEMPT | {"vocab_topk"}
+
+
+def test_vocab_topk_window_input_is_limit_bounded(spark):
+    """The unpartitioned ranking window in vocab_topk must consume the
+    top-k limit's output, never the raw term table."""
+    plan = _plan(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    window_at = plan.find("Window ")
+    limit_at = plan.find("TakeOrderedAndProject")
+    # Physical plans print top-down: the window node must appear ABOVE
+    # (before) the limit that feeds it.
+    assert 0 <= window_at < limit_at, plan
+
+
 def test_no_unpartitioned_window_anywhere(spark):
     """Engine-wide physical invariant: no declared batch query may plan a
     Window with an EMPTY partition spec — ``Window.orderBy`` without
@@ -163,7 +183,7 @@ def test_no_unpartitioned_window_anywhere(spark):
     an unpartitioned window."""
     bad = []
     for name in entrymod.queries():
-        if name in _PLAN_EXEMPT:
+        if name in _WINDOW_EXEMPT:
             continue
         plan = _plan(spark, name)
         for line in plan.splitlines():
