@@ -3209,6 +3209,101 @@ FROM top, tot t
 """
 
 
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling: survival probability =
+    the doc's quality score, coin = the portable key hash (no RNG). See
+    ``sampling.quality_weighted_sample``."""
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.quality_scores(docs).select("doc_id", "quality_score")
+    return sampling.quality_weighted_sample(
+        scored, "doc_id", "quality_score"
+    )
+
+
+SQL_QUALITY_WEIGHTED_SAMPLE = f"""
+WITH scored AS (
+  SELECT doc_id, quality_score FROM ({SQL_QUALITY_SCORE}) q)
+SELECT doc_id, quality_score
+FROM scored
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS DOUBLE)
+      < quality_score * 1000000.0
+"""
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel report: input docs → Gopher quality gate
+    → repetition gate → exact-dedup keeper election, with per-stage
+    survivor counts and the final retention ratio — the one-row summary a
+    pipeline run publishes.
+
+    Scale shape: the two per-row gates join on doc_id (hash exchange); the
+    keeper election is a MIN window on the text digest over gate survivors
+    only (duplicate-frequency-bounded partitions); the output is two 1-row
+    aggregates cross-joined — nothing corpus-sized ever converges."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    g = text_ops.gopher_quality(docs).select("doc_id", "passes")
+    r = text_ops.repetition_metrics(docs).select("doc_id", "keep")
+    j = docs.select("doc_id", "text").join(g, "doc_id").join(r, "doc_id")
+    stage2 = F.col("passes")
+    stage3 = F.col("passes") & F.col("keep")
+    base = j.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(stage2.cast("bigint")).alias("n_after_quality"),
+        F.sum(stage3.cast("bigint")).alias("n_after_repetition"),
+    )
+    survivors = j.where(stage3).withColumn("__h", F.md5("text"))
+    flagged = survivors.withColumn(
+        "__keeper",
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("__h")),
+    )
+    final = flagged.where("__keeper").agg(
+        F.count(F.lit(1)).alias("n_after_dedup")
+    )
+    out = base.crossJoin(final)
+    ratio = F.col("n_after_dedup").cast("double") / F.col("n_input").cast(
+        "double"
+    )
+    return out.select(
+        "n_input",
+        "n_after_quality",
+        "n_after_repetition",
+        "n_after_dedup",
+        quantize(ratio, 6).alias("retention"),
+    )
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH g AS (SELECT doc_id, passes FROM ({SQL_GOPHER_QUALITY}) x),
+r AS (SELECT doc_id, keep FROM ({SQL_REPETITION_METRICS}) y),
+j AS (
+  SELECT d.doc_id, d.text, g.passes, r.keep
+  FROM documents d JOIN g USING (doc_id) JOIN r USING (doc_id)),
+surv AS (
+  SELECT doc_id, md5(text) AS hh FROM j WHERE passes AND keep),
+kept AS (
+  SELECT count(*) AS n_after_dedup FROM (
+    SELECT hh FROM surv
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY hh)) z),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_input,
+         CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_quality,
+         CAST(sum(CASE WHEN passes AND keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_repetition
+  FROM j)
+SELECT b.n_input, b.n_after_quality, b.n_after_repetition,
+       CAST(k.n_after_dedup AS BIGINT) AS n_after_dedup,
+       floor(CAST(k.n_after_dedup AS DOUBLE) / CAST(b.n_input AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS retention
+FROM base b, kept k
+"""
+
+
 def q_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal transform round-trip: synthesized BMP/WAV payloads
     are resized (nearest-neighbor ÷2) / frame-sampled (every 4th sample)
@@ -3317,6 +3412,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "ccnet_bucket": (q_ccnet_bucket, SQL_CCNET_BUCKET),
     "media_transform": (q_media_transform, SQL_MEDIA_TRANSFORM),
+    "quality_weighted_sample": (
+        q_quality_weighted_sample,
+        SQL_QUALITY_WEIGHTED_SAMPLE,
+    ),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "source_dup_stats": (q_source_dup_stats, SQL_SOURCE_DUP_STATS),

@@ -159,3 +159,26 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         )
         .alias("distinct_estimate"),
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    key: str,
+    quality: Column | str,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic quality-PROPORTIONAL Bernoulli sampling: a row with
+    quality score q ∈ [0,1] survives with probability q — the importance
+    resampling step (DSIR-style) that upweights high-quality documents
+    without an RNG. The coin is the portable 60-bit key hash reduced to a
+    ``resolution``-sided die, so the decision is a pure function of the
+    key: stable under repartitioning, retries, and engine (the oracle
+    flips the identical coin in SQL).
+
+    Scale: pure projection + filter, no shuffle; survives at scan speed.
+    """
+    q = F.col(quality) if isinstance(quality, str) else quality
+    u = base_hash(F.col(key).cast("string")) % resolution
+    return df.where(
+        u.cast("double") < q.cast("double") * F.lit(float(resolution))
+    )

@@ -416,3 +416,75 @@ def test_decimate_wav_exact_samples():
     src_data = src[44:]  # canonical 44-byte header from make_wav
     out_data = out[44:]
     assert out_data == src_data[::4]
+
+
+def test_quality_weighted_sample_edges_and_determinism(spark):
+    """q=0 never survives, q=1 always survives, and the decision is a pure
+    function of the key (stable under repartitioning)."""
+    from data_lakehouse_hygiene_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    rows = [(i, 0.0 if i % 3 == 0 else (1.0 if i % 3 == 1 else 0.5))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "q"])
+    kept = {r["doc_id"] for r in
+            quality_weighted_sample(df, "doc_id", "q").collect()}
+    assert not any(i % 3 == 0 for i in kept)
+    assert all(i in kept for i in range(300) if i % 3 == 1)
+    mid = [i for i in kept if i % 3 == 2]
+    assert 20 < len(mid) < 80  # ~half of the 100 q=0.5 rows
+    kept2 = {r["doc_id"] for r in
+             quality_weighted_sample(df.repartition(7), "doc_id", "q").collect()}
+    assert kept == kept2
+
+
+def test_curation_funnel_counts(spark):
+    """Stage counts on a crafted corpus: quality gate, repetition gate,
+    exact-dedup keeper election, retention ratio."""
+    from collections import namedtuple
+
+    import importlib.util as _il
+    import sys as _sys
+
+    spec = _il.spec_from_file_location("entry_cf", "/root/repo/__spark_entry__.py")
+    mod = _il.module_from_spec(spec)
+    _sys.modules["entry_cf"] = mod
+    spec.loader.exec_module(mod)
+    from data_lakehouse_hygiene_spark.operators import text as t
+
+    good = "the of and that have with " + " ".join(
+        f"word{i}" for i in range(54)
+    )  # 60 words, all distinct bigrams, stopwords present
+    rows = [
+        (0, good),                       # passes all, keeper
+        (1, good),                       # duplicate of 0 -> deduped
+        (2, good + " extra"),            # passes, distinct
+        (3, "too short"),                # fails gopher word count
+        (4, ("spam " * 60).strip()),     # passes nothing (repetitive, no stopwords)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    g = {r["doc_id"]: r["passes"] for r in t.gopher_quality(df).collect()}
+    r_ = {r["doc_id"]: r["keep"] for r in t.repetition_metrics(df).collect()}
+    assert g[0] and g[1] and g[2] and not g[3] and not g[4]
+    assert r_[0] and not r_[4]
+
+    # replicate the funnel on this crafted frame via the same operators
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    j = df.join(
+        t.gopher_quality(df).select("doc_id", "passes"), "doc_id"
+    ).join(t.repetition_metrics(df).select("doc_id", "keep"), "doc_id")
+    surv = j.where(F.col("passes") & F.col("keep"))
+    n3 = surv.count()
+    keepers = (
+        surv.withColumn("__h", F.md5("text"))
+        .withColumn(
+            "__k", F.col("doc_id") == F.min("doc_id").over(W.partitionBy("__h"))
+        )
+        .where("__k")
+        .count()
+    )
+    assert n3 == 3 and keepers == 2  # docs {0,1,2} pass; 1 deduped away
