@@ -3209,6 +3209,26 @@ FROM top, tot t
 """
 
 
+def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup suppression: the documents stream doubled (every
+    doc arrives twice), per-row rolling-fingerprinted, then collapsed by
+    ``dropDuplicatesWithinWatermark`` on the fingerprint. Output = the
+    distinct fingerprint set (arrival-order-free, so batch-SQL-checkable);
+    the doubled input proves the stateful suppression actually fires."""
+    from data_lakehouse_hygiene_spark import streaming
+
+    pin_session(spark)
+    s1 = streaming.load_stream_table(spark, sf_dir, "documents")
+    s2 = streaming.load_stream_table(spark, sf_dir, "documents")
+    out = streaming.near_dup_stream(s1.union(s2))
+    return streaming.run_to_memory(out, output_mode="append")
+
+
+SQL_STREAMING_NEAR_DUP = f"""
+SELECT DISTINCT rolling_fp FROM ({SQL_DOC_FINGERPRINT}) f
+"""
+
+
 def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-proportional deterministic sampling: survival probability =
     the doc's quality score, coin = the portable key hash (no RNG). See
@@ -3417,6 +3437,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SQL_QUALITY_WEIGHTED_SAMPLE,
     ),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "streaming_near_dup": (q_streaming_near_dup, SQL_STREAMING_NEAR_DUP),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "source_dup_stats": (q_source_dup_stats, SQL_SOURCE_DUP_STATS),

@@ -144,17 +144,28 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(*sel)
 
 
-def fingerprints(df: DataFrame, text_col: str = "text", window: int = 5) -> DataFrame:
+def fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 5,
+    spread_input: bool = True,
+) -> DataFrame:
     """Document fingerprinting: full-text md5 plus a rolling-window min-hash
     (winnowing-style): min over md5 of every ``window``-token shingle.
 
     Near-identical documents that differ by a few tokens still collide on
     the rolling fingerprint with high probability; the full md5 catches
     exact duplicates only.
-    """
-    from .cleaning import spread
 
-    df = project_tokens(spread(df), text_col)
+    Pure per-row projection (aside from the optional batch-only ``spread``
+    repartition), so it also runs on a STREAMING DataFrame with
+    ``spread_input=False`` — the basis of ``streaming.near_dup_stream``.
+    """
+    if spread_input:
+        from .cleaning import spread
+
+        df = spread(df)
+    df = project_tokens(df, text_col)
     t = F.col(text_col)
     toks = F.col("__toks")
     n = F.size(toks)

@@ -236,3 +236,46 @@ def dedup_stream(
     return src.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def near_dup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    delay: str = "365 days",
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: each arriving document gets a
+    per-row rolling min-hash fingerprint (``text.fingerprints`` — a pure
+    projection, no aggregation, so it runs on an unbounded stream), and
+    ``dropDuplicatesWithinWatermark`` keyed on the fingerprint emits only
+    the first document of each near-dup family seen inside the watermark
+    horizon — the streaming half of the near-dup dedup family, with
+    state bounded by the delay window instead of the stream.
+
+    ``ts_col=None`` synthesizes a deterministic event time from doc_id
+    (corpus tables carry no timestamp); real feeds pass their ingest
+    column. Emitted columns are (rolling_fp) only: WHICH doc of a family
+    is first is an arrival-order fact, the SET of families is not —
+    keeping the output deterministic and batch-SQL-checkable (distinct
+    fingerprints).
+    """
+    from ..operators.text import fingerprints
+
+    fp = fingerprints(docs, text_col, spread_input=False).select(
+        "doc_id", "rolling_fp"
+    )
+    if ts_col is None:
+        fp = fp.withColumn(
+            "__ts",
+            F.expr(
+                "timestampadd(SECOND, cast(doc_id % 86400 as int),"
+                " timestamp'2024-01-01 00:00:00')"
+            ),
+        )
+        ts_col = "__ts"
+    return (
+        fp.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["rolling_fp"])
+        .select("rolling_fp")
+    )

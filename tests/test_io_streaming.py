@@ -325,3 +325,53 @@ def test_foreach_batch_recompute_matches_batch(spark):
     ev = streaming.load_stream_table(spark, SF_SMOKE, "events")
     streaming.foreach_batch_recompute(ev, recompute)
     assert tuple(got["row"]) == tuple(batch_row)
+
+
+def test_near_dup_stream_suppresses_families(spark, tmp_path):
+    """A stream containing an exact dup, a near-dup (one token changed in
+    the middle of a long doc), and a distinct doc collapses to one
+    fingerprint per family; the distinct doc survives separately."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok20", "tokX")  # rolling min-hash likely shared
+    rows = [
+        (0, base),
+        (1, base),        # exact dup of 0
+        (2, near),        # near-dup of 0
+        (3, " ".join(f"other{i}" for i in range(40))),
+    ]
+    import pandas as pd
+
+    src = tmp_path / "documents.parquet"
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src)
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(str(tmp_path))
+    )
+    out = streaming.near_dup_stream(stream)
+    got = {
+        r["rolling_fp"]
+        for r in streaming.run_to_memory(out, output_mode="append").collect()
+    }
+
+    from data_lakehouse_hygiene_spark.operators.text import fingerprints
+
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: r["rolling_fp"] for r in fingerprints(batch).collect()
+    }
+    assert fps[0] == fps[1]  # exact dup shares the fp by construction
+    # the suppression emitted exactly the distinct fingerprint families
+    assert got == set(fps.values())
+    assert fps[3] in got and len(got) <= 3
