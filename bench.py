@@ -101,6 +101,7 @@ HEADLINE = [
     "vocab_topk",
     "source_dup_stats",
     "ccnet_bucket",
+    "curation_funnel",
 ]
 
 

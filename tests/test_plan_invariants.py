@@ -109,6 +109,7 @@ _PLAN_EXEMPT = {
     "streaming_sliding_window",
     "streaming_session_window",
     "streaming_dedup",
+    "streaming_near_dup",
     "dedup_clusters",
 }
 
