@@ -211,13 +211,29 @@ def main() -> None:
         "n_passes": N_PASSES,
         "sf": sf,
     }
-    with open(os.path.join(here, detail_name), "w") as fh:
+    # SPARK_GRAFT_QUERIES subset runs MERGE into the existing detail file
+    # instead of replacing it: a 2-query probe must not erase the
+    # full-headline record (same clobber class as the sf-name guard below).
+    detail_path = os.path.join(here, detail_name)
+    if subset and os.path.exists(detail_path):
+        with open(detail_path) as fh:
+            detail_prev = json.load(fh)
+        for k in ("queries", "spark_runs", "spark_spread", "duckdb_sec",
+                  "ratio_vs_duckdb"):
+            merged = dict(detail_prev.get(k) or {})
+            merged.update(detail.get(k) or {})
+            detail[k] = merged
+        detail["spark_total"] = round(sum(detail["queries"].values()), 3)
+        detail["duckdb_total"] = round(sum(detail["duckdb_sec"].values()), 3)
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     # Canonical latest (what the judge reads) — refreshed ONLY by the
-    # default-sf run, so a one-off sf=1 rehearsal can't clobber the
-    # canonical sf0.1 numbers.
+    # default-sf FULL-headline run, so neither a one-off sf=1 rehearsal
+    # nor a subset probe can clobber the canonical sf0.1 numbers.
     default_sf_dir = "/root/testdata/sf0.1"
-    if detail_name != "BENCH_DETAIL.json" and sf_dir.rstrip("/") == default_sf_dir:
+    if (detail_name != "BENCH_DETAIL.json"
+            and not subset
+            and sf_dir.rstrip("/") == default_sf_dir):
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1)
     # Driver contract wants per-query timings on the line; the driver's
