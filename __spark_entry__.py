@@ -3209,6 +3209,75 @@ FROM top, tot t
 """
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer-space Lloyd k-means (k=4, 2 iterations) over
+    the embeddings table — the coarse-quantizer trainer for the IVF
+    family. See ``similarity.kmeans_fit_assign`` for why every iteration
+    is bit-identical across engines."""
+    return similarity.kmeans_fit_assign(
+        _t(spark, sf_dir, "embeddings"), k=4, n_iter=2
+    )
+
+
+def _sql_kmeans(k: int = 4, n_iter: int = 2) -> str:
+    """Generate the DuckDB replay of the deterministic k-means: the same
+    init (k lowest vec_ids), the same exact-integer distances, the same
+    floor(sum/count) centroid update, iteration by iteration."""
+    s = similarity.KMEANS_SCALE
+    dist = (
+        "list_sum(list_transform(range(1, len(v.qv) + 1),"
+        " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])))"
+    )
+    parts = [
+        "q AS (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {s}.0 + 0.5) AS BIGINT))"
+        " AS qv FROM embeddings)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1"
+        " AS cluster, qv AS cv FROM"
+        f" (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}) t)",
+    ]
+    prev = "c0"
+    for it in range(n_iter):
+        parts.append(
+            f"a{it} AS (\n  SELECT * FROM (\n"
+            f"    SELECT v.vec_id, v.qv, c.cluster, {dist} AS dist\n"
+            f"    FROM q v, {prev} c) z\n"
+            "  QUALIFY row_number() OVER (PARTITION BY vec_id"
+            " ORDER BY dist, cluster) = 1)"
+        )
+        parts.append(
+            f"s{it} AS (\n  SELECT cluster, g.i AS pos, sum(qv[g.i]) AS s,"
+            " count(*) AS c\n"
+            f"  FROM a{it}, LATERAL (SELECT unnest(range(1, len(qv) + 1))"
+            " AS i) g\n  GROUP BY cluster, g.i)"
+        )
+        parts.append(
+            f"u{it} AS (\n  SELECT cluster,"
+            " list(CAST(floor(CAST(s AS DOUBLE) / c) AS BIGINT)"
+            " ORDER BY pos) AS cv\n"
+            f"  FROM s{it} GROUP BY cluster)"
+        )
+        # an emptied cluster keeps its previous centroid (engine parity
+        # with the Spark driver loop; cannot fire on this corpus but the
+        # rule must match exactly)
+        parts.append(
+            f"c{it + 1} AS (\n  SELECT p.cluster, coalesce(u.cv, p.cv) AS cv\n"
+            f"  FROM {prev} p LEFT JOIN u{it} u USING (cluster))"
+        )
+        prev = f"c{it + 1}"
+    final = (
+        "SELECT vec_id, cluster, dist FROM (\n"
+        f"  SELECT v.vec_id, c.cluster, {dist} AS dist\n"
+        f"  FROM q v, {prev} c) z\n"
+        "QUALIFY row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY dist, cluster) = 1"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+SQL_KMEANS_ASSIGN = _sql_kmeans()
+
+
 def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup suppression: the documents stream doubled (every
     doc arrives twice), per-row rolling-fingerprinted, then collapsed by
@@ -3438,6 +3507,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "streaming_near_dup": (q_streaming_near_dup, SQL_STREAMING_NEAR_DUP),
+    "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "source_dup_stats": (q_source_dup_stats, SQL_SOURCE_DUP_STATS),

@@ -539,3 +539,98 @@ def semantic_dedup(
         F.min("vec_a").alias("dup_of"),
         F.expr("min_by(cosine, vec_a)").alias("cosine"),
     )
+
+
+# Component quantization for the deterministic k-means: integer units of
+# 1e-6. Distances are exact BIGINTs (dim 64 × (6e5)² ≈ 2.3e13 ≪ 2^63), so
+# assignment and centroid updates are bit-identical in any engine — no
+# float-sum order dependence anywhere in the loop.
+KMEANS_SCALE = 1_000_000
+
+
+def _kq(v: Column) -> Column:
+    return F.transform(
+        v,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)
+        ).cast("bigint"),
+    )
+
+
+def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """One assignment pass: exact integer squared distance to each centroid
+    (centroids ship as literal arrays — the model broadcasts INSIDE the
+    plan, no join), argmin with ties to the lowest cluster index."""
+    dists = []
+    for ci, c in enumerate(cents):
+        lit = F.array(*[F.lit(int(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda s, v: s + v,
+        )
+        dists.append(d.alias(f"__d{ci}"))
+    withd = q.select("vec_id", "qv", *dists)
+    best = F.least(*[F.col(f"__d{ci}") for ci in range(len(cents))])
+    cluster = F.lit(None).cast("int")
+    for ci in reversed(range(len(cents))):
+        cluster = F.when(F.col(f"__d{ci}") == best, F.lit(ci)).otherwise(
+            cluster
+        )
+    return withd.select(
+        "vec_id", "qv", cluster.alias("cluster"), best.alias("dist")
+    )
+
+
+def kmeans_fit_assign(
+    df: DataFrame, vec_col: str = "embedding", k: int = 4, n_iter: int = 2
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column — the trainer
+    that produces the coarse quantizer ``ivf_ann`` / ``semantic_dedup``
+    consume as a precomputed assignment. Engine-portable BY CONSTRUCTION:
+    components quantize to integer units (``KMEANS_SCALE``), squared
+    distances and per-dimension sums are exact BIGINT arithmetic, and the
+    centroid update is floor(sum/count) on doubles that are
+    exactly-representable (|sum| < 2^53 up to ~1e9 unit-normalized
+    vectors) — so there is NO float-summation order dependence and a SQL
+    oracle replays every iteration bit-for-bit. Init = the k
+    lowest-vec_id vectors; ties in assignment go to the lowest cluster
+    index; an emptied cluster keeps its previous centroid.
+
+    Scale shape per iteration: ONE scan-shaped assignment pass (centroids
+    are literal arrays in the plan — ship-the-model, no join) + one
+    map-side-combined (cluster, dim) aggregate whose output is k·dim rows
+    — the only driver traffic (k=4·dim=64 = 256 longs/round, the
+    dedup_clusters-style bounded collect). Returns the FINAL assignment
+    (vec_id, cluster, dist) after ``n_iter`` updates.
+    """
+    import math
+
+    from .cleaning import spread
+
+    q = spread(df, key="vec_id").select(
+        "vec_id", _kq(F.col(vec_col)).alias("qv")
+    )
+    init = q.orderBy("vec_id").limit(k).collect()
+    cents = [list(r["qv"]) for r in init]
+    for _ in range(n_iter):
+        a = _kmeans_assign(q, cents)
+        stats = (
+            a.select("cluster", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        bycl: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            bycl.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["c"])
+        cents = [
+            [
+                math.floor(bycl[ci][p][0] / bycl[ci][p][1])
+                for p in range(len(cents[ci]))
+            ]
+            if ci in bycl
+            else cents[ci]
+            for ci in range(k)
+        ]
+    return _kmeans_assign(q, cents).select("vec_id", "cluster", "dist")

@@ -488,3 +488,34 @@ def test_curation_funnel_counts(spark):
         .count()
     )
     assert n3 == 3 and keepers == 2  # docs {0,1,2} pass; 1 deduped away
+
+
+def test_kmeans_converges_on_separated_clusters(spark):
+    """Two well-separated 2-D blobs: after 2 Lloyd iterations every point
+    sits with its blob regardless of the (id-ordered) init, and the
+    assignment is deterministic under repartitioning."""
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        kmeans_fit_assign,
+    )
+
+    # ids interleave the blobs so the init centroids (2 lowest ids) start
+    # one-in-each-blob half the time and both-in-one the other half.
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, [0.9 + 0.001 * i, 0.9 - 0.001 * i]))
+        rows.append((2 * i + 1, [-0.9 - 0.001 * i, -0.9 + 0.001 * i]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_fit_assign(df, k=2, n_iter=2).collect()
+    }
+    blob_a = {got[v] for v in range(0, 20, 2)}
+    blob_b = {got[v] for v in range(1, 20, 2)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    got2 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_fit_assign(
+            df.repartition(7), k=2, n_iter=2
+        ).collect()
+    }
+    assert got == got2

@@ -110,7 +110,11 @@ _PLAN_EXEMPT = {
     "streaming_session_window",
     "streaming_dedup",
     "streaming_near_dup",
+    # driver-looped iterative fixpoints: constructing the DataFrame runs
+    # the bounded per-iteration collect jobs; the printed plan would only
+    # show the final assignment pass
     "dedup_clusters",
+    "kmeans_assign",
 }
 
 

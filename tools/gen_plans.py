@@ -28,7 +28,8 @@ SKIP = {"streaming_time_bucket", "streaming_sliding_window",
         "streaming_session_window", "streaming_dedup", "streaming_near_dup",
         # driver-looped iterative fixpoint — the printed plan would only
         # show the final round's join, not the algorithm
-        "dedup_clusters", "dedup_keep_best"}  # streaming plans finalize per micro-batch
+        "dedup_clusters", "dedup_keep_best",
+        "kmeans_assign"}  # streaming plans finalize per micro-batch
 
 
 def audit(plan: str) -> dict[str, int]:
