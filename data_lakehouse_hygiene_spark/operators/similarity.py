@@ -377,8 +377,9 @@ def ivf_ann(
     k: int = 5,
 ) -> DataFrame:
     """IVF-style ANN: candidates limited to the query's coarse cluster
-    (here a precomputed assignment column; in production the argmin over
-    k-means centroids from Spark MLlib), then exact cosine + top-k.
+    (here a precomputed assignment column; ``kmeans_fit_assign`` below is
+    the deterministic in-repo trainer that produces one), then exact
+    cosine + top-k.
 
     Same join shape as ``lsh_ann`` — an equi-join on the cluster id — so at
     1e9 vectors each query touches ~n/n_clusters candidates. Unlike LSH the
