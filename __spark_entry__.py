@@ -3209,6 +3209,87 @@ FROM top, tot t
 """
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screening of the 'src0' batch against the rest of the
+    corpus via the MinHash band INDEX join — the per-batch form of
+    minhash near-dup. See ``dedup.incremental_near_dup``."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("source") == "src0")
+    hist = docs.where(F.col("source") != "src0")
+    return dedup.incremental_near_dup(new, hist)
+
+
+def _sql_incremental_near_dup() -> str:
+    """DuckDB replay of the incremental near-dup screen: same shingles,
+    same LCG signature family, same band keys, same history-side hot
+    bucket cap, same lowest-id keeper rule."""
+    nh, nb, rpb = dedup.N_HASHES, dedup.N_BANDS, dedup.ROWS_PER_BAND
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {dedup.MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(dedup.MINHASH_AB[:nh])
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(nb)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(nh)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, source, text, string_split(text, ' ') AS ts
+             FROM documents),
+sh AS (
+  SELECT DISTINCT t.doc_id, t.ts[g.i] || ' ' || t.ts[g.i+1] || ' ' || t.ts[g.i+2] AS s
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts) - 1)) AS i) g
+  WHERE len(t.ts) >= 3
+  UNION
+  SELECT doc_id, text AS s FROM tok WHERE len(ts) < 3),
+hv AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483648 AS h
+  FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hv GROUP BY doc_id),
+bands AS (
+{band_rows}),
+nb AS (
+  SELECT b.* FROM bands b JOIN tok t USING (doc_id)
+  WHERE t.source = 'src0'),
+hb AS (
+  SELECT b.* FROM bands b JOIN tok t USING (doc_id)
+  WHERE t.source <> 'src0'),
+hb_ok AS (
+  SELECT * FROM (
+    SELECT hb.*, count(*) OVER (PARTITION BY band, band_key) AS bcnt
+    FROM hb) z
+  WHERE bcnt <= {dedup.BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM nb n JOIN hb_ok h
+    ON n.band = h.band AND n.band_key = h.band_key),
+scored AS (
+  SELECT new_id, hist_id,
+         CAST({eq_terms} AS DOUBLE) / {nh}.0 AS est_jaccard
+  FROM cand
+  JOIN sig sa ON new_id = sa.doc_id
+  JOIN sig sb ON hist_id = sb.doc_id
+  WHERE CAST({eq_terms} AS DOUBLE) / {nh}.0 >= 0.5)
+SELECT new_id AS doc_id, min(hist_id) AS dup_of,
+       arg_min(est_jaccard, hist_id) AS est_jaccard
+FROM scored GROUP BY new_id
+"""
+
+
+SQL_INCREMENTAL_NEAR_DUP = _sql_incremental_near_dup()
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer-space Lloyd k-means (k=4, 2 iterations) over
     the embeddings table — the coarse-quantizer trainer for the IVF
@@ -3510,6 +3591,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "streaming_near_dup": (q_streaming_near_dup, SQL_STREAMING_NEAR_DUP),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "incremental_near_dup": (
+        q_incremental_near_dup,
+        SQL_INCREMENTAL_NEAR_DUP,
+    ),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "source_dup_stats": (q_source_dup_stats, SQL_SOURCE_DUP_STATS),

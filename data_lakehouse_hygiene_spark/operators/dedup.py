@@ -1084,3 +1084,68 @@ def source_dup_stats(
         quantize(ratio, 6).alias("dup_ratio"),
         F.col("cross_source_docs").cast("bigint").alias("cross_source_docs"),
     )
+
+
+def incremental_near_dup(
+    new: DataFrame,
+    hist: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """NEAR-dup screening of a new batch against the HISTORY corpus — the
+    per-batch form of ``minhash_near_dup_pairs``, and the near-dup
+    upgrade of ``incremental_dedup`` (which catches exact text only): a
+    new document is flagged when it shares an LSH band bucket with a
+    history document and the signature-estimated Jaccard clears the
+    threshold.
+
+    Returns the DROP LIST (doc_id, dup_of, est_jaccard): ``dup_of`` is
+    the lowest-id qualifying history doc (deterministic keeper rule,
+    matching ``semantic_dedup``), ``est_jaccard`` its estimate. New docs
+    absent from the list are clean and enter the corpus.
+
+    Scale shape: this is the INDEX-JOIN form of incremental curation —
+    the history side is exactly the (band, band_key) table a production
+    pipeline would persist as its dedup index (append-only, one row per
+    doc per band), so screening batch B costs one signature pass over B
+    plus an equi-join against the index — never a rescan of the history
+    corpus text. Hot history buckets above ``bucket_cap`` are mass-dup
+    clusters (est ≈ 1 for every member, no ranking signal) and are
+    dropped, mirroring the in-corpus pair miner; the oracle applies the
+    identical cap. Candidates meet ONLY on full-band agreement — no
+    all-pairs term anywhere.
+    """
+    nb = lsh_bands(minhash_signatures(new, text_col)).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("nsig"),
+        "band",
+        "band_key",
+    )
+    hb = lsh_bands(minhash_signatures(hist, text_col)).select(
+        F.col("doc_id").alias("hist_id"),
+        F.col("sig").alias("hsig"),
+        "band",
+        "band_key",
+    )
+    wcnt = F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+    hb = hb.withColumn("__c", wcnt).where(F.col("__c") <= bucket_cap).drop(
+        "__c"
+    )
+    eq = F.expr("size(filter(zip_with(nsig, hsig, (u, v) -> u = v), t -> t))")
+    est = eq.cast("double") / F.lit(float(N_HASHES))
+    pairs = (
+        nb.join(hb, ["band", "band_key"])
+        .select("new_id", "hist_id", est.alias("est_jaccard"))
+        .groupBy("new_id", "hist_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    return (
+        pairs.groupBy("new_id")
+        .agg(
+            F.min("hist_id").alias("dup_of"),
+            F.expr("min_by(est_jaccard, hist_id)").alias("est_jaccard"),
+        )
+        .select(F.col("new_id").alias("doc_id"), "dup_of", "est_jaccard")
+    )

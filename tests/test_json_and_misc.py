@@ -519,3 +519,29 @@ def test_kmeans_converges_on_separated_clusters(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_incremental_near_dup_flags_and_cap(spark):
+    """New docs near-identical to history get flagged with the lowest-id
+    qualifying history doc; clean docs pass; a history band bucket above
+    the cap (mass-dup cluster) is skipped entirely."""
+    from data_lakehouse_hygiene_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = base.replace("tok15", "tokX")
+    mass = " ".join(f"mass{i}" for i in range(30))
+    hist_rows = [(100, base), (101, base)]  # two qualifying history docs
+    hist_rows += [(200 + i, mass) for i in range(40)]  # hot bucket > cap 32
+    new_rows = [
+        (1, near),                                   # near-dup of history
+        (2, mass),                                   # only matches capped bucket
+        (3, " ".join(f"fresh{i}" for i in range(30))),  # clean
+    ]
+    hist = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in incremental_near_dup(new, hist).collect()}
+    assert set(got) == {1}  # doc 2 escapes via the cap, doc 3 is clean
+    assert got[1]["dup_of"] == 100  # lowest qualifying history id
+    assert got[1]["est_jaccard"] >= 0.5
