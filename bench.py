@@ -102,6 +102,7 @@ HEADLINE = [
     "source_dup_stats",
     "ccnet_bucket",
     "curation_funnel",
+    "incremental_near_dup",
 ]
 
 
