@@ -3209,6 +3209,44 @@ FROM top, tot t
 """
 
 
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML strip + entity decode + whitespace collapse. The corpus is
+    plain text, so the registry query first WRAPS it in deterministic
+    markup (a <p> envelope, ' the ' → ' &amp; ') in both engines — the
+    comparison then proves the stripper recovers the page text."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit('<p class="doc">'),
+            F.replace(F.col("text"), F.lit(" the "), F.lit(" &amp; ")),
+            F.lit("</p>"),
+        ),
+    )
+    return text_ops.strip_html(docs)
+
+
+SQL_STRIP_HTML = """
+WITH wrapped AS (
+  SELECT doc_id,
+         '<p class="doc">' || replace(text, ' the ', ' &amp; ') || '</p>'
+           AS text
+  FROM documents),
+stripped AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT)
+           AS n_tags_removed,
+         replace(replace(replace(replace(replace(
+           regexp_replace(text, '<[^>]*>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&amp;', '&') AS t1
+  FROM wrapped)
+SELECT doc_id,
+       trim(regexp_replace(t1, '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text,
+       n_tags_removed
+FROM stripped
+"""
+
+
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup screening of the 'src0' batch against the rest of the
     corpus via the MinHash band INDEX join — the per-batch form of
@@ -3595,6 +3633,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_incremental_near_dup,
         SQL_INCREMENTAL_NEAR_DUP,
     ),
+    "strip_html": (q_strip_html, SQL_STRIP_HTML),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "source_dup_stats": (q_source_dup_stats, SQL_SOURCE_DUP_STATS),

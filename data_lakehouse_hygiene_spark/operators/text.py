@@ -661,3 +661,40 @@ def ccnet_buckets(
     return labeled.join(
         F.broadcast(buckets), ["lang", "lm_score"]
     ).select("doc_id", "lang", "lm_score", "ppl_bucket")
+
+
+# HTML entities decoded by strip_html, applied IN ORDER: &amp; must decode
+# LAST or "&amp;lt;" would double-decode to "<" (the standard single-pass
+# pitfall); the oracle replays the same sequence.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Crawl-page cleanup: remove HTML tags, decode the common entities,
+    collapse whitespace — the first transform a crawl→training-text
+    pipeline applies. Returns (doc_id, clean_text, n_tags_removed).
+
+    Tag removal is the pragmatic ``<[^>]*>`` regex (markup REMOVAL, not an
+    HTML parser — script/style CONTENT survives; a DOM-aware extractor is
+    a codec-class dependency this environment lacks). Entities decode in
+    the documented order. Pure per-row regex/replace column algebra —
+    shuffle-free, scan-speed, and every step replays identically in the
+    DuckDB oracle (RE2-compatible pattern, no backrefs).
+    """
+    t = F.col(text_col)
+    n_tags = F.regexp_count(t, F.lit("<[^>]*>")).cast("bigint")
+    cleaned = F.regexp_replace(t, "<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
+    collapsed = F.trim(F.regexp_replace(cleaned, "[ \\t\\r\\n]+", " "))
+    return df.select(
+        "doc_id",
+        collapsed.alias("clean_text"),
+        n_tags.alias("n_tags_removed"),
+    )

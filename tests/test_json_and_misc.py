@@ -545,3 +545,25 @@ def test_incremental_near_dup_flags_and_cap(spark):
     assert set(got) == {1}  # doc 2 escapes via the cap, doc 3 is clean
     assert got[1]["dup_of"] == 100  # lowest qualifying history id
     assert got[1]["est_jaccard"] >= 0.5
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    """Tags removed (counted), entities decoded in the safe order
+    (&amp;lt; must NOT double-decode), whitespace collapsed."""
+    from data_lakehouse_hygiene_spark.operators.text import strip_html
+
+    rows = [
+        (1, '<div class="x"><p>Hello   <b>world</b></p>\n</div>'),
+        (2, "a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; done"),
+        (3, "tricky &amp;lt; stays-literal"),
+        (4, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in strip_html(df).collect()}
+    assert got[1]["clean_text"] == "Hello world"
+    assert got[1]["n_tags_removed"] == 6
+    assert got[2]["clean_text"] == "a <tag> \"q\" 's' & done"
+    # &amp;lt; -> &lt; (literal text), NOT '<' — amp decodes last
+    assert got[3]["clean_text"] == "tricky &lt; stays-literal"
+    assert got[4]["clean_text"] == "no markup at all"
+    assert got[4]["n_tags_removed"] == 0
