@@ -614,6 +614,15 @@ def kmeans_fit_assign(
     )
     init = q.orderBy("vec_id").limit(k).collect()
     cents = [list(r["qv"]) for r in init]
+    if not cents:  # empty input: typed empty result, not a zero-arg least()
+        return (
+            q.select(
+                "vec_id",
+                F.lit(None).cast("int").alias("cluster"),
+                F.lit(None).cast("bigint").alias("dist"),
+            )
+            .where(F.lit(False))
+        )
     for _ in range(n_iter):
         a = _kmeans_assign(q, cents)
         stats = (

@@ -567,3 +567,42 @@ def test_strip_html_tags_entities_whitespace(spark):
     assert got[3]["clean_text"] == "tricky &lt; stays-literal"
     assert got[4]["clean_text"] == "no markup at all"
     assert got[4]["n_tags_removed"] == 0
+
+
+def test_round6_operators_empty_input_safe(spark):
+    """Every round-6 operator returns a typed EMPTY frame (not an error)
+    on empty input — the P10 fail-soft contract extended to the new
+    surface."""
+    from data_lakehouse_hygiene_spark.operators import sampling, similarity
+    from data_lakehouse_hygiene_spark.operators.dedup import (
+        incremental_near_dup,
+        line_dedup,
+        source_dup_stats,
+    )
+    from data_lakehouse_hygiene_spark.operators.text import (
+        ccnet_buckets,
+        gopher_quality,
+        strip_html,
+        vocab_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string"
+    )
+    vecs = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    outs = [
+        line_dedup(docs),
+        source_dup_stats(docs),
+        gopher_quality(docs),
+        vocab_topk(docs),
+        ccnet_buckets(docs),
+        strip_html(docs),
+        incremental_near_dup(docs, docs),
+        sampling.quality_weighted_sample(
+            docs.select("doc_id", F.lit(0.5).alias("q")), "doc_id", "q"
+        ),
+        similarity.kmeans_fit_assign(vecs, k=2, n_iter=1),
+    ]
+    for out in outs:
+        assert out.count() == 0
+        assert len(out.schema.fields) >= 1
