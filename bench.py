@@ -103,6 +103,7 @@ HEADLINE = [
     "ccnet_bucket",
     "curation_funnel",
     "incremental_near_dup",
+    "strip_html",
 ]
 
 
