@@ -120,8 +120,17 @@ def cosine_pairs(
     a = df.select(
         "vec_id", F.col(vec_col).alias("v"), blk.alias("k1"), other.alias("k2")
     )
+    # The COLUMN side carries RENAMED attributes (vec_id_b / v_b): both
+    # sides derive from the SAME source DataFrame, and self-cogroups with
+    # identical attribute names have been observed (Spark 4.1, small
+    # single-file inputs) to deliver the right-side batch WITHOUT its
+    # duplicate-named columns — a silent KeyError in the kernel. Distinct
+    # names make the two sides unambiguous regardless of plan shape.
     b = df.select(
-        "vec_id", F.col(vec_col).alias("v"), other.alias("k1"), blk.alias("k2")
+        F.col("vec_id").alias("vec_id_b"),
+        F.col(vec_col).alias("v_b"),
+        other.alias("k1"),
+        blk.alias("k2"),
     )
 
     def _block_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -135,9 +144,9 @@ def cosine_pairs(
         if len(left) == 0 or len(right) == 0:
             return empty
         A = np.vstack(left["v"].to_numpy()).astype(np.float64)
-        B = np.vstack(right["v"].to_numpy()).astype(np.float64)
+        B = np.vstack(right["v_b"].to_numpy()).astype(np.float64)
         ia = left["vec_id"].to_numpy()
-        ib = right["vec_id"].to_numpy()
+        ib = right["vec_id_b"].to_numpy()
         # norms exactly as norms(): sqrt((Σ floor(v·v·S + .5)) / S)
         na = np.sqrt(
             np.floor(A * A * scale + 0.5).astype(np.int64).sum(axis=1) / scale
