@@ -3343,9 +3343,13 @@ def _sql_kmeans(k: int = 4, n_iter: int = 2) -> str:
     init (k lowest vec_ids), the same exact-integer distances, the same
     floor(sum/count) centroid update, iteration by iteration."""
     s = similarity.KMEANS_SCALE
+    # CAST the list_sum back to BIGINT: DuckDB's list_sum over BIGINT
+    # elements returns HUGEINT, which pandas materializes as float64 and
+    # the driver's hash canon then mismatches against Spark's int64 even
+    # though every value is identical (r06 verdict, "What's wrong" #1).
     dist = (
-        "list_sum(list_transform(range(1, len(v.qv) + 1),"
-        " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])))"
+        "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
+        " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT)"
     )
     parts = [
         "q AS (SELECT vec_id, list_transform(embedding,"

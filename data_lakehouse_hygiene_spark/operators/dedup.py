@@ -1020,7 +1020,17 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), delim, -1)).alias("pos", "line"),
     )
     elig = F.length("line") >= min_chars
-    key = (F.col("doc_id") * F.lit(LINE_STRIDE) + F.col("pos")).cast("bigint")
+    # The packed election key is only injective while 0 <= pos <
+    # LINE_STRIDE and doc_id >= 0; outside that envelope it would
+    # silently mis-elect keep-first winners, so enforce the bound at
+    # runtime (same assert_true-routing trick as simhash's _swar_half —
+    # the if() keeps the guard from being pruned as unused).
+    key = F.expr(
+        f"if(assert_true(doc_id >= 0 AND pos < {LINE_STRIDE}, "
+        f"'line_dedup key packing needs doc_id >= 0 and < {LINE_STRIDE} "
+        f"lines per document; chunk the document first') is null, "
+        f"cast(doc_id * {LINE_STRIDE}L + pos as bigint), null)"
+    )
     min_key = F.min(F.when(elig, key)).over(Window.partitionBy("line"))
     rows = lines.select(
         "doc_id",

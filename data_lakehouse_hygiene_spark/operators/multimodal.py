@@ -290,17 +290,25 @@ def _decimate_wav(p: bytes, sample_every: int) -> bytes:
     meta = decode_media(p, "audio/wav")
     if meta["n_channels"] != 1:
         raise ValueError("frame sampling supports mono PCM only")
-    # find the data chunk
+    # find the fmt and data chunks
     pos = 12
     data = b""
     rate = meta["sample_rate"]
+    bits = None
     while pos + 8 <= len(p):
         cid = p[pos : pos + 4]
         clen = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and clen >= 16:
+            bits = int.from_bytes(p[pos + 22 : pos + 24], "little")
         if cid == b"data":
             data = p[pos + 8 : pos + 8 + clen]
             break
         pos += 8 + clen + (clen % 2)
+    # byte-stride slicing below assumes 1 byte == 1 sample; a 16-bit
+    # payload would be split mid-sample-pair and emit corrupt-but-valid-
+    # looking audio, so fail loudly (mirror of the mono-only check).
+    if bits != 8:
+        raise ValueError("frame sampling supports 8-bit PCM only")
     kept = data[::sample_every]
     out_rate = max(1, rate // sample_every)
     fmt = (

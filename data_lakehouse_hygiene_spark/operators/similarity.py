@@ -581,7 +581,12 @@ def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
         )
         dists.append(d.alias(f"__d{ci}"))
     withd = q.select("vec_id", "qv", *dists)
-    best = F.least(*[F.col(f"__d{ci}") for ci in range(len(cents))])
+    # F.least() requires >=2 args; with a single centroid the argmin IS
+    # that centroid's distance.
+    if len(cents) == 1:
+        best = F.col("__d0")
+    else:
+        best = F.least(*[F.col(f"__d{ci}") for ci in range(len(cents))])
     cluster = F.lit(None).cast("int")
     for ci in reversed(range(len(cents))):
         cluster = F.when(F.col(f"__d{ci}") == best, F.lit(ci)).otherwise(
@@ -623,6 +628,10 @@ def kmeans_fit_assign(
     )
     init = q.orderBy("vec_id").limit(k).collect()
     cents = [list(r["qv"]) for r in init]
+    # Fewer rows than k: the init collect returns all rows there are, so
+    # the effective k is len(cents) — without the clamp the centroid
+    # update below indexes cents[ci] past the end.
+    k = min(k, len(cents))
     if not cents:  # empty input: typed empty result, not a zero-arg least()
         return (
             q.select(

@@ -606,3 +606,52 @@ def test_round6_operators_empty_input_safe(spark):
     for out in outs:
         assert out.count() == 0
         assert len(out.schema.fields) >= 1
+
+
+def test_kmeans_fewer_rows_than_k_and_k1(spark):
+    """k larger than the row count clamps to the row count (the centroid
+    update must not index past the init list), and k=1 — the single-arg
+    F.least edge — assigns everything to cluster 0."""
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        kmeans_fit_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [-0.5, -0.5])], ["vec_id", "embedding"]
+    )
+    got = {r["vec_id"]: r for r in kmeans_fit_assign(df, k=5, n_iter=2).collect()}
+    assert set(got) == {0, 1}
+    assert {got[0]["cluster"], got[1]["cluster"]} == {0, 1}  # k clamps to 2
+    one = kmeans_fit_assign(df, k=1, n_iter=2).collect()
+    assert {r["cluster"] for r in one} == {0}
+    assert all(r["dist"] is not None for r in one)
+
+
+def test_decimate_wav_rejects_16bit():
+    """A 16-bit PCM payload must raise, not get byte-sliced mid-sample."""
+    import pytest
+
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _decimate_wav,
+        make_wav,
+    )
+
+    src = bytearray(make_wav(8000, 12, seed=1))
+    src[34:36] = (16).to_bytes(2, "little")  # bits/sample field in fmt
+    with pytest.raises(ValueError, match="8-bit"):
+        _decimate_wav(bytes(src), 4)
+
+
+def test_line_dedup_key_packing_guard(spark):
+    """A negative doc_id breaks the packed (doc_id, pos) election key's
+    injectivity — the runtime guard must fail loudly, not mis-elect."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from data_lakehouse_hygiene_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(-1, "a\nb"), (2, "a\nc")], ["doc_id", "text"]
+    )
+    with pytest.raises(SparkRuntimeException, match="line_dedup"):
+        line_dedup(df).collect()
