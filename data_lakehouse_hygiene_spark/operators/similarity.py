@@ -66,74 +66,321 @@ def norms(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 N_BLOCKS = 16
 
+# Exact-path input ceiling: ~4 GiB of vector data ≈ 1e7 64-d float32
+# vectors ≈ 5e13 pair dot products — already multi-hour work on a large
+# cluster; anything bigger must use the sub-quadratic paths.
+COSINE_PAIRS_MAX_BYTES = 4 << 30
+
+# Below this estimated input size the k-means fit/radius jobs cost more
+# than the whole compare — hash-block instead (see cosine_pairs docstring).
+COSINE_SMALL_BYTES = 64 << 20
+
+# Conservatism pads for the block pruner / kernel screen. Both stages only
+# PRE-FILTER; every emitted pair is re-derived with the exact quantized
+# arithmetic, so the pads trade a little pruning power for a safety margin
+# ~1e5× larger than the worst-case float/quantization error.
+_EPS_ANG = 1e-4  # radians, added to radii / subtracted from separations
+_SCREEN_MARGIN = 1e-4  # absolute cosine slack for the float-GEMM screen
+
+_KMEANS_FIT_SAMPLE = 8192  # blocking-quality fit needs a sample, not a scan
+
+
+def _prune_block_pairs(
+    cents: list[list[int]], min_cos: list[float], threshold: float
+) -> list[tuple[int, int]]:
+    """Angular triangle-inequality block-pair pruning: every member of
+    cluster i lies within angle θ_i = acos(min_cos[i]) of centroid c_i, so
+    for a ∈ i, b ∈ j the pair angle is ≥ φ_ij − θ_i − θ_j (φ_ij = centroid
+    angle) and the pair cosine is ≤ cos(max(0, φ_ij − θ_i − θ_j)). A block
+    pair whose upper bound clears below the threshold cannot contain a
+    qualifying pair and never launches. Driver-side O(k²·d) floats over the
+    collected integer centroids; each term gets an ``_EPS_ANG`` pad so
+    float rounding (and the quantized-vs-float vector rotation, ≤ ~4e-6
+    rad at KMEANS_SCALE=1e6, dim 64) can never turn pruning unsafe.
+
+    On angularly spread-out corpora (near-uniform embeddings: radii ≈ 90°)
+    nothing prunes and the full P(P+1)/2 grid runs — correct, just not
+    cheaper; clustered corpora (the realistic near-dup regime) drop the
+    bulk of cross-cluster block pairs before any executor sees them."""
+    import math
+
+    p = len(cents)
+    theta = [
+        math.acos(max(-1.0, min(1.0, mc))) + _EPS_ANG for mc in min_cos
+    ]
+    nrm = [math.sqrt(float(sum(x * x for x in c))) for c in cents]
+    tcos = threshold - _SCREEN_MARGIN
+    kept: list[tuple[int, int]] = []
+    for i in range(p):
+        for j in range(i, p):
+            if i == j or nrm[i] == 0.0 or nrm[j] == 0.0:
+                kept.append((i, j))
+                continue
+            cc = float(sum(a * b for a, b in zip(cents[i], cents[j])))
+            cc = max(-1.0, min(1.0, cc / (nrm[i] * nrm[j])))
+            gap = (math.acos(cc) - _EPS_ANG) - theta[i] - theta[j]
+            if gap <= 0.0 or math.cos(gap) >= tcos:
+                kept.append((i, j))
+    return kept
+
+
+def _kmeans_fit_local(sx, k: int, n_iter: int):
+    """Driver-local exact-integer Lloyd over the collected sample matrix
+    ``sx`` (int64, rows already vec_id-ascending so the id-ordered init
+    matches the engine's convention): init = first k rows, argmin ties to
+    the lowest cluster, floor(sum/count) update, emptied clusters keep
+    their centroid. All arithmetic is int64 (deterministic across
+    platforms); returns a (k', dim) int64 array with k' = min(k, rows)."""
+    import numpy as np
+
+    k = min(k, len(sx))
+    cents = sx[:k].copy()
+    for _ in range(n_iter):
+        d = ((sx[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cl = d.argmin(axis=1)  # first occurrence = lowest cluster index
+        for ci in range(k):
+            m = sx[cl == ci]
+            if len(m):
+                cents[ci] = np.floor_divide(m.sum(axis=0), len(m))
+    return cents
+
+
+def _np_assign(base: DataFrame, cents_arr, kscale: float) -> DataFrame:
+    """Scan-shaped Arrow assignment pass: per row, the nearest centroid by
+    exact int64 squared distance (ties to the lowest cluster index — same
+    rule as ``_kmeans_assign``) plus the member-centroid cosine ``cm`` for
+    the radius aggregate. The centroid matrix ships inside the serialized
+    function (ship-the-model); rows are chunked so the n×k×dim distance
+    temp stays ~2048·k·dim int64s. numpy int64 replaces the interpreted
+    zip_with expression tree (CodegenFallback) — measured ~10× on this
+    pass at sf0.1."""
+    import numpy as np
+    import pandas as pd
+
+    C = cents_arr
+    nc2_all = (C * C).sum(axis=1)
+
+    def gen(it):
+        for pdf in it:
+            for lo in range(0, len(pdf), 2048):
+                chunk = pdf.iloc[lo : lo + 2048]
+                V = np.vstack(chunk["v"].to_numpy()).astype(np.float64)
+                Q = np.floor(V * kscale + 0.5).astype(np.int64)
+                d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cl = d.argmin(axis=1)
+                dmin = d[np.arange(len(d)), cl]
+                na2 = (Q * Q).sum(axis=1)
+                nc2 = nc2_all[cl]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cm = np.where(
+                        (na2 > 0) & (nc2 > 0),
+                        (na2 + nc2 - dmin).astype(np.float64)
+                        / (
+                            2.0
+                            * np.sqrt(na2.astype(np.float64))
+                            * np.sqrt(nc2.astype(np.float64))
+                        ),
+                        -1.0,
+                    )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": chunk["vec_id"].to_numpy(),
+                        "v": chunk["v"],
+                        "cluster": cl.astype(np.int32),
+                        "cm": cm,
+                    }
+                )
+
+    return base.mapInPandas(
+        gen, "vec_id long, v array<float>, cluster int, cm double"
+    )
+
 
 def cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     threshold: float = 0.45,
     n_blocks: int = N_BLOCKS,
+    max_bytes: int = COSINE_PAIRS_MAX_BYTES,
+    small_bytes: int = COSINE_SMALL_BYTES,
+    fit_iters: int = 2,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (a<b) above a threshold:
-    block-pair replication + an Arrow-vectorized numpy block kernel.
+    k-means cluster blocking with triangle-inequality block-pair pruning +
+    an Arrow-vectorized GEMM-screened block kernel. EXACT: every stage
+    before the final filter is a provably-safe over-approximation, and
+    every emitted cosine is the engine's quantized arithmetic bit-for-bit
+    (asserted equal to the pure-Catalyst witness in tests).
+
+    Size-gated plan shape (the ngram_jaccard precedent): the k-means fit +
+    radius pass cost ~3 fixed driver-coordinated jobs, pure overhead when
+    the whole corpus fits a handful of kernel tasks — inputs estimated
+    under ``small_bytes`` (default 64 MiB ≈ 250k vectors) skip them and
+    hash-block on ``pmod(vec_id, P)`` (one job end-to-end, no pruning);
+    larger inputs — where pruning can remove real work and fixed jobs are
+    noise — take the cluster-blocked pruned path. Both paths share the
+    replication scheme and kernel, and the result set is
+    blocking-invariant, so the gate changes plan shape only.
 
     Why not LSH blocking: at threshold 0.45 the pair angle is ~63°, so each
-    random hyperplane splits a qualifying pair with p ≈ 0.35. Measured on
-    the test corpus, planted pairs differ in up to 5 of 8 hyperplane bits —
-    single-table multi-probe (Hamming-1) recalls 5/14 pairs, and banded-LSH
-    recall 1-(1-(1-θ/π)^k)^L at this angle needs L ≫ 100 tables before it
-    approaches 1 while k small enough to block is useless. No sub-quadratic
-    EXACT algorithm exists for dense vectors at moderate thresholds, so the
-    scale-honest design distributes the unavoidable quadratic compare:
+    random hyperplane splits a qualifying pair with p ≈ 0.35 and banded-LSH
+    recall needs L ≫ 100 tables to approach 1 — no sub-quadratic EXACT
+    algorithm exists for dense vectors at moderate thresholds. The design
+    therefore (1) prunes what geometry allows, (2) distributes what
+    remains, and (3) runs the per-task compare at BLAS speed:
 
-    - every vector gets a deterministic block id (vec_id mod P);
-    - the left side plays the ROW role — vector in block i is replicated to
-      keys (i, c) for every column block c — and the right side the COLUMN
-      role — block j replicated to (r, j) for every r — so each unordered
-      pair meets EXACTLY once with ``vec_a < vec_b`` keeping one
-      orientation;
-    - the two sides meet in a cogrouped ``applyInPandas``: each (i, j)
-      block pair lands on one task, the m×n×d quantized products run as a
-      row-chunked numpy broadcast (C speed, not interpreted expression
-      lambdas — measured 3.3× end-to-end at sf0.1), and ONLY qualifying
-      pairs cross Arrow back to the JVM.
+    - blocks are deterministic k-means clusters (``_kmeans_fit_local``:
+      driver-side exact-int64 Lloyd on a hash-ordered ≤8192-row sample, 2
+      iterations; assignment is the scan-shaped Arrow pass ``_np_assign``
+      with the centroid matrix shipped inside the task — no join);
+    - per-cluster angular radii (one column-pruned agg, k rows to the
+      driver) feed ``_prune_block_pairs``: block pairs whose centroid-based
+      cosine UPPER BOUND clears below the threshold never launch at all;
+    - each surviving unordered block pair (i ≤ j) becomes ONE cogroup key
+      — a vector in block b replicates only to the surviving pairs
+      containing b (≤ P rows, vs the old fixed P-row grid which also
+      visited every (i, j) AND (j, i), paying each cross compare twice);
+    - in the kernel the m×n cosine matrix comes from a float64 GEMM
+      (``A @ B.T`` — BLAS-blocked SIMD, ~20× the elementwise-quantized
+      broadcast it replaces and with no m×n×d temp), screened at
+      ``threshold − 1e-4``; only screen survivors get the
+      exact floor-quantized int64 recompute, and the final ≥ threshold
+      filter runs on exact values. |GEMM − exact| ≤ d·0.5/1e12 (+ ~1e-14
+      GEMM rounding), so a qualifying pair (whose exact cosine is ≥
+      threshold − 5e-7 pre-quantization) can never fall below the screen.
 
-    Shuffle volume is O(n·P) vector rows — identical to the equi-join
-    formulation (see ``cosine_pairs_catalyst``) — and the pair comparisons
-    are spread over P² independent tasks of ~n/P vectors per side — the
-    standard distributed blocked similarity join, with P sized to the
-    cluster (P ≈ sqrt(cores) keys saturates the executors). The kernel
-    reproduces the engine arithmetic bit-for-bit: per-component
-    floor-quantized products summed in int64, IEEE double sqrt/divide, the
-    same 6-decimal quantization (asserted equal to the Catalyst path in
-    tests). For true near-duplicate thresholds (≥ ~0.8, where hyperplane
-    agreement is high) prefer the genuinely sub-quadratic ``lsh_ann``
-    banding.
+    Scale shape: shuffle volume ≤ O(n·P) vector rows; P(P+1)/2 tasks max,
+    fewer after pruning; per-task memory is one block pair plus an m×n
+    chunked double matrix (rows chunked at 4096). Size ``n_blocks`` so a
+    block is ~500k vectors. The quadratic remains quadratic on spread-out
+    corpora, so inputs estimated above ``max_bytes`` (default 4 GiB ≈ 1e7
+    vectors) raise with a pointer to the sub-quadratic alternatives
+    (``lsh_near_dup``, ``semantic_dedup``, ``lsh_ann``) rather than
+    launching an infeasible job.
     """
     import numpy as np
     import pandas as pd
 
+    from .cleaning import spread
+    from .dedup import _estimated_bytes
+
+    est = _estimated_bytes(df)
+    # Catalyst reports Long.MaxValue when it cannot estimate (e.g. local
+    # relations): treat as "unknown, assume small" — the gate protects
+    # against accidentally pointing the exact path at a corpus-scale TABLE,
+    # and tables carry file-size stats; stat-less plans are in-memory.
+    if est >= (1 << 63) - 1:
+        est = 0
+    if est > max_bytes:
+        raise ValueError(
+            f"cosine_pairs is the EXACT quadratic path: estimated input "
+            f"{est} B exceeds max_bytes={max_bytes} B (~1e7 vectors). Use "
+            f"lsh_near_dup / semantic_dedup (near-dup thresholds) or "
+            f"lsh_ann (top-k retrieval), or raise max_bytes explicitly "
+            f"after sizing the cluster for the O(n^2) compare."
+        )
+
     scale = float(DOT_SCALE)
     qdigits = float(1e6)
+    kscale = float(KMEANS_SCALE)
 
-    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
-    other = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
-    a = df.select(
-        "vec_id", F.col(vec_col).alias("v"), blk.alias("k1"), other.alias("k2")
-    )
+    if est <= small_bytes:
+        # small input: hash blocks, full (i ≤ j) grid, zero fixed jobs.
+        # No spread() either — the cogroup shuffle on pid is what fans the
+        # kernel tasks out, so pre-repartitioning only adds an exchange.
+        p = max(1, n_blocks)
+        assign = df.select(
+            "vec_id", F.col(vec_col).alias("v")
+        ).withColumn(
+            "cluster", F.pmod(F.col("vec_id"), F.lit(p)).cast("int")
+        )
+        kept = [(i, j) for i in range(p) for j in range(i, p)]
+    else:
+        base = spread(df, key="vec_id").select(
+            "vec_id", F.col(vec_col).alias("v")
+        )
+        # Blocking-quality fit runs DRIVER-LOCAL on a deterministic
+        # hash-ordered sample (≤ 8192 × dim floats ≈ 2 MB driver traffic —
+        # the dedup_clusters-style bounded collect); the numpy Lloyd loop
+        # on the sample is sub-millisecond where the expression-tree fit
+        # cost ~4 s of interpreted CodegenFallback per call. The declared
+        # ``kmeans_assign`` query keeps the full-data expression fit (its
+        # oracle replays those exact semantics); here only the final pair
+        # set matters and that is blocking-invariant.
+        samp = (
+            base.orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(_KMEANS_FIT_SAMPLE)
+            .collect()
+        )
+        if not samp:  # empty input: typed empty result
+            return base.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"),
+                F.lit(None).cast("double").alias("cosine"),
+            ).where(F.lit(False))
+        order = np.argsort(np.array([r["vec_id"] for r in samp]))
+        sx = np.floor(
+            np.array([samp[i]["v"] for i in order], dtype=np.float64)
+            * kscale
+            + 0.5
+        ).astype(np.int64)
+        cents_arr = _kmeans_fit_local(sx, n_blocks, fit_iters)
+        p = len(cents_arr)
+
+        assign = _np_assign(base, cents_arr, kscale)
+
+        # Per-cluster angular radius: min member-centroid cosine (one
+        # column-pruned agg, ≤ p rows to the driver).
+        radii = {
+            r["cluster"]: r["mc"]
+            for r in assign.groupBy("cluster")
+            .agg(F.min("cm").alias("mc"))
+            .collect()
+        }
+        # memberless clusters have empty blocks — radius 0 is harmless
+        min_cos = [radii.get(ci, 1.0) for ci in range(p)]
+        cents = [list(map(int, c)) for c in cents_arr]
+        kept = _prune_block_pairs(cents, min_cos, threshold)
+    a_pids: dict[int, list[int]] = {}
+    b_pids: dict[int, list[int]] = {}
+    for i, j in kept:
+        a_pids.setdefault(i, []).append(i * p + j)
+        b_pids.setdefault(j, []).append(i * p + j)
+
+    def _pid_map(d: dict[int, list[int]]) -> Column:
+        args: list[Column] = []
+        for blk in range(p):
+            pids = d.get(blk, [])
+            args.append(F.lit(blk))
+            args.append(
+                F.array(*[F.lit(x) for x in pids]).cast("array<int>")
+            )
+        return F.create_map(*args)
+
     # The COLUMN side carries RENAMED attributes (vec_id_b / v_b): both
     # sides derive from the SAME source DataFrame, and self-cogroups with
     # identical attribute names have been observed (Spark 4.1, small
     # single-file inputs) to deliver the right-side batch WITHOUT its
     # duplicate-named columns — a silent KeyError in the kernel. Distinct
     # names make the two sides unambiguous regardless of plan shape.
-    b = df.select(
+    a = assign.select(
+        "vec_id",
+        "v",
+        F.explode(F.element_at(_pid_map(a_pids), F.col("cluster"))).alias(
+            "pid"
+        ),
+    )
+    b = assign.select(
         F.col("vec_id").alias("vec_id_b"),
-        F.col(vec_col).alias("v_b"),
-        other.alias("k1"),
-        blk.alias("k2"),
+        F.col("v").alias("v_b"),
+        F.explode(F.element_at(_pid_map(b_pids), F.col("cluster"))).alias(
+            "pid"
+        ),
     )
 
-    def _block_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def _block_kernel(
+        key: tuple, left: pd.DataFrame, right: pd.DataFrame
+    ) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "vec_a": pd.Series(dtype="int64"),
@@ -143,6 +390,7 @@ def cosine_pairs(
         )
         if len(left) == 0 or len(right) == 0:
             return empty
+        bi, bj = divmod(int(key[0]), p)
         A = np.vstack(left["v"].to_numpy()).astype(np.float64)
         B = np.vstack(right["v_b"].to_numpy()).astype(np.float64)
         ia = left["vec_id"].to_numpy()
@@ -155,29 +403,48 @@ def cosine_pairs(
             np.floor(B * B * scale + 0.5).astype(np.int64).sum(axis=1) / scale
         )
         out = [empty]
-        # chunk rows so the m×n×d broadcast temp stays ~256·|B|·d doubles
-        for lo in range(0, len(A), 256):
-            Ac, iac, nac = A[lo : lo + 256], ia[lo : lo + 256], na[lo : lo + 256]
-            dotq = (
-                np.floor(Ac[:, None, :] * B[None, :, :] * scale + 0.5)
-                .astype(np.int64)
-                .sum(axis=2)
-            )
-            cos = (dotq / scale) / np.outer(nac, nb)
-            cosq = np.floor(cos * qdigits + 0.5) / qdigits
-            m = (iac[:, None] < ib[None, :]) & (cosq >= threshold)
+        screen = threshold - _SCREEN_MARGIN
+        for lo in range(0, len(A), 4096):
+            Ac = A[lo : lo + 4096]
+            iac = ia[lo : lo + 4096]
+            nac = na[lo : lo + 4096]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cosf = (Ac @ B.T) / np.outer(nac, nb)
+            m = cosf >= screen  # NaN (zero-norm) compares False
+            if bi == bj:
+                # self block pair: same vector set on both sides — keep
+                # one orientation and drop the diagonal
+                m &= iac[:, None] < ib[None, :]
             r, c = np.nonzero(m)
-            if len(r):
-                out.append(
-                    pd.DataFrame(
-                        {"vec_a": iac[r], "vec_b": ib[c], "cosine": cosq[r, c]}
-                    )
+            if len(r) == 0:
+                continue
+            # exact engine arithmetic, only for screen survivors
+            dotq = (
+                np.floor(Ac[r] * B[c] * scale + 0.5)
+                .astype(np.int64)
+                .sum(axis=1)
+            )
+            cos = (dotq / scale) / (nac[r] * nb[c])
+            cosq = np.floor(cos * qdigits + 0.5) / qdigits
+            keepm = cosq >= threshold
+            if not keepm.any():
+                continue
+            va = iac[r][keepm]
+            vb = ib[c][keepm]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(va, vb),
+                        "vec_b": np.maximum(va, vb),
+                        "cosine": cosq[keepm],
+                    }
                 )
+            )
         return pd.concat(out, ignore_index=True)
 
     return (
-        a.groupBy("k1", "k2")
-        .cogroup(b.groupBy("k1", "k2"))
+        a.groupBy("pid")
+        .cogroup(b.groupBy("pid"))
         .applyInPandas(_block_kernel, "vec_a long, vec_b long, cosine double")
     )
 
@@ -567,10 +834,14 @@ def _kq(v: Column) -> Column:
     )
 
 
-def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+def _kmeans_assign(
+    q: DataFrame, cents: list[list[int]], carry: tuple[str, ...] = ()
+) -> DataFrame:
     """One assignment pass: exact integer squared distance to each centroid
     (centroids ship as literal arrays — the model broadcasts INSIDE the
-    plan, no join), argmin with ties to the lowest cluster index."""
+    plan, no join), argmin with ties to the lowest cluster index.
+    ``carry`` names extra input columns passed through unchanged (the
+    cluster-blocked pair generator carries the raw float vector)."""
     dists = []
     for ci, c in enumerate(cents):
         lit = F.array(*[F.lit(int(x)) for x in c])
@@ -580,7 +851,7 @@ def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
             lambda s, v: s + v,
         )
         dists.append(d.alias(f"__d{ci}"))
-    withd = q.select("vec_id", "qv", *dists)
+    withd = q.select("vec_id", "qv", *carry, *dists)
     # F.least() requires >=2 args; with a single centroid the argmin IS
     # that centroid's distance.
     if len(cents) == 1:
@@ -593,8 +864,46 @@ def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
             cluster
         )
     return withd.select(
-        "vec_id", "qv", cluster.alias("cluster"), best.alias("dist")
+        "vec_id", "qv", *carry, cluster.alias("cluster"), best.alias("dist")
     )
+
+
+def _kmeans_fit(
+    q: DataFrame, k: int, n_iter: int
+) -> list[list[int]]:
+    """The Lloyd driver loop shared by ``kmeans_fit_assign`` and the
+    cluster-blocked pair generator: id-ordered init, exact-integer
+    assignment, floor(sum/count) update; returns the final centroid list
+    (possibly shorter than ``k`` when the input has fewer rows). Driver
+    traffic per iteration = k·dim longs."""
+    import math
+
+    init = q.orderBy("vec_id").limit(k).collect()
+    cents = [list(r["qv"]) for r in init]
+    k = min(k, len(cents))
+    for _ in range(n_iter):
+        if not cents:
+            break
+        a = _kmeans_assign(q, cents)
+        stats = (
+            a.select("cluster", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        bycl: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            bycl.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["c"])
+        cents = [
+            [
+                math.floor(bycl[ci][p][0] / bycl[ci][p][1])
+                for p in range(len(cents[ci]))
+            ]
+            if ci in bycl
+            else cents[ci]
+            for ci in range(k)
+        ]
+    return cents
 
 
 def kmeans_fit_assign(
@@ -619,19 +928,14 @@ def kmeans_fit_assign(
     dedup_clusters-style bounded collect). Returns the FINAL assignment
     (vec_id, cluster, dist) after ``n_iter`` updates.
     """
-    import math
-
     from .cleaning import spread
 
     q = spread(df, key="vec_id").select(
         "vec_id", _kq(F.col(vec_col)).alias("qv")
     )
-    init = q.orderBy("vec_id").limit(k).collect()
-    cents = [list(r["qv"]) for r in init]
-    # Fewer rows than k: the init collect returns all rows there are, so
-    # the effective k is len(cents) — without the clamp the centroid
-    # update below indexes cents[ci] past the end.
-    k = min(k, len(cents))
+    # _kmeans_fit clamps k to the row count internally (fewer rows than k
+    # means the init collect IS the centroid set).
+    cents = _kmeans_fit(q, k, n_iter)
     if not cents:  # empty input: typed empty result, not a zero-arg least()
         return (
             q.select(
@@ -641,24 +945,4 @@ def kmeans_fit_assign(
             )
             .where(F.lit(False))
         )
-    for _ in range(n_iter):
-        a = _kmeans_assign(q, cents)
-        stats = (
-            a.select("cluster", F.posexplode("qv").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        bycl: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in stats:
-            bycl.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["c"])
-        cents = [
-            [
-                math.floor(bycl[ci][p][0] / bycl[ci][p][1])
-                for p in range(len(cents[ci]))
-            ]
-            if ci in bycl
-            else cents[ci]
-            for ci in range(k)
-        ]
     return _kmeans_assign(q, cents).select("vec_id", "cluster", "dist")

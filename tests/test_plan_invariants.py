@@ -243,3 +243,114 @@ def test_approx_quantiles_envelope_rank_is_partitioned(spark):
         assert any(
             g.strip() and not re.search(r"\b(ASC|DESC)\b", g) for g in spec
         ), line
+
+
+def _two_tight_clusters(spark, n_per=30, dim=8):
+    """Two well-separated tight clusters on the sphere: members within a
+    few degrees of +e1 / -e1 — the regime where centroid pruning must
+    drop the cross-cluster block pair."""
+    import math
+
+    rows = []
+    for i in range(n_per):
+        eps = 0.02 * (i % 5)  # deterministic small spread
+        a = [1.0, eps, -eps] + [0.0] * (dim - 3)
+        b = [-1.0, -eps, eps] + [0.0] * (dim - 3)
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        rows.append((2 * i, [x / na for x in a]))
+        rows.append((2 * i + 1, [x / nb for x in b]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_prune_block_pairs_drops_separated_clusters():
+    """The driver-side pruning rule: two tight antipodal clusters → the
+    cross block pair's cosine upper bound is ≈ −1, far below any positive
+    threshold, so (0, 1) is pruned while the self pairs survive."""
+    import numpy as np
+
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        _kmeans_fit_local,
+        _prune_block_pairs,
+    )
+
+    rng_free = []
+    for i in range(20):
+        eps = 0.02 * (i % 5)
+        rng_free.append([1.0, eps, -eps, 0.0])
+        rng_free.append([-1.0, -eps, eps, 0.0])
+    X = np.floor(np.array(rng_free) * 1e6 + 0.5).astype(np.int64)
+    cents = _kmeans_fit_local(X, 2, 2)
+    # radii from the full data, same law-of-cosines form the operator uses
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cl = d.argmin(axis=1)
+    na2 = (X * X).sum(axis=1)
+    nc2 = (cents * cents).sum(axis=1)
+    cm = (na2 + nc2[cl] - d[np.arange(len(X)), cl]) / (
+        2.0 * np.sqrt(na2.astype(float)) * np.sqrt(nc2[cl].astype(float))
+    )
+    min_cos = [float(cm[cl == ci].min()) for ci in range(2)]
+    kept = _prune_block_pairs([list(map(int, c)) for c in cents], min_cos, 0.6)
+    assert (0, 0) in kept and (1, 1) in kept
+    assert (0, 1) not in kept  # the cross pair never launches
+    # a permissive threshold keeps everything (bound can't prune cos ≥ −1)
+    assert len(_prune_block_pairs(
+        [list(map(int, c)) for c in cents], min_cos, -1.0
+    )) == 3
+
+
+def test_cosine_pairs_kmeans_path_matches_catalyst(spark):
+    """Forcing the cluster-blocked pruned path (small_bytes=0) on both the
+    fixture corpus and a synthetic clustered corpus must reproduce the
+    pure-Catalyst witness bit-for-bit — pruning is an over-approximation,
+    never a semantics change."""
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in similarity.cosine_pairs(df, small_bytes=0).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.cosine_pairs_catalyst(df).collect()
+    )
+    assert got == want and len(got) > 0
+
+    clustered = _two_tight_clusters(spark)
+    got2 = sorted(
+        tuple(r)
+        for r in similarity.cosine_pairs(
+            clustered, threshold=0.6, n_blocks=2, small_bytes=0
+        ).collect()
+    )
+    want2 = sorted(
+        tuple(r)
+        for r in similarity.cosine_pairs_catalyst(
+            clustered, threshold=0.6, n_blocks=2
+        ).collect()
+    )
+    assert got2 == want2 and len(got2) > 0
+    # sanity: every surviving pair is within-cluster (even ids with even)
+    assert all((a % 2) == (b % 2) for a, b, _ in got2)
+
+
+def test_cosine_pairs_size_gate(spark):
+    """The exact quadratic path must refuse corpus-scale inputs at plan
+    time (no job) and stay a no-op on the fixture corpus."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    big = spark.range(0, 1 << 30).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(0.1), 64)
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="EXACT quadratic"):
+        similarity.cosine_pairs(big)
+    # fixture corpus sails through the gate (already exercised elsewhere,
+    # assert explicitly that construction succeeds)
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    similarity.cosine_pairs(df)
