@@ -441,9 +441,20 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     worker" pattern) for one per-doc weighted hash aggregate. No global
     windows, no self-joins, no driver-side model collect.
     """
+    return _bigram_scored(df, text_col, carry=())
+
+
+def _bigram_scored(
+    df: DataFrame, text_col: str, carry: tuple[str, ...]
+) -> DataFrame:
+    """``bigram_lm_score``'s pipeline with optional pass-through columns:
+    ``carry`` names doc-level columns (functionally dependent on doc_id,
+    e.g. lang) threaded through the group keys — same groups, zero extra
+    rows, and composites like ``ccnet_buckets`` skip a corpus-sized
+    label join."""
     from pyspark.sql.window import Window
 
-    df = project_tokens(df, text_col)
+    df = project_tokens(df, text_col, *carry)
     toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
@@ -454,7 +465,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe = F.when(F.size(toks) >= 2, grams).otherwise(
         F.array().cast("array<struct<a:string,b:string>>")
     )
-    inst = df.select("doc_id", F.explode(safe).alias("bg"))
+    inst = df.select("doc_id", *carry, F.explode(safe).alias("bg"))
     # Deferred (lazy) checkpoint: D (doc_id x bigram) feeds both the model
     # aggregate and the per-doc join, so materializing it once avoids a
     # double scan of the corpus — but eager=True would run a full Spark job
@@ -465,7 +476,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     # 100 TB run swap this for a reliable checkpoint dir or accept the
     # double scan (cheap relative to the shuffle).
     d = (
-        inst.groupBy("doc_id", "bg")
+        inst.groupBy("doc_id", *carry, "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
@@ -476,7 +487,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         * F.lit(1e12) + F.lit(0.5)
     ).cast("bigint")
     lm = c2.select("bg", units.alias("__units"))
-    per_doc = d.join(F.broadcast(lm), "bg").groupBy("doc_id").agg(
+    per_doc = d.join(F.broadcast(lm), "bg").groupBy("doc_id", *carry).agg(
         F.sum("cnt").alias("n_bigrams"),
         F.sum(F.col("cnt") * F.col("__units")).alias("__su"),
     )
@@ -484,7 +495,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("__su").cast("double") / F.lit(1e12)
     ) / F.col("n_bigrams").cast("double")
     return per_doc.select(
-        "doc_id", "n_bigrams", quantize(score, 6).alias("lm_score")
+        "doc_id", *carry, "n_bigrams", quantize(score, 6).alias("lm_score")
     )
 
 
@@ -635,9 +646,15 @@ def ccnet_buckets(
     """
     from pyspark.sql.window import Window as W
 
-    scored = bigram_lm_score(df, text_col)
-    labeled = scored.join(
-        df.select("doc_id", F.col(lang_col).alias("lang")), "doc_id"
+    # lang rides the LM aggregates as an extra group key (functionally
+    # dependent on doc_id — same groups, zero extra rows), which deletes
+    # the corpus-sized scored⋈lang join the round-6 plan paid twice (once
+    # per consumer of the labeled corpus). A labeled-level localCheckpoint
+    # was tried and measured SLOWER (+0.7 s at sf0.1): the materialization
+    # barrier costs more than the per_doc recompute it saves, because the
+    # expensive explode already materializes once via the D checkpoint.
+    labeled = _bigram_scored(df, text_col, carry=(lang_col,)).withColumnRenamed(
+        lang_col, "lang"
     )
     dist = labeled.groupBy("lang", "lm_score").agg(
         F.count(F.lit(1)).alias("cnt")
