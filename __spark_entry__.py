@@ -3619,7 +3619,66 @@ GROUP BY source
 # the r04-checked rows; the 41 r05-green unchanged entries rotate to the
 # back. Every oracle-declared entry is additionally re-verified on every
 # local run by tests/test_oracle_parity.py regardless of position.
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate part-name pairs at the distinct-value
+    grain: word-blocked candidates (declared-blocking contract, the LSH
+    convention), ``levenshtein ≤ 2`` survivors with per-value row support —
+    the entity-resolution step in front of any groupBy on a free-text key.
+    See ``dedup.fuzzy_pairs`` for the vocabulary-bounded scale argument."""
+    return dedup.fuzzy_pairs(_t(spark, sf_dir, "part"), name_col="p_name")
+
+
+SQL_FUZZY_DEDUP = f"""
+WITH names AS (
+  SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1),
+w AS (
+  SELECT name, cnt, unnest(list_distinct(string_split(name, ' '))) AS w
+  FROM names),
+wf AS (
+  SELECT * FROM (
+    SELECT w.*, count(*) OVER (PARTITION BY w) AS n
+    FROM w WHERE len(w) > 0) z
+  WHERE n <= {dedup.FUZZY_WORD_CAP}),
+pairs AS (
+  SELECT DISTINCT a.name AS name_a, a.cnt AS cnt_a,
+                  b.name AS name_b, b.cnt AS cnt_b
+  FROM wf a JOIN wf b ON a.w = b.w AND a.name < b.name)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+       cnt_a, cnt_b
+FROM pairs WHERE levenshtein(name_a, name_b) <= 2
+"""
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-fire suppression on the event stream: keep only events whose
+    previous same-(user, type) event is > 24 h old (burst leaders), with
+    the exact integer-microsecond gap. The tracking-pixel/retry-storm
+    cleanup a telemetry pipeline runs before counting anything."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    return temporal.event_debounce(
+        _t(spark, sf_dir, "events"), window_s=86400
+    )
+
+
+SQL_EVENT_DEBOUNCE = """
+WITH g AS (
+  SELECT event_id, user_id, event_type,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events)
+SELECT event_id, user_id, event_type, gap_us
+FROM g WHERE gap_us IS NULL OR gap_us > CAST(86400000000 AS BIGINT)
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- NEW this round (r07) -----------------------------------------------
+    "fuzzy_dedup": (q_fuzzy_dedup, SQL_FUZZY_DEDUP),
+    "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
     # -- NEW this round (r06): the last undeclared §2.11 operator, the ANN
     # -- retrieval-quality diagnostic, and the round-6 pipeline additions
     # -- (C4 line dedup, Gopher rules, Zipf head, source dup diagnostics) ----
@@ -3773,6 +3832,61 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "flatten_json": (q_flatten_json, SQL_FLATTEN_JSON),
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "window_after_event": (q_window_after_event, SQL_WINDOW_AFTER_EVENT),
+}
+
+# Round-7 verification rotation: the driver checks a PREFIX of the
+# registry each round, so order = (1) operators whose code paths changed
+# this round (cosine_pairs rebuild -> embedding_near_dup + the ANN family
+# that shares kmeans internals; the ccnet/bigram lang-carry refactor; the
+# line_dedup / media_transform runtime guards; the kmeans oracle CAST),
+# then (2) the 27 rows whose latest official driver record is still r04,
+# then (3) r05 rows, r06-green rows last. The full set re-verifies locally
+# every run via tests/test_oracle_parity.py regardless of this order.
+_R7_MODIFIED = [
+    "fuzzy_dedup",
+    "event_debounce",
+    "kmeans_assign",
+    "embedding_near_dup",
+    "ccnet_bucket",
+    "bigram_lm_score",
+    "line_dedup",
+    "media_transform",
+    "semantic_dedup",
+    "ivf_ann",
+    "ann_recall",
+]
+_R4_STALE = [
+    "anti_semi_join", "chunk_documents", "cube_counts", "dq_check",
+    "dq_unique", "incremental_agg", "incremental_dedup", "lag_diff",
+    "media_decode", "ntile_quartiles", "orphan_counts", "pivot_counts",
+    "price_qty_corr", "regex_funcs", "repetition_metrics", "rollup_counts",
+    "running_total", "salted_group_count", "salted_join", "set_ops",
+    "streaming_dedup", "streaming_session_window",
+    "streaming_sliding_window", "tfidf_top_terms", "topk_per_group",
+    "unpivot_metrics",
+]
+_R5_NEXT = [
+    "asof_join", "binary_features", "bloom_prune", "cast_timestamp",
+    "cosine_topk", "date_format", "datetime_diff", "dedup_clusters",
+    "dedup_keep_best", "doc_fingerprint", "exact_dedup", "explode_tokens",
+    "fixed_size_sample", "flatten_json", "full_sort", "hash_sample",
+    "histogram_bin", "hygiene_score", "kmv_distinct", "lang_id",
+    "latest_row", "latest_snapshot", "lsh_ann", "lsh_near_dup",
+    "mixture_weights", "nested_flatten", "normalize_columns", "null_funcs",
+    "partition_skew", "percentile_disc", "profile_table", "quality_score",
+    "sessionize", "stratified_sample", "streaming_time_bucket",
+    "string_funcs", "substring_dedup", "substring_dedup_apply",
+    "substring_dedup_keep_first", "time_interval_filter", "token_count",
+    "union_distinct", "window_after_event",
+]
+_R7_PREFIX = (
+    _R7_MODIFIED
+    + [n for n in _R4_STALE if n not in _R7_MODIFIED]
+    + [n for n in _R5_NEXT if n not in _R7_MODIFIED]
+)
+_REGISTRY = {
+    n: _REGISTRY[n]
+    for n in _R7_PREFIX + [n for n in _REGISTRY if n not in _R7_PREFIX]
 }
 
 

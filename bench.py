@@ -104,6 +104,8 @@ HEADLINE = [
     "curation_funnel",
     "incremental_near_dup",
     "strip_html",
+    "fuzzy_dedup",
+    "event_debounce",
 ]
 
 
@@ -120,6 +122,46 @@ DUCK_SINGLE_RUN = {"embedding_near_dup"}
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# sf1/sf0.1 wall-time ratio above which a query is flagged as scaling
+# superlinearly on 10x data (see _scaling_gate call site for rationale).
+SCALE_RATIO_LIMIT = 15.0
+
+
+def _scaling_gate(here: str) -> None:
+    p01 = os.path.join(here, "BENCH_DETAIL_sf0.1.json")
+    p1 = os.path.join(here, "BENCH_DETAIL_sf1.json")
+    if not (os.path.exists(p01) and os.path.exists(p1)):
+        return
+    with open(p01) as fh:
+        q01 = json.load(fh).get("queries") or {}
+    with open(p1) as fh:
+        q1 = json.load(fh).get("queries") or {}
+    ratios = {
+        n: round(q1[n] / max(q01[n], 1e-3), 2)
+        for n in sorted(q1)
+        if n in q01
+    }
+    violations = {
+        n: r for n, r in ratios.items() if r > SCALE_RATIO_LIMIT
+    }
+    with open(os.path.join(here, "SCALING.json"), "w") as fh:
+        json.dump(
+            {
+                "ratio_sf1_over_sf01": ratios,
+                "limit": SCALE_RATIO_LIMIT,
+                "violations": violations,
+            },
+            fh,
+            indent=1,
+        )
+    for n, r in violations.items():
+        print(
+            f"SCALE-GATE VIOLATION: {n} ran {r}x on 10x data "
+            f"(limit {SCALE_RATIO_LIMIT}) — see SCALING.json / SCALING.md",
+            file=sys.stderr,
+        )
 
 
 def main() -> None:
@@ -238,6 +280,16 @@ def main() -> None:
             and sf_dir.rstrip("/") == default_sf_dir):
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1)
+    # Scale-regression gate: whenever both the canonical sf0.1 detail and
+    # an sf1 rehearsal detail exist, refresh SCALING.json (query →
+    # sf1/sf0.1 wall ratio on 10× data) and flag any query whose ratio
+    # exceeds SCALE_RATIO_LIMIT — the automated form of the round-6
+    # finding (embedding_near_dup ran 137× on 10× data for two rounds
+    # before a human read the curve). Ratios ≤ ~10 are linear-with-
+    # overhead; 15 leaves slack for superlinear-but-bounded shapes like
+    # simhash bucket occupancy. Violations go to stderr + the file, never
+    # onto the driver's one-line stdout contract.
+    _scaling_gate(here)
     # Driver contract wants per-query timings on the line; the driver's
     # stdout tail window is 2000 chars. Emit queries inline while the line
     # fits comfortably, else fall back to the detail-file pointer only

@@ -1159,3 +1159,72 @@ def incremental_near_dup(
         )
         .select(F.col("new_id").alias("doc_id"), "dup_of", "est_jaccard")
     )
+
+
+# Distinct-name occupancy cap per blocking word for fuzzy_pairs: a word
+# shared by more distinct values than this is stopword-class and blocks
+# nothing (the minhash BUCKET_CAP precedent, at the value grain).
+FUZZY_WORD_CAP = 1000
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    name_col: str = "p_name",
+    max_dist: int = 2,
+    word_cap: int = FUZZY_WORD_CAP,
+) -> DataFrame:
+    """Edit-distance near-duplicate VALUE pairs — the entity-resolution
+    shape ("cold gear" vs "old gear" are probably the same part, affecting
+    cnt_a + cnt_b rows). Dedup runs at the DISTINCT-value grain, and the
+    candidate contract is word-blocked (pairs must share ≥ 1 word token,
+    the declared-blocking convention the LSH family uses): within each
+    word's distinct-value list, unordered pairs generate in-row, dedupe
+    across shared words, and survive at ``levenshtein ≤ max_dist``.
+
+    Scale shape: the quadratic term is confined to distinct-values-per-
+    word, which is VOCABULARY-bounded, never corpus-bounded (the
+    vocab_topk argument), and words above ``word_cap`` distinct values are
+    stopword-class — they block nothing and are dropped, loudly bounded
+    like the minhash hot-bucket cap. Two exchanges (word rollup, pair
+    distinct), no joins; ``levenshtein`` is JVM-native codegen on both
+    engines with identical unit-cost semantics, so the oracle replays
+    byte-for-byte. Mirrors the reference's normalization concern
+    (``elt/clean_sheets.py`` lowercases/strips free-text columns before
+    grouping) taken to the matching step it never had.
+    """
+    names = df.groupBy(F.col(name_col).alias("name")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    words = names.select(
+        "name",
+        "cnt",
+        F.explode(F.array_distinct(F.split("name", " ", -1))).alias("w"),
+    ).where(F.length("w") > 0)
+    wcnt = F.count(F.lit(1)).over(Window.partitionBy("w"))
+    ok = words.withColumn("__n", wcnt).where(F.col("__n") <= word_cap)
+    lists = (
+        ok.groupBy("w")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("name", "cnt"))).alias("ns")
+        )
+        .where(F.size("ns") >= 2)
+    )
+    combos = F.expr(
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), y -> "
+        "struct(x.name AS name_a, x.cnt AS cnt_a, "
+        "y.name AS name_b, y.cnt AS cnt_b))))"
+    )
+    pairs = (
+        lists.select(F.explode(combos).alias("p"))
+        .select("p.name_a", "p.cnt_a", "p.name_b", "p.cnt_b")
+        .distinct()
+    )
+    d = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return pairs.where(d <= max_dist).select(
+        "name_a",
+        "name_b",
+        d.cast("bigint").alias("dist"),
+        "cnt_a",
+        "cnt_b",
+    )

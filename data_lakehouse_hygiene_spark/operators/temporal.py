@@ -194,3 +194,46 @@ def sessionize(
     return events.withColumn(
         session_out, F.sum(is_new).over(running).cast("bigint")
     )
+
+
+def event_debounce(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    window_s: int = 600,
+) -> DataFrame:
+    """Rapid-fire suppression: keep only events whose previous event of the
+    SAME (key, type) is more than ``window_s`` seconds in the past (burst
+    leaders — equivalently, the first event of every gap-``window_s``
+    session, so double-fired trackers and retry storms collapse to one
+    row). Returns the kept rows with their gap to the suppressed-or-not
+    predecessor in exact integer microseconds (NULL for a key's first
+    event).
+
+    Scale shape: one hash exchange on (key, type) + a lag window whose
+    partitions are per-user-per-type — never corpus-bounded. Gap math is
+    ``unix_micros`` BIGINT subtraction (no float time arithmetic), so the
+    oracle replays exactly; ties on ts break by event id for a total
+    deterministic order.
+    """
+    w = Window.partitionBy(key, type_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    # timestampdiff, not unix_micros: events.ts loads as TIMESTAMP_NTZ and
+    # a same-type difference is timezone-free by construction (no cast
+    # through the session zone, so a hostile-tz driver session cannot
+    # shift the gap).
+    kept = (
+        events.withColumn("__prev", F.lag(F.col(ts)).over(w))
+        .withColumn(
+            "gap_us", F.expr(f"timestampdiff(MICROSECOND, __prev, {ts})")
+        )
+        .where(
+            F.col("gap_us").isNull()
+            | (F.col("gap_us") > F.lit(int(window_s) * 1_000_000))
+        )
+    )
+    return kept.select(id_col, key, type_col, "gap_us")

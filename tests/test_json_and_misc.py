@@ -655,3 +655,60 @@ def test_line_dedup_key_packing_guard(spark):
     )
     with pytest.raises(SparkRuntimeException, match="line_dedup"):
         line_dedup(df).collect()
+
+
+def test_fuzzy_pairs_blocking_and_metric(spark):
+    """Word-blocked levenshtein pairs: qualifying pair found, non-shared-
+    word pair never considered (blocking contract), stopword-capped word
+    blocks nothing, counts carried."""
+    from data_lakehouse_hygiene_spark.operators.dedup import fuzzy_pairs
+
+    rows = (
+        [(i, "cold gear") for i in range(3)]
+        + [(i + 10, "old gear") for i in range(2)]
+        + [(20, "xyz qrs")]  # shares no word: never a candidate
+        + [(21, "old bear")]
+    )
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    got = {
+        (r["name_a"], r["name_b"]): (r["dist"], r["cnt_a"], r["cnt_b"])
+        for r in fuzzy_pairs(df, name_col="p_name", max_dist=2).collect()
+    }
+    assert got[("cold gear", "old gear")] == (1, 3, 2)
+    assert ("old bear", "old gear") in got  # shares "old", dist 2
+    assert all("xyz qrs" not in k for k in got)
+    # word_cap=1: every word is "hot" → nothing blocks → no pairs
+    assert (
+        fuzzy_pairs(df, name_col="p_name", max_dist=2, word_cap=1).count()
+        == 0
+    )
+
+
+def test_event_debounce_burst_leaders(spark):
+    """Only burst leaders survive; gaps are exact integer microseconds;
+    different event types debounce independently."""
+    import datetime as dt
+
+    from data_lakehouse_hygiene_spark.operators.temporal import (
+        event_debounce,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, 7, "click", t0),
+        (2, 7, "click", t0 + 5 * s),    # within 10 s of #1: dropped
+        (3, 7, "click", t0 + 9 * s),    # within 10 s of #2: dropped (chain)
+        (4, 7, "click", t0 + 30 * s),   # 21 s after #3: kept
+        (5, 7, "view", t0 + 2 * s),     # different type: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {
+        r["event_id"]: r["gap_us"]
+        for r in event_debounce(df, window_s=10).collect()
+    }
+    assert set(got) == {1, 4, 5}
+    assert got[1] is None and got[5] is None
+    assert got[4] == 21_000_000
