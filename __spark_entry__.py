@@ -983,7 +983,8 @@ WITH {_SQL_NORMS},
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm AS na, b.norm AS nb,
          a.embedding AS ea, b.embedding AS eb
-  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id),
+  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+  WHERE a.norm > 0 AND b.norm > 0),
 dots AS (
   SELECT vec_a, vec_b, any_value(na) AS na, any_value(nb) AS nb,
          CAST(sum({_DOT.format(a='p.ea', b='p.eb')}) AS DOUBLE)

@@ -395,13 +395,19 @@ def cosine_pairs(
         B = np.vstack(right["v_b"].to_numpy()).astype(np.float64)
         ia = left["vec_id"].to_numpy()
         ib = right["vec_id_b"].to_numpy()
-        # norms exactly as norms(): sqrt((Σ floor(v·v·S + .5)) / S)
+        # norms exactly as norms(): sqrt((Σ floor(v·v·S + .5)) / S).
+        # A zero QUANTIZED norm (all |components| < ~7e-7) is degenerate at
+        # this precision — poison it to NaN so both the screen and the
+        # exact recompute drop the row instead of dividing to ±inf
+        # (hypothesis-found: a [6e-8, ...] vector paired at cosine = inf).
         na = np.sqrt(
             np.floor(A * A * scale + 0.5).astype(np.int64).sum(axis=1) / scale
         )
         nb = np.sqrt(
             np.floor(B * B * scale + 0.5).astype(np.int64).sum(axis=1) / scale
         )
+        na[na == 0.0] = np.nan
+        nb[nb == 0.0] = np.nan
         out = [empty]
         screen = threshold - _SCREEN_MARGIN
         for lo in range(0, len(A), 4096):
@@ -478,7 +484,12 @@ def cosine_pairs_catalyst(
         blk.alias("k2"),
     )
     pairs = a.hint("shuffle_hash").join(b, on=["k1", "k2"]).where(
-        F.col("vec_a") < F.col("vec_b")
+        (F.col("vec_a") < F.col("vec_b"))
+        # zero quantized norms are degenerate at DOT_SCALE precision:
+        # drop them (mirrors the kernel's NaN-poisoned norms) instead of
+        # letting the division emit cosine = ±inf rows
+        & (F.col("norm_a") > 0)
+        & (F.col("norm_b") > 0)
     )
     cos = dot_exact(F.col("va"), F.col("vb")) / (
         F.col("norm_a") * F.col("norm_b")

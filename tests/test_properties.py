@@ -161,3 +161,148 @@ def test_substring_spans_and_apply_match_python_replay(spark, texts):
         cov = covered.get(doc_id, set())
         want = " ".join(t for p, t in enumerate(ts) if p not in cov)
         assert applied[doc_id] == (want, len(cov)), doc_id
+
+
+# ---- round-7 operators: python-replay properties ------------------------
+
+_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=4, max_size=4,
+)
+
+
+@given(st.lists(_vec, min_size=1, max_size=12), st.sampled_from([0.3, 0.7, 0.95]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cosine_pairs_matches_numpy_replay(spark, vecs, threshold):
+    """Both cosine_pairs plan shapes (hash-blocked small path and forced
+    cluster-blocked pruned path) must equal an independent numpy replay of
+    the quantized arithmetic — including zero vectors (dropped) and
+    arbitrary blocking splits."""
+    import numpy as np
+
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    S = 1e12
+    A = np.array([np.array(v, dtype=np.float32) for v in vecs], dtype=np.float64)
+    nrm = np.sqrt(np.floor(A * A * S + 0.5).astype(np.int64).sum(axis=1) / S)
+    want = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if nrm[i] == 0 or nrm[j] == 0:
+                continue
+            dotq = np.floor(A[i] * A[j] * S + 0.5).astype(np.int64).sum()
+            cos = (dotq / S) / (nrm[i] * nrm[j])
+            cosq = math.floor(cos * 1e6 + 0.5) / 1e6
+            if cosq >= threshold:
+                want.add((i, j, cosq))
+    got_small = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in cosine_pairs(df, threshold=threshold, n_blocks=3).collect()
+    }
+    assert got_small == want
+    got_kmeans = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in cosine_pairs(
+            df, threshold=threshold, n_blocks=3, small_bytes=0
+        ).collect()
+    }
+    assert got_kmeans == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_name = st.lists(
+    st.sampled_from(["red", "rod", "old", "cold", "gear", "bear", "bolt"]),
+    min_size=1, max_size=3,
+).map(" ".join)
+
+
+@given(st.lists(_name, min_size=1, max_size=12), st.sampled_from([1, 2, 3]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_pairs_matches_python_replay(spark, names, k):
+    """fuzzy_pairs == brute-force replay of its declared contract: distinct
+    values, pairs sharing >=1 word under the cap, levenshtein <= k."""
+    from collections import Counter
+
+    from data_lakehouse_hygiene_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["p_partkey", "p_name"]
+    )
+    cnt = Counter(names)
+    distinct = sorted(cnt)
+    wordsets = {n: set(n.split(" ")) for n in distinct}
+    cap = 3
+    occupancy = Counter(w for n in distinct for w in wordsets[n])
+    want = set()
+    for i in range(len(distinct)):
+        for j in range(i + 1, len(distinct)):
+            a, b = distinct[i], distinct[j]
+            shared = {
+                w for w in wordsets[a] & wordsets[b] if occupancy[w] <= cap
+            }
+            if shared and _lev(a, b) <= k:
+                want.add((a, b, _lev(a, b), cnt[a], cnt[b]))
+    got = {
+        tuple(r)
+        for r in fuzzy_pairs(df, max_dist=k, word_cap=cap).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.sampled_from(["click", "view"]),             # type
+            st.integers(min_value=0, max_value=2000),       # offset seconds
+        ),
+        min_size=1, max_size=20,
+    ),
+    st.sampled_from([60, 600]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_event_debounce_matches_python_replay(spark, events, window_s):
+    """event_debounce == python replay of the burst-leader rule, exact
+    microsecond gaps, (ts, id) tie-break order."""
+    import datetime as dt
+
+    from data_lakehouse_hygiene_spark.operators.temporal import (
+        event_debounce,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (eid, u, ty, t0 + dt.timedelta(seconds=off))
+        for eid, (u, ty, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    want = set()
+    bygroup: dict = {}
+    for eid, u, ty, ts in sorted(rows, key=lambda r: (r[3], r[0])):
+        prev = bygroup.get((u, ty))
+        gap = None if prev is None else int((ts - prev).total_seconds() * 1e6)
+        if gap is None or gap > window_s * 1_000_000:
+            want.add((eid, u, ty, gap))
+        bygroup[(u, ty)] = ts
+    got = {tuple(r) for r in event_debounce(df, window_s=window_s).collect()}
+    assert got == want
