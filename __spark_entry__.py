@@ -3452,16 +3452,32 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor counts and the final retention ratio — the one-row summary a
     pipeline run publishes.
 
-    Scale shape: the two per-row gates join on doc_id (hash exchange); the
-    keeper election is a MIN window on the text digest over gate survivors
-    only (duplicate-frequency-bounded partitions); the output is two 1-row
-    aggregates cross-joined — nothing corpus-sized ever converges."""
+    Scale shape (round 7): both gates are pure per-row projections, so
+    they CHAIN on one corpus scan via their ``keep`` pass-through columns
+    — no doc_id joins at all (the round-6 shape joined each gate back,
+    paying 3 corpus scans + 2 hash joins, twice across the two
+    consumers); the keeper election is a MIN window on the text digest
+    over gate survivors only (duplicate-frequency-bounded partitions);
+    the output is two 1-row aggregates cross-joined — nothing
+    corpus-sized ever converges."""
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents")
-    g = text_ops.gopher_quality(docs).select("doc_id", "passes")
-    r = text_ops.repetition_metrics(docs).select("doc_id", "keep")
-    j = docs.select("doc_id", "text").join(g, "doc_id").join(r, "doc_id")
+    g = text_ops.gopher_quality(docs, keep=("text",)).select(
+        "doc_id", "text", "passes"
+    )
+    # The fused gate row is NARROW (digest, two booleans — text never
+    # leaves the projection) and its HOF gate compute is the expensive
+    # term, with two consumers below — lazy-checkpoint so it runs once
+    # (unlike ccnet's labeled corpus, where the barrier lost to a cheap
+    # recompute, here the recompute IS the cost).
+    j = (
+        text_ops.repetition_metrics(g, keep=("text", "passes"))
+        .select(
+            "doc_id", F.md5("text").alias("__h"), "passes", "keep"
+        )
+        .localCheckpoint(eager=False)
+    )
     stage2 = F.col("passes")
     stage3 = F.col("passes") & F.col("keep")
     base = j.agg(
@@ -3469,7 +3485,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(stage2.cast("bigint")).alias("n_after_quality"),
         F.sum(stage3.cast("bigint")).alias("n_after_repetition"),
     )
-    survivors = j.where(stage3).withColumn("__h", F.md5("text"))
+    survivors = j.where(stage3)
     flagged = survivors.withColumn(
         "__keeper",
         F.col("doc_id") == F.min("doc_id").over(W.partitionBy("__h")),

@@ -247,7 +247,9 @@ def chunk_documents(
     )
 
 
-def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, the
     standard "repetitive document" filters in LLM data pipelines):
 
@@ -259,41 +261,70 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale: pure in-row higher-order-function compute — O(distinct_tokens ×
     n_tokens) per document, no shuffle, scan throughput at 100 TB. The
-    modal count uses transform-over-distinct + filter rather than an
-    explode + groupBy so the text never leaves its row."""
-    df = project_tokens(df, text_col)
-    toks = F.col("__toks")
-    n = F.size(toks)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda u: F.size(F.filter(toks, lambda x: x == u)),
-        )
+    modal count runs in an Arrow ``mapInPandas`` kernel (hash-map counts,
+    O(n) per document): the expression-tree form —
+    ``array_max(transform(array_distinct, filter-count))`` — is both
+    O(distinct·n) per document AND CodegenFallback-interpreted, and
+    measured 12 s at sf1 where this kernel measures well under 1 s. The
+    Python arithmetic replays the engine expression ops exactly (IEEE
+    double division, floor-quantize to 6 decimals, same bigram join), so
+    the DuckDB oracle parity is unchanged. ``keep`` names pass-through
+    columns (gopher_quality's convention) so composites can chain the
+    gates on one scan."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    assert "keep" not in keep, "output column 'keep' is reserved"
+    in_cols = list(dict.fromkeys(["doc_id", *keep, text_col]))
+    src = df.select(*in_cols)
+    types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    out_schema = ", ".join(
+        [f"doc_id {types['doc_id']}"]
+        + [f"`{k}` {types[k]}" for k in keep]
+        + [
+            "n_tokens bigint",
+            "top_token_frac double",
+            "dup_bigram_frac double",
+            "keep boolean",
+        ]
     )
-    top_frac = quantize(top.cast("double") / n.cast("double"), 6)
-    bi = F.transform(
-        F.sequence(F.lit(1), n - F.lit(1)),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
-        ),
-    )
-    dup_frac = F.when(
-        n >= 2,
-        quantize(
-            (F.size(bi) - F.size(F.array_distinct(bi))).cast("double")
-            / F.size(bi).cast("double"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
-    return df.select(
-        "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        top_frac.alias("top_token_frac"),
-        dup_frac.alias("dup_bigram_frac"),
-        (
-            (top_frac <= F.lit(0.2)) & (dup_frac <= F.lit(0.4))
-        ).alias("keep"),
-    )
+
+    def _row(s):
+        # exact replay of the expression semantics: split keeps empties,
+        # quantize = floor(x·1e6 + 0.5)/1e6 on IEEE doubles
+        if s is None:  # split(NULL) propagates NULL through every metric
+            return (None, None, None, None)
+        toks = s.split(" ")
+        n = len(toks)
+        top = max(Counter(toks).values())
+        top_frac = math.floor(top / n * 1e6 + 0.5) / 1e6
+        if n >= 2:
+            bi = [toks[i] + " " + toks[i + 1] for i in range(n - 1)]
+            dup_frac = (
+                math.floor((len(bi) - len(set(bi))) / len(bi) * 1e6 + 0.5)
+                / 1e6
+            )
+        else:
+            dup_frac = 0.0
+        return (n, top_frac, dup_frac, top_frac <= 0.2 and dup_frac <= 0.4)
+
+    def gen(it):
+        for pdf in it:
+            vals = [_row(s) for s in pdf[text_col]]
+            out = {"doc_id": pdf["doc_id"]}
+            for k in keep:
+                out[k] = pdf[k]
+            out["n_tokens"] = pd.array(
+                [v[0] for v in vals], dtype="Int64"
+            )
+            out["top_token_frac"] = [v[1] for v in vals]
+            out["dup_bigram_frac"] = [v[2] for v in vals]
+            out["keep"] = pd.array([v[3] for v in vals], dtype="boolean")
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(gen, out_schema)
 
 
 # RE2-compatible (no lookahead/backrefs) so Spark's Java regex and any
@@ -515,6 +546,7 @@ def gopher_quality(
     max_symbol_word_ratio: float = 0.1,
     min_alpha_word_ratio: float = 0.8,
     min_stop_hits: int = 2,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021 §A1.1) as per-document flag
     columns plus the conjunctive ``passes`` verdict — the standard
@@ -526,8 +558,12 @@ def gopher_quality(
     shuffle, runs at scan throughput. All fractional values floor-quantized
     to 4 decimals BEFORE threshold comparison, so the flags are
     engine-portable (the oracle compares the same quantized value).
+    ``keep`` names pass-through columns so composites (curation_funnel)
+    can chain the per-row gates on ONE scan instead of joining them back
+    (``text_col`` itself may be kept — the token projection already
+    carries it, so it is only re-emitted, never duplicated).
     """
-    df = project_tokens(df, text_col)
+    df = project_tokens(df, text_col, *[k for k in keep if k != text_col])
     t = F.col(text_col)
     toks = F.col("__toks")
     n_words = F.size(toks)
@@ -558,6 +594,7 @@ def gopher_quality(
     f_stop = stop_hits >= min_stop_hits
     return df.select(
         "doc_id",
+        *keep,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         sym_ratio.alias("symbol_word_ratio"),
