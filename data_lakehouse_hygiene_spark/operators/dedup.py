@@ -650,6 +650,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Above this estimated input size the simhash pair stage switches from
+# in-row expression combos to the Arrow popcount kernel (see
+# simhash_near_dup_pairs) — the interpreted O(occupancy^2) term crosses
+# the fixed Arrow/worker overhead around this scale (estimates are
+# COMPRESSED parquet bytes: ~0.6 MB at sf0.1 where the expression path
+# wins 1.5 s vs 3.2 s, ~4 MB at sf1 where the kernel wins 5.8 s vs 13 s).
+SIMHASH_KERNEL_BYTES = 2 << 20
+
 SIMHASH_BANDS = 8  # 8 disjoint 8-bit bands of the 64-bit signature
 SIMHASH_MAX_HAMMING = 7  # must stay < SIMHASH_BANDS for the recall guarantee
 
@@ -723,26 +731,113 @@ def simhash_near_dup_pairs(
         _swar_half(32, "sh_hi"),
         F.explode(bands).alias("bk"),
     ).select("doc_id", "sh_lo", "sh_hi", "bk.band", "bk.band_val")
-    grp = (
-        ex.groupBy("band", "band_val")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "sh_lo", "sh_hi"))
-            ).alias("ds")
+    # Size-gated pair stage (the ngram_jaccard two-plan-shapes precedent;
+    # value-identical either way, asserted in tests):
+    #
+    # - SMALL inputs (estimated < SIMHASH_KERNEL_BYTES): in-row expression
+    #   combos per bucket. The interpreted per-pair cost is small when
+    #   bucket occupancy is, and the no-Python plan avoids ~1.3 s of
+    #   Arrow/worker overhead at sf0.1.
+    # - LARGE inputs: an Arrow applyInPandas kernel — numpy XOR + SWAR
+    #   popcount over each bucket's signature vectors. The expression
+    #   combos are CodegenFallback-interpreted and O(occupancy²) per
+    #   bucket — measured 16.3 s at sf1 where the kernel measures ~6 s;
+    #   the gap widens quadratically with occupancy.
+    #
+    # The Arrow GROUP is deliberately COARSER than the bucket: grouping
+    # on the raw (band, band_val) ships one Arrow batch per bucket, and
+    # the ~2.7 ms per-group Python round-trip made 2048 tiny buckets cost
+    # 6 s at sf0.1. Instead the shuffle key is (band, band_val mod
+    # sub_groups) — n_bands·sub_groups Arrow groups of ~n/sub_groups rows
+    # — and the kernel sub-groups by exact band_val in pandas (C-speed,
+    # no per-bucket round-trip). Same buckets, same pairs; only the
+    # transport granularity changes. Size ``sub_groups`` so a task holds
+    # ~500k rows (n_bands·sub_groups tasks must also cover the cluster).
+    import numpy as np
+    import pandas as pd
+
+    if _estimated_bytes(df) < SIMHASH_KERNEL_BYTES:
+        grp = (
+            ex.groupBy("band", "band_val")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "sh_lo", "sh_hi"))
+                ).alias("ds")
+            )
+            .where(F.size("ds") >= 2)
         )
-        .where(F.size("ds") >= 2)
-    )
-    combos = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> "
-        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-        "cast(bit_count(x.sh_lo ^ y.sh_lo) + bit_count(x.sh_hi ^ y.sh_hi) "
-        "as bigint) AS hamming))))"
-    )
+        combos = F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+            "cast(bit_count(x.sh_lo ^ y.sh_lo) + "
+            "bit_count(x.sh_hi ^ y.sh_hi) as bigint) AS hamming))))"
+        )
+        return (
+            grp.select(F.explode(combos).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.hamming")
+            .where(F.col("hamming") <= max_hamming)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("hamming").alias("hamming"))
+        )
+
+    sub_groups = 64
+
+    def _pop64(x):
+        m1 = np.uint64(0x5555555555555555)
+        m2 = np.uint64(0x3333333333333333)
+        m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+        h = np.uint64(0x0101010101010101)
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return (x * h) >> np.uint64(56)
+
+    _EMPTY = {
+        "doc_a": pd.Series(dtype="int64"),
+        "doc_b": pd.Series(dtype="int64"),
+        "hamming": pd.Series(dtype="int64"),
+    }
+
+    def _bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [pd.DataFrame(_EMPTY)]
+        for _, g in pdf.groupby("band_val", sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g["doc_id"].to_numpy())
+            ids = g["doc_id"].to_numpy()[order]
+            lo = g["sh_lo"].to_numpy()[order].astype(np.uint64)
+            hi = g["sh_hi"].to_numpy()[order].astype(np.uint64)
+            # chunk rows so the XOR matrix stays ~4096·occupancy int64s
+            # even on a pathological mass-duplicate bucket
+            for c0 in range(0, len(ids), 4096):
+                c1 = min(c0 + 4096, len(ids))
+                ham = (
+                    _pop64(lo[c0:c1, None] ^ lo[None, :])
+                    + _pop64(hi[c0:c1, None] ^ hi[None, :])
+                ).astype(np.int64)
+                rows = np.arange(c0, c1)[:, None]
+                cols = np.arange(len(ids))[None, :]
+                m = (rows < cols) & (ham <= max_hamming)
+                r, c = np.nonzero(m)
+                if len(r):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": ids[r + c0],
+                                "doc_b": ids[c],
+                                "hamming": ham[r, c],
+                            }
+                        )
+                    )
+        return pd.concat(outs, ignore_index=True)
+
+    coarse = ex.withColumn("__sub", F.pmod("band_val", F.lit(sub_groups)))
     return (
-        grp.select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
-        .where(F.col("hamming") <= max_hamming)
+        coarse.groupBy("band", "__sub")
+        .applyInPandas(
+            _bucket_kernel, "doc_a long, doc_b long, hamming long"
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.max("hamming").alias("hamming"))
     )
