@@ -66,7 +66,15 @@ def main() -> None:
     for name, a in rows:
         note = (
             "arrow-python"
-            if name in ("binary_features", "media_decode", "embedding_near_dup")
+            if name
+            in (
+                "binary_features",
+                "media_decode",
+                "embedding_near_dup",
+                "repetition_metrics",
+                "media_transform",
+                "curation_funnel",
+            )
             else ""
         )
         print(
