@@ -1116,14 +1116,19 @@ def line_dedup(
     )
     elig = F.length("line") >= min_chars
     # The packed election key is only injective while 0 <= pos <
-    # LINE_STRIDE and doc_id >= 0; outside that envelope it would
-    # silently mis-elect keep-first winners, so enforce the bound at
-    # runtime (same assert_true-routing trick as simhash's _swar_half —
-    # the if() keeps the guard from being pruned as unused).
+    # LINE_STRIDE and 0 <= doc_id <= MAX_LONG div LINE_STRIDE (the
+    # multiply wraps SILENTLY under the session's non-ANSI mode);
+    # outside that envelope it would mis-elect keep-first winners, so
+    # enforce all three bounds at runtime (same assert_true-routing
+    # trick as simhash's _swar_half — the if() keeps the guard from
+    # being pruned as unused).
+    max_doc = (1 << 63) // LINE_STRIDE - 1
     key = F.expr(
-        f"if(assert_true(doc_id >= 0 AND pos < {LINE_STRIDE}, "
-        f"'line_dedup key packing needs doc_id >= 0 and < {LINE_STRIDE} "
-        f"lines per document; chunk the document first') is null, "
+        f"if(assert_true(doc_id >= 0 AND doc_id <= {max_doc} "
+        f"AND pos < {LINE_STRIDE}, "
+        f"'line_dedup key packing needs 0 <= doc_id <= {max_doc} "
+        f"and < {LINE_STRIDE} lines per document; chunk or re-key "
+        f"first') is null, "
         f"cast(doc_id * {LINE_STRIDE}L + pos as bigint), null)"
     )
     min_key = F.min(F.when(elig, key)).over(Window.partitionBy("line"))

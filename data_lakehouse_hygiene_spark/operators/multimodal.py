@@ -290,7 +290,9 @@ def _decimate_wav(p: bytes, sample_every: int) -> bytes:
     meta = decode_media(p, "audio/wav")
     if meta["n_channels"] != 1:
         raise ValueError("frame sampling supports mono PCM only")
-    # find the fmt and data chunks
+    # find the fmt and data chunks — walk EVERY chunk (decode_media does;
+    # breaking at 'data' would leave bits unset for the legal
+    # fmt-after-data chunk order and wrongly reject a valid 8-bit file)
     pos = 12
     data = b""
     rate = meta["sample_rate"]
@@ -302,7 +304,6 @@ def _decimate_wav(p: bytes, sample_every: int) -> bytes:
             bits = int.from_bytes(p[pos + 22 : pos + 24], "little")
         if cid == b"data":
             data = p[pos + 8 : pos + 8 + clen]
-            break
         pos += 8 + clen + (clen % 2)
     # byte-stride slicing below assumes 1 byte == 1 sample; a 16-bit
     # payload would be split mid-sample-pair and emit corrupt-but-valid-

@@ -85,8 +85,27 @@ _SCREEN_MARGIN = 1e-4  # absolute cosine slack for the float-GEMM screen
 _KMEANS_FIT_SAMPLE = 8192  # blocking-quality fit needs a sample, not a scan
 
 
+def _quant_rotation(na2: float, dim: int) -> float:
+    """Conservative bound (radians) on the angle between a float vector
+    and its KMEANS_SCALE-quantized image, given the quantized squared
+    norm ``na2`` (integer units): per-component offset ≤ 0.5 units, so
+    sin(rot) ≤ 0.5·sqrt(d) / (|q| − 0.5·sqrt(d)). ~4e-6 rad for
+    unit-norm 64-d embeddings; approaches π as the quantized norm nears
+    the offset itself (direction genuinely unknown at this precision)."""
+    import math
+
+    off = 0.5 * math.sqrt(dim)
+    denom = math.sqrt(max(na2, 0.0)) - off
+    if denom <= 0.0:
+        return math.pi
+    return math.asin(min(1.0, off / denom))
+
+
 def _prune_block_pairs(
-    cents: list[list[int]], min_cos: list[float], threshold: float
+    cents: list[list[int]],
+    min_cos: list[float],
+    threshold: float,
+    rot: list[float] | None = None,
 ) -> list[tuple[int, int]]:
     """Angular triangle-inequality block-pair pruning: every member of
     cluster i lies within angle θ_i = acos(min_cos[i]) of centroid c_i, so
@@ -94,9 +113,12 @@ def _prune_block_pairs(
     angle) and the pair cosine is ≤ cos(max(0, φ_ij − θ_i − θ_j)). A block
     pair whose upper bound clears below the threshold cannot contain a
     qualifying pair and never launches. Driver-side O(k²·d) floats over the
-    collected integer centroids; each term gets an ``_EPS_ANG`` pad so
-    float rounding (and the quantized-vs-float vector rotation, ≤ ~4e-6
-    rad at KMEANS_SCALE=1e6, dim 64) can never turn pruning unsafe.
+    collected integer centroids; each term gets an ``_EPS_ANG`` pad for
+    float rounding, and ``rot[i]`` (``_quant_rotation`` of the cluster's
+    smallest quantized norm) widens θ_i so the FLOAT vectors the kernel
+    compares stay covered even when quantization rotates a tiny-norm
+    member arbitrarily — a fixed pad cannot (review-found: at norm ~1e-6
+    the rotation bound is ~radians, not the ~4e-6 of unit vectors).
 
     On angularly spread-out corpora (near-uniform embeddings: radii ≈ 90°)
     nothing prunes and the full P(P+1)/2 grid runs — correct, just not
@@ -106,7 +128,10 @@ def _prune_block_pairs(
 
     p = len(cents)
     theta = [
-        math.acos(max(-1.0, min(1.0, mc))) + _EPS_ANG for mc in min_cos
+        math.acos(max(-1.0, min(1.0, mc)))
+        + _EPS_ANG
+        + (rot[i] if rot is not None else 0.0)
+        for i, mc in enumerate(min_cos)
     ]
     nrm = [math.sqrt(float(sum(x * x for x in c))) for c in cents]
     tcos = threshold - _SCREEN_MARGIN
@@ -188,11 +213,12 @@ def _np_assign(base: DataFrame, cents_arr, kscale: float) -> DataFrame:
                         "v": chunk["v"],
                         "cluster": cl.astype(np.int32),
                         "cm": cm,
+                        "na2": na2,
                     }
                 )
 
     return base.mapInPandas(
-        gen, "vec_id long, v array<float>, cluster int, cm double"
+        gen, "vec_id long, v array<float>, cluster int, cm double, na2 long"
     )
 
 
@@ -326,21 +352,33 @@ def cosine_pairs(
         ).astype(np.int64)
         cents_arr = _kmeans_fit_local(sx, n_blocks, fit_iters)
         p = len(cents_arr)
+        dim = sx.shape[1]
 
-        assign = _np_assign(base, cents_arr, kscale)
+        # Lazy-checkpoint the assignment: it has THREE consumers (the
+        # radius agg plus both cogroup sides) and each would otherwise
+        # re-run the Arrow distance pass over the full corpus. The radius
+        # collect below executes first and materializes it.
+        assign = _np_assign(base, cents_arr, kscale).localCheckpoint(
+            eager=False
+        )
 
-        # Per-cluster angular radius: min member-centroid cosine (one
-        # column-pruned agg, ≤ p rows to the driver).
+        # Per-cluster angular radius: min member-centroid cosine + min
+        # quantized norm (for the rotation pad) — one column-pruned agg,
+        # ≤ p rows to the driver.
         radii = {
-            r["cluster"]: r["mc"]
+            r["cluster"]: (r["mc"], r["mn"])
             for r in assign.groupBy("cluster")
-            .agg(F.min("cm").alias("mc"))
+            .agg(F.min("cm").alias("mc"), F.min("na2").alias("mn"))
             .collect()
         }
         # memberless clusters have empty blocks — radius 0 is harmless
-        min_cos = [radii.get(ci, 1.0) for ci in range(p)]
+        min_cos = [radii.get(ci, (1.0, None))[0] for ci in range(p)]
+        rot = [
+            _quant_rotation(radii[ci][1], dim) if ci in radii else 0.0
+            for ci in range(p)
+        ]
         cents = [list(map(int, c)) for c in cents_arr]
-        kept = _prune_block_pairs(cents, min_cos, threshold)
+        kept = _prune_block_pairs(cents, min_cos, threshold, rot=rot)
     a_pids: dict[int, list[int]] = {}
     b_pids: dict[int, list[int]] = {}
     for i, j in kept:
@@ -409,43 +447,64 @@ def cosine_pairs(
         na[na == 0.0] = np.nan
         nb[nb == 0.0] = np.nan
         out = [empty]
-        screen = threshold - _SCREEN_MARGIN
+        # Per-pair quantization error bound: |GEMM dot − dotq/S| ≤
+        # d·0.6/S absolute (0.5 floor + rounding slack per component) and
+        # the GEMM's own rounding is relative (Cauchy–Schwarz bounds
+        # Σ|a_i b_i| by na·nb), so in COSINE space the screen margin must
+        # scale with 1/(na·nb): a fixed 1e-4 silently dropped qualifying
+        # small-norm pairs (review-found: two [7.8e-7,...] vectors have
+        # exact cosq = 1.0 but GEMM cosf ≈ 0.61). The extra margin is
+        # ~3e-13 for unit-norm embeddings — the screen stays tight where
+        # it matters and only loosens where the arithmetic is genuinely
+        # fuzzy.
+        qerr = A.shape[1] * 0.6 / scale
+        # BOTH matrix dimensions are chunked: a single chunked dimension
+        # leaves a 4096·|B| float64 temp — ~16 GB at the documented
+        # ~500k-vector block sizing — so the column side chunks too
+        # (4096×4096 ≈ 134 MB ceiling per temp).
         for lo in range(0, len(A), 4096):
             Ac = A[lo : lo + 4096]
             iac = ia[lo : lo + 4096]
             nac = na[lo : lo + 4096]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cosf = (Ac @ B.T) / np.outer(nac, nb)
-            m = cosf >= screen  # NaN (zero-norm) compares False
-            if bi == bj:
-                # self block pair: same vector set on both sides — keep
-                # one orientation and drop the diagonal
-                m &= iac[:, None] < ib[None, :]
-            r, c = np.nonzero(m)
-            if len(r) == 0:
-                continue
-            # exact engine arithmetic, only for screen survivors
-            dotq = (
-                np.floor(Ac[r] * B[c] * scale + 0.5)
-                .astype(np.int64)
-                .sum(axis=1)
-            )
-            cos = (dotq / scale) / (nac[r] * nb[c])
-            cosq = np.floor(cos * qdigits + 0.5) / qdigits
-            keepm = cosq >= threshold
-            if not keepm.any():
-                continue
-            va = iac[r][keepm]
-            vb = ib[c][keepm]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "vec_a": np.minimum(va, vb),
-                        "vec_b": np.maximum(va, vb),
-                        "cosine": cosq[keepm],
-                    }
+            for co in range(0, len(B), 4096):
+                Bc = B[co : co + 4096]
+                ibc = ib[co : co + 4096]
+                nbc = nb[co : co + 4096]
+                denom = np.outer(nac, nbc)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosf = (Ac @ Bc.T) / denom
+                    m = cosf >= (
+                        threshold - _SCREEN_MARGIN - qerr / denom
+                    )  # NaN (zero-norm) compares False
+                if bi == bj:
+                    # self block pair: same vector set on both sides —
+                    # keep one orientation and drop the diagonal
+                    m &= iac[:, None] < ibc[None, :]
+                r, c = np.nonzero(m)
+                if len(r) == 0:
+                    continue
+                # exact engine arithmetic, only for screen survivors
+                dotq = (
+                    np.floor(Ac[r] * Bc[c] * scale + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
                 )
-            )
+                cos = (dotq / scale) / (nac[r] * nbc[c])
+                cosq = np.floor(cos * qdigits + 0.5) / qdigits
+                keepm = cosq >= threshold
+                if not keepm.any():
+                    continue
+                va = iac[r][keepm]
+                vb = ibc[c][keepm]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(va, vb),
+                            "vec_b": np.maximum(va, vb),
+                            "cosine": cosq[keepm],
+                        }
+                    )
+                )
         return pd.concat(out, ignore_index=True)
 
     return (

@@ -294,8 +294,13 @@ def repetition_metrics(
     def _row(s):
         # exact replay of the expression semantics: split keeps empties,
         # quantize = floor(x·1e6 + 0.5)/1e6 on IEEE doubles
-        if s is None:  # split(NULL) propagates NULL through every metric
-            return (None, None, None, None)
+        if s is None:
+            # replay of the expression's NULL algebra: size(NULL) → NULL
+            # makes n_tokens/top_frac NULL, but dup_frac's when(n >= 2)
+            # predicate is NULL → falls to the otherwise(0.0) branch, and
+            # keep = (NULL <= .2) AND (0.0 <= .4) → NULL (the SQL oracle
+            # agrees — CASE WHEN NULL falls through to ELSE)
+            return (None, None, 0.0, None)
         toks = s.split(" ")
         n = len(toks)
         top = max(Counter(toks).values())

@@ -712,3 +712,81 @@ def test_event_debounce_burst_leaders(spark):
     assert set(got) == {1, 4, 5}
     assert got[1] is None and got[5] is None
     assert got[4] == 21_000_000
+
+
+def test_cosine_pairs_small_norm_screen_soundness(spark):
+    """Review-found: the float-GEMM screen's fixed margin silently dropped
+    qualifying pairs whose quantized norms are tiny (error scales with
+    1/(na·nb)). The norm-scaled margin must keep the kernel equal to the
+    Catalyst witness on exactly that input."""
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [7.8e-07, 0.0, 0.0, 0.0]), (1, [7.8e-07, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        tuple(r)
+        for r in similarity.cosine_pairs(df, threshold=0.95).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.cosine_pairs_catalyst(
+            df, threshold=0.95
+        ).collect()
+    )
+    assert got == want and len(got) == 1  # exact cosq = 1.0 survives
+
+
+def test_repetition_metrics_null_text_matches_expression_algebra(spark):
+    """NULL text: n_tokens/top_frac/keep are NULL but dup_bigram_frac is
+    0.0 (the when() falls to otherwise on a NULL predicate — and the SQL
+    oracle's CASE agrees)."""
+    from data_lakehouse_hygiene_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    r1 = got[1]
+    assert r1["n_tokens"] is None and r1["top_token_frac"] is None
+    assert r1["dup_bigram_frac"] == 0.0 and r1["keep"] is None
+    assert got[2]["n_tokens"] == 4
+
+
+def test_line_dedup_rejects_overflowing_doc_id(spark):
+    """doc_id big enough to wrap the packed key must fail loudly, not
+    silently mis-elect (non-ANSI multiply wraps)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from data_lakehouse_hygiene_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(10_000_000_000, "a\nb")], ["doc_id", "text"]
+    )
+    with pytest.raises(SparkRuntimeException, match="line_dedup"):
+        line_dedup(df).collect()
+
+
+def test_decimate_wav_fmt_after_data_layout():
+    """A valid WAV with the fmt chunk AFTER the data chunk must still
+    decimate (decode_media accepts that layout; the bits check must not
+    break on it)."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _decimate_wav,
+        decode_media,
+        make_wav,
+    )
+
+    src = make_wav(8000, 12, seed=3)
+    # canonical make_wav layout: RIFF(12) + fmt(8+16) + data(8+n).
+    fmt_chunk = src[12:36]
+    data_chunk = src[36:]
+    reordered = src[:12] + data_chunk + fmt_chunk
+    assert decode_media(reordered, "audio/wav")["n_samples"] == 12
+    out = _decimate_wav(reordered, 4)
+    meta = decode_media(out, "audio/wav")
+    assert meta["sample_rate"] == 2000 and meta["n_samples"] == 3
