@@ -3692,10 +3692,82 @@ FROM g WHERE gap_us IS NULL OR gap_us > CAST(86400000000 AS BIGINT)
 """
 
 
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-QUALITY diagnostic (the ann_recall convention applied to the
+    near-dup family): precision/recall of each approximate pair miner
+    (MinHash-LSH estimated Jaccard ≥ 0.5, SimHash Hamming ≤ 7) against
+    the exact n-gram Jaccard ≥ 0.5 truth set — so the driver guards pair
+    MINING quality every round, not just SQL parity. A banding/cap/knob
+    regression now shows up as a changed recall row instead of silently
+    shifting which near-dups get removed. Costs one run of each miner;
+    the truth side broadcasts (near-dup pairs are rare by definition) and
+    the verdict is two 1-row-per-method aggregates cross-joined with the
+    1-row truth count — the curation_funnel convention."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("__t")
+    )
+    pred = (
+        dedup.minhash_near_dup_pairs(docs)
+        .select(F.lit("minhash").alias("method"), "doc_a", "doc_b")
+        .unionByName(
+            dedup.simhash_near_dup_pairs(docs).select(
+                F.lit("simhash").alias("method"), "doc_a", "doc_b"
+            )
+        )
+    )
+    per = (
+        pred.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_pred"),
+            F.sum(F.coalesce("__t", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+    )
+    tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = per.crossJoin(F.broadcast(tn))
+    prec = F.col("n_hit").cast("double") / F.col("n_pred").cast("double")
+    rec = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+    return out.select(
+        "method",
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        quantize(prec, 6).alias("precision_q"),
+        quantize(rec, 6).alias("recall_q"),
+    )
+
+
+SQL_DEDUP_RECALL = f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD}) t),
+mh AS (SELECT 'minhash' AS method, doc_a, doc_b
+       FROM ({SQL_MINHASH_NEAR_DUP}) x),
+sh AS (SELECT 'simhash' AS method, doc_a, doc_b
+       FROM ({SQL_SIMHASH_NEAR_DUP}) y),
+pred AS (SELECT * FROM mh UNION ALL SELECT * FROM sh),
+tn AS (SELECT count(*) AS n_truth FROM truth),
+per AS (
+  SELECT p.method, count(*) AS n_pred,
+         sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM pred p LEFT JOIN truth t USING (doc_a, doc_b)
+  GROUP BY p.method)
+SELECT method,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n.n_truth AS BIGINT) AS n_truth,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       floor(CAST(n_hit AS DOUBLE) / n_pred * 1000000.0 + 0.5)
+         / 1000000.0 AS precision_q,
+       floor(CAST(n_hit AS DOUBLE) / n.n_truth * 1000000.0 + 0.5)
+         / 1000000.0 AS recall_q
+FROM per, tn n
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- NEW this round (r07) -----------------------------------------------
     "fuzzy_dedup": (q_fuzzy_dedup, SQL_FUZZY_DEDUP),
     "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
+    "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
     # -- NEW this round (r06): the last undeclared §2.11 operator, the ANN
     # -- retrieval-quality diagnostic, and the round-6 pipeline additions
     # -- (C4 line dedup, Gopher rules, Zipf head, source dup diagnostics) ----
@@ -3862,6 +3934,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 _R7_MODIFIED = [
     "fuzzy_dedup",
     "event_debounce",
+    "dedup_recall",
     "kmeans_assign",
     "embedding_near_dup",
     "ccnet_bucket",

@@ -407,3 +407,21 @@ def test_semantic_dedup_drops_exactly_in_cluster_pairs(spark):
     same_cluster_drops = {b for a, b in exact if labels[a] == labels[b]}
     dropped = {r["vec_id"] for r in qs["semantic_dedup"](spark, SF_ORACLE).collect()}
     assert dropped == same_cluster_drops and dropped
+
+
+def test_dedup_recall_pinned(spark):
+    """Both approximate pair miners recover the exact n-gram Jaccard
+    truth set perfectly on the fixture corpus (planted near-dup pairs are
+    well inside every band/cap envelope) — pinned so a banding, cap, or
+    knob regression surfaces as a changed row, the way ann_recall pins
+    retrieval quality."""
+    import __spark_entry__ as m
+
+    rows = {
+        r["method"]: r
+        for r in m.queries()["dedup_recall"](spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == {"minhash", "simhash"}
+    for r in rows.values():
+        assert (r["n_pred"], r["n_truth"], r["n_hit"]) == (25, 25, 25)
+        assert r["precision_q"] == 1.0 and r["recall_q"] == 1.0
