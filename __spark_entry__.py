@@ -3763,11 +3763,26 @@ FROM per, tn n
 """
 
 
+def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming rapid-fire suppression: the event stream through
+    ``streaming.debounce_stream`` (applyInPandasWithState, one timestamp
+    of GroupState per (user, type)). A single availableNow batch
+    reproduces the batch ``event_debounce`` exactly, so the oracle is the
+    same SQL."""
+    from data_lakehouse_hygiene_spark import streaming
+
+    pin_session(spark)
+    s = streaming.load_stream_table(spark, sf_dir, "events")
+    out = streaming.debounce_stream(s, window_s=86400)
+    return streaming.run_to_memory(out, output_mode="append")
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- NEW this round (r07) -----------------------------------------------
     "fuzzy_dedup": (q_fuzzy_dedup, SQL_FUZZY_DEDUP),
     "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
     "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
+    "streaming_debounce": (q_streaming_debounce, SQL_EVENT_DEBOUNCE),
     # -- NEW this round (r06): the last undeclared §2.11 operator, the ANN
     # -- retrieval-quality diagnostic, and the round-6 pipeline additions
     # -- (C4 line dedup, Gopher rules, Zipf head, source dup diagnostics) ----
@@ -3935,6 +3950,7 @@ _R7_MODIFIED = [
     "fuzzy_dedup",
     "event_debounce",
     "dedup_recall",
+    "streaming_debounce",
     "kmeans_assign",
     "embedding_near_dup",
     "ccnet_bucket",

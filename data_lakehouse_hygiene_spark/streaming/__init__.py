@@ -279,3 +279,85 @@ def near_dup_stream(
         .dropDuplicatesWithinWatermark(["rolling_fp"])
         .select("rolling_fp")
     )
+
+
+def debounce_stream(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    window_s: int = 600,
+) -> DataFrame:
+    """Stateful streaming rapid-fire suppression — the streaming half of
+    ``temporal.event_debounce``: per (key, type), emit only events whose
+    gap to the previous event exceeds ``window_s`` (burst leaders), with
+    the exact integer-microsecond gap; the last-seen timestamp carries
+    across micro-batches as GroupState (one long per group, bounded
+    state).
+
+    In-order feeds (or a single availableNow batch) reproduce the batch
+    operator exactly — asserted in tests. Out-of-order arrival ACROSS
+    micro-batches follows stream semantics: the gap is measured against
+    the latest event already SEEN, which is the only history a bounded
+    one-value state can carry.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(key, LongType()),
+            StructField(type_col, StringType()),
+            StructField("gap_us", LongType()),
+        ]
+    )
+    state_schema = "last_us long"
+    win_us = int(window_s) * 1_000_000
+
+    def update(key_tuple, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts, id_col])
+            # truncate to µs BEFORE differencing — the batch operator
+            # diffs unix_micros of µs-truncated timestamps, and the
+            # ns-unit source column would otherwise shift gaps by 1 µs
+            # whenever the sub-µs remainders straddle a boundary
+            ts_us = pdf[ts].astype("int64") // 1000
+            prev = ts_us.shift(1)
+            if last is not None:
+                prev.iloc[0] = float(last)
+            gap_us = ts_us - prev
+            keep = prev.isna() | (gap_us > win_us)
+            kept = pdf[keep]
+            gaps = gap_us[keep].astype("Int64")
+            yield pd.DataFrame(
+                {
+                    id_col: kept[id_col],
+                    key: kept[key],
+                    type_col: kept[type_col],
+                    "gap_us": gaps,
+                }
+            )
+            last = int(ts_us.iloc[-1])
+        if last is not None:
+            state.update((last,))
+
+    return events.groupBy(key, type_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -375,3 +375,62 @@ def test_near_dup_stream_suppresses_families(spark, tmp_path):
     # the suppression emitted exactly the distinct fingerprint families
     assert got == set(fps.values())
     assert fps[3] in got and len(got) <= 3
+
+
+def test_streaming_debounce_matches_batch_and_carries_state(spark, tmp_path):
+    """Single micro-batch ≡ batch event_debounce; and with the data split
+    across TWO micro-batches (in ts order), the carried last-seen state
+    must suppress a second-batch event that a stateless restart would have
+    re-admitted."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    # batch equivalence on the smoke table
+    ev_stream = streaming.load_stream_table(spark, SF_SMOKE, "events")
+    got = {
+        tuple(r)
+        for r in streaming.run_to_memory(
+            streaming.debounce_stream(ev_stream, window_s=86400),
+            output_mode="append",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in temporal.event_debounce(
+            load_table(spark, SF_SMOKE, "events"), window_s=86400
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # two-batch state carry: one parquet file per batch (file stream
+    # triggers per file with maxFilesPerTrigger=1)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    b1 = [(1, 7, "click", t0), (2, 7, "click", t0 + 100 * s)]
+    b2 = [(3, 7, "click", t0 + 105 * s), (4, 7, "click", t0 + 300 * s)]
+    schema = "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f*")
+    )
+    out = streaming.run_to_memory(
+        streaming.debounce_stream(stream, window_s=60), output_mode="append"
+    )
+    kept = {r["event_id"]: r["gap_us"] for r in out.collect()}
+    # 1 kept (first), 2 kept (100 s), 3 SUPPRESSED only if the 2nd batch
+    # saw batch-1 state (gap 5 s), 4 kept (195 s after 3 — measured from
+    # the last SEEN event, kept or not)
+    assert set(kept) == {1, 2, 4}
+    assert kept[1] is None and kept[2] == 100_000_000
+    assert kept[4] == 195_000_000
