@@ -2137,6 +2137,32 @@ FROM s, t
 """
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture applied as a deterministic downsample: keep
+    rates r_g = w_g·M/n_g (M = min n_g/w_g — the binding group keeps
+    everything) with the portable hash coin, so surviving (lang, source)
+    shares match the alpha=0.5 targets at the largest no-upsampling
+    size. See ``sampling.mixture_resample``."""
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    return sampling.mixture_resample(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+SQL_MIXTURE_RESAMPLE = f"""
+WITH w AS ({SQL_MIXTURE_WEIGHTS}),
+m AS (SELECT min(CAST(n AS DOUBLE) / weight) AS mm FROM w),
+r AS (
+  SELECT lang, source, weight * m.mm / CAST(n AS DOUBLE) AS rr
+  FROM w, m)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN r USING (lang, source)
+WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000000 AS DOUBLE) < rr * 1000000.0
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup: the 'src0' batch anti-joined against the
     digest set of the rest of the corpus (the already-ingested history).
@@ -3783,6 +3809,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
     "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
     "streaming_debounce": (q_streaming_debounce, SQL_EVENT_DEBOUNCE),
+    "mixture_resample": (q_mixture_resample, SQL_MIXTURE_RESAMPLE),
     # -- NEW this round (r06): the last undeclared §2.11 operator, the ANN
     # -- retrieval-quality diagnostic, and the round-6 pipeline additions
     # -- (C4 line dedup, Gopher rules, Zipf head, source dup diagnostics) ----
@@ -3951,6 +3978,7 @@ _R7_MODIFIED = [
     "event_debounce",
     "dedup_recall",
     "streaming_debounce",
+    "mixture_resample",
     "kmeans_assign",
     "embedding_near_dup",
     "ccnet_bucket",

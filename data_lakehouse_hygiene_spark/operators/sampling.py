@@ -182,3 +182,43 @@ def quality_weighted_sample(
     return df.where(
         u.cast("double") < q.cast("double") * F.lit(float(resolution))
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    *group_cols: str,
+    alpha: float = 0.5,
+    key: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Apply the temperature mixture as an actual deterministic
+    DOWNSAMPLE: keep rows so the surviving group shares match the
+    ``mixture_weights`` targets exactly in expectation, at the largest
+    size that needs no upsampling — per-group keep rate
+    r_g = w_g · M / n_g with M = min_g(n_g / w_g) (the binding group
+    keeps everything, r = 1). The coin is the portable 60-bit key hash
+    (``quality_weighted_sample``'s convention): the decision is a pure
+    function of the key — stable under repartitioning, retries, and
+    engine, no RNG.
+
+    Scale shape: the rate table is group-grain (tiny) and broadcasts
+    onto the corpus for one projection+filter — the expensive side runs
+    at scan speed; the min is a 1-row aggregate over the group table.
+    Returns the kept rows as (key, *group_cols).
+    """
+    w = mixture_weights(df, *group_cols, alpha=alpha)
+    m = w.select(
+        (F.col("n").cast("double") / F.col("weight")).alias("__m")
+    ).agg(F.min("__m").alias("__M"))
+    rates = w.crossJoin(F.broadcast(m)).select(
+        *group_cols,
+        (
+            F.col("weight") * F.col("__M") / F.col("n").cast("double")
+        ).alias("__r"),
+    )
+    u = base_hash(F.col(key).cast("string")) % resolution
+    return (
+        df.join(F.broadcast(rates), list(group_cols))
+        .where(u.cast("double") < F.col("__r") * F.lit(float(resolution)))
+        .select(key, *group_cols)
+    )

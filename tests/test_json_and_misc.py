@@ -790,3 +790,36 @@ def test_decimate_wav_fmt_after_data_layout():
     out = _decimate_wav(reordered, 4)
     meta = decode_media(out, "audio/wav")
     assert meta["sample_rate"] == 2000 and meta["n_samples"] == 3
+
+
+def test_mixture_resample_shares_and_determinism(spark):
+    """The binding group keeps every row (rate 1), surviving group shares
+    track the temperature targets, and the keep decision is a pure
+    function of the key (stable under repartitioning)."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark.operators.sampling import (
+        mixture_resample,
+        mixture_weights,
+    )
+
+    # skewed groups: tail group is the binding one under alpha=0.5
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = mixture_resample(df, "source")
+    by = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by["small"] == 100  # binding group: keep rate exactly 1
+    w = {
+        r["source"]: r["weight"]
+        for r in mixture_weights(df, "source").collect()
+    }
+    # expected big-group keep count = w_big * M, M = n_small / w_small
+    expect_big = w["big"] * (100 / w["small"])
+    assert abs(by["big"] - expect_big) / expect_big < 0.15  # hash-coin noise
+    again = {
+        tuple(r) for r in mixture_resample(df.repartition(13), "source").collect()
+    }
+    assert again == {tuple(r) for r in kept.collect()}
