@@ -326,33 +326,40 @@ def debounce_stream(
 
     def update(key_tuple, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values([ts, id_col])
-            # truncate to µs BEFORE differencing — the batch operator
-            # diffs unix_micros of µs-truncated timestamps, and the
-            # ns-unit source column would otherwise shift gaps by 1 µs
-            # whenever the sub-µs remainders straddle a boundary
-            ts_us = pdf[ts].astype("int64") // 1000
-            prev = ts_us.shift(1)
-            if last is not None:
-                prev.iloc[0] = float(last)
-            gap_us = ts_us - prev
-            keep = prev.isna() | (gap_us > win_us)
-            kept = pdf[keep]
-            gaps = gap_us[keep].astype("Int64")
-            yield pd.DataFrame(
-                {
-                    id_col: kept[id_col],
-                    key: kept[key],
-                    type_col: kept[type_col],
-                    "gap_us": gaps,
-                }
-            )
-            last = int(ts_us.iloc[-1])
+        # Concatenate the group's Arrow chunks BEFORE sorting: the
+        # iterator delivers ~10k-row chunks in arbitrary post-shuffle
+        # order, and a per-chunk sort would diff chunk N's first row
+        # against chunk N-1's max — wrong gaps for any group larger than
+        # one chunk (review-found). Memory is the group's batch slice,
+        # the same bound the state op already implies.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([ts, id_col])
+        # truncate to µs BEFORE differencing — the batch operator diffs
+        # unix_micros of µs-truncated timestamps, and the ns-unit source
+        # column would otherwise shift gaps by 1 µs whenever the sub-µs
+        # remainders straddle a boundary
+        ts_us = pdf[ts].astype("int64") // 1000
+        prev = ts_us.shift(1)
         if last is not None:
-            state.update((last,))
+            prev.iloc[0] = float(last)
+        gap_us = ts_us - prev
+        keep = prev.isna() | (gap_us > win_us)
+        kept = pdf[keep]
+        gaps = gap_us[keep].astype("Int64")
+        yield pd.DataFrame(
+            {
+                id_col: kept[id_col],
+                key: kept[key],
+                type_col: kept[type_col],
+                "gap_us": gaps,
+            }
+        )
+        # state is the latest event SEEN — monotone: a late micro-batch
+        # must not rewind it and re-admit rapid-fire events
+        batch_max = int(ts_us.iloc[-1])
+        state.update((batch_max if last is None else max(last, batch_max),))
 
     return events.groupBy(key, type_col).applyInPandasWithState(
         update,

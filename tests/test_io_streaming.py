@@ -434,3 +434,38 @@ def test_streaming_debounce_matches_batch_and_carries_state(spark, tmp_path):
     assert set(kept) == {1, 2, 4}
     assert kept[1] is None and kept[2] == 100_000_000
     assert kept[4] == 195_000_000
+
+
+def test_streaming_debounce_state_never_rewinds(spark, tmp_path):
+    """A late-arriving micro-batch must not rewind the last-seen state:
+    the event after it is still measured against the LATEST event seen."""
+    import datetime as dt
+    import time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    schema = "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    src = str(tmp_path / "ev")
+    batches = [
+        [(1, 7, "click", t0 + 1000 * s)],
+        [(2, 7, "click", t0 + 500 * s)],   # late: suppressed, no rewind
+        [(3, 7, "click", t0 + 1030 * s)],  # 30 s after the LATEST seen
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+        time.sleep(1.1)  # distinct mtimes: file-stream batch order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f*")
+    )
+    out = streaming.run_to_memory(
+        streaming.debounce_stream(stream, window_s=60), output_mode="append"
+    )
+    kept = {r["event_id"] for r in out.collect()}
+    # 2 is within 60 s measured backward (negative gap) -> suppressed;
+    # 3 is 30 s after event 1 (the latest seen) -> suppressed; a rewound
+    # state would have measured 3 against 2 (530 s) and emitted it
+    assert kept == {1}
