@@ -156,39 +156,42 @@ def hours_since_marker_stateful(
 
     def update(key_tuple, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
-        frames = []
-        for pdf in pdfs:
-            # Markers first within a ts tie — the inclusive (<=) as-of
-            # semantics shared with temporal.asof_join and DuckDB ASOF.
-            pdf = pdf.assign(__m=(pdf[type_col] == marker_type)).sort_values(
-                [ts, "__m", "event_id"], ascending=[True, False, True]
-            )
-            # pandas ns-epoch integers keep the arithmetic exact.
-            ts_ns = pdf[ts].astype("int64")
-            is_marker = pdf["__m"]
-            # Latest marker at-or-before each row: forward-fill marker ts
-            # (ffill, not cummax — pandas cummax leaves NaN rows NaN).
-            marker_ns = ts_ns.where(is_marker).ffill()
-            if last is not None:
-                marker_ns = marker_ns.fillna(last).clip(lower=last)
-            hours = (ts_ns - marker_ns) / 3.6e12
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "event_id": pdf["event_id"],
-                        key: pdf[key],
-                        ts: pdf[ts],
-                        type_col: pdf[type_col],
-                        "hours_since_marker": hours,
-                    }
-                )
-            )
-            mx = marker_ns.max()
-            if pd.notna(mx):
-                last = int(mx)
+        # Concatenate the group's Arrow chunks BEFORE sorting (the
+        # debounce_stream fix): chunks arrive in arbitrary post-shuffle
+        # order, and a per-chunk sort with a carried `last` would apply a
+        # later chunk's markers to earlier rows for any group spanning
+        # multiple ~10k-row chunks.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        # Markers first within a ts tie — the inclusive (<=) as-of
+        # semantics shared with temporal.asof_join and DuckDB ASOF.
+        pdf = pdf.assign(__m=(pdf[type_col] == marker_type)).sort_values(
+            [ts, "__m", "event_id"], ascending=[True, False, True]
+        )
+        # pandas ns-epoch integers keep the arithmetic exact.
+        ts_ns = pdf[ts].astype("int64")
+        is_marker = pdf["__m"]
+        # Latest marker at-or-before each row: forward-fill marker ts
+        # (ffill, not cummax — pandas cummax leaves NaN rows NaN).
+        marker_ns = ts_ns.where(is_marker).ffill()
+        if last is not None:
+            marker_ns = marker_ns.fillna(last).clip(lower=last)
+        hours = (ts_ns - marker_ns) / 3.6e12
+        mx = marker_ns.max()
+        if pd.notna(mx):
+            last = int(mx)
         if last is not None:
             state.update((last,))
-        yield pd.concat(frames)
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                key: pdf[key],
+                ts: pdf[ts],
+                type_col: pdf[type_col],
+                "hours_since_marker": hours,
+            }
+        )
 
     return (
         events.groupBy(key)
