@@ -26,6 +26,7 @@ from data_lakehouse_hygiene_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SKIP = {"streaming_time_bucket", "streaming_sliding_window",
         "streaming_session_window", "streaming_dedup", "streaming_near_dup",
+        "streaming_debounce",
         # driver-looped iterative fixpoint — the printed plan would only
         # show the final round's join, not the algorithm
         "dedup_clusters", "dedup_keep_best",
