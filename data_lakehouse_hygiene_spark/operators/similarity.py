@@ -624,15 +624,21 @@ def _plane_literal(p: int) -> str:
     return "array(" + ",".join(f"{x}D" for x in _plane_values(p)) + ")"
 
 
-def lsh_bucket(vec_col: str = "embedding") -> Column:
-    """Random-hyperplane LSH bucket id (0..2^N_PLANES-1) for a vector:
+def lsh_bucket(vec_col: str = "embedding", n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1) for a vector:
     bit p = sign of <v, plane_p>. Pure projection — no shuffle. Vectors
     wider than the precomputed plane tables fail loudly via assert_true
-    (raise _MAX_DIM rather than silently truncating the projection)."""
+    (raise _MAX_DIM rather than silently truncating the projection).
+    ``n_planes`` is the SCALE knob (planes generate deterministically by
+    index, any count works): bucket occupancy is ~n/2^n_planes, and the
+    in-bucket candidate term grows with occupancy² — size n_planes so
+    occupancy stays bounded as the corpus grows (the simhash n_bands
+    rule). More planes also means fewer candidates per probe and lower
+    recall per table; the declared queries pin the 8-plane default."""
     v = F.col(vec_col)
     guard = F.assert_true(F.size(v) <= F.lit(_MAX_DIM))
     bucket = F.lit(0)
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         plane = F.slice(F.expr(_plane_literal(p)), F.lit(1), F.size(v))
         proj = F.aggregate(
             F.zip_with(v, plane, _qprod),
@@ -668,7 +674,10 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def lsh_near_dup_pairs(
-    df: DataFrame, vec_col: str = "embedding", threshold: float = 0.45
+    df: DataFrame,
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """SUB-QUADRATIC approximate near-dup mining: candidate pairs are
     restricted to hyperplane buckets that are equal or differ in exactly
@@ -687,7 +696,9 @@ def lsh_near_dup_pairs(
     side explodes bucket ∪ {bucket⊕2^p}; a pair at bucket-Hamming 0 or 1
     matches exactly one probe, and ``vec_a < vec_b`` fixes orientation.
     """
-    n = norms(df, vec_col).withColumn("bucket", lsh_bucket(vec_col))
+    n = norms(df, vec_col).withColumn(
+        "bucket", lsh_bucket(vec_col, n_planes)
+    )
     a = n.select(
         F.col("vec_id").alias("vec_a"),
         F.col(vec_col).alias("va"),
@@ -696,7 +707,7 @@ def lsh_near_dup_pairs(
     )
     probes = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(N_PLANES)],
+        *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(n_planes)],
     )
     b = n.select(
         F.col("vec_id").alias("vec_b"),
@@ -776,6 +787,7 @@ def lsh_ann(
     query_pred: Column | None = None,
     k: int = 5,
     multiprobe: bool = True,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors: queries only meet
     candidates in their own hyperplane bucket, then exact cosine + top-k.
@@ -790,7 +802,9 @@ def lsh_ann(
 
     if query_pred is None:
         query_pred = F.col("vec_id") < 3
-    n = norms(df, vec_col).withColumn("bucket", lsh_bucket(vec_col))
+    n = norms(df, vec_col).withColumn(
+        "bucket", lsh_bucket(vec_col, n_planes)
+    )
     q = n.where(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -802,7 +816,7 @@ def lsh_ann(
             F.col("bucket"),
             *[
                 F.col("bucket").bitwiseXOR(F.lit(2**p))
-                for p in range(N_PLANES)
+                for p in range(n_planes)
             ],
         )
         q = q.withColumn("bucket", F.explode(probes))
