@@ -3803,8 +3803,68 @@ def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_memory(out, output_mode="append")
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per-step user counts and
+    step-to-step conversion, inclusive-time reach semantics. See
+    ``temporal.funnel_conversion``."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    return temporal.funnel_conversion(_t(spark, sf_dir, "events"))
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+u2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN u1 ON e.user_id = u1.user_id AND e.ts >= u1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN u2 ON e.user_id = u2.user_id AND e.ts >= u2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+n AS (SELECT (SELECT count(*) FROM u1) AS n0,
+             (SELECT count(*) FROM u2) AS n1,
+             (SELECT count(*) FROM u3) AS n2)
+SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+       n0 AS n_users, 1.0 AS conversion FROM n
+UNION ALL
+SELECT CAST(2 AS INT), 'click', n1,
+       floor(CAST(n1 AS DOUBLE) / n0 * 1000000.0 + 0.5) / 1000000.0 FROM n
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', n2,
+       floor(CAST(n2 AS DOUBLE) / n1 * 1000000.0 + 0.5) / 1000000.0 FROM n
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the event stream: cohort =
+    the epoch week of a user's first event, retained-at-offset via
+    exact integer week buckets. See ``temporal.cohort_retention``."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    return temporal.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                              ts) / 604800.0) AS BIGINT) AS wk
+  FROM events),
+f AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id)
+SELECT f.cw AS cohort_week, uw.wk - f.cw AS week_offset,
+       count(*) AS n_users
+FROM uw JOIN f ON uw.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- NEW this round (r07) -----------------------------------------------
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "fuzzy_dedup": (q_fuzzy_dedup, SQL_FUZZY_DEDUP),
     "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
     "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
@@ -3974,6 +4034,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # then (3) r05 rows, r06-green rows last. The full set re-verifies locally
 # every run via tests/test_oracle_parity.py regardless of this order.
 _R7_MODIFIED = [
+    "funnel_conversion",
+    "cohort_retention",
     "fuzzy_dedup",
     "event_debounce",
     "dedup_recall",

@@ -237,3 +237,103 @@ def event_debounce(
         )
     )
     return kept.select(id_col, key, type_col, "gap_us")
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: a user reaches step k when a step-k
+    event occurs AT OR AFTER their step-(k−1) reach time (inclusive —
+    ties count, deterministically on both engines). Returns one row per
+    step: (step_idx, step, n_users, conversion) with conversion =
+    n_step / n_prev (step 1 ≡ 1.0), floor-quantized — the product
+    funnel every telemetry stack reports.
+
+    Scale shape: per-step user-grain MIN aggregates chained by an
+    equi-join on the user key (user-grain tables, broadcastable long
+    before the event table matters); counts are 1-row aggregates
+    cross-joined at the end. No windows over the raw stream, no
+    event-grain shuffle beyond the first per-step aggregate.
+    """
+    from .aggregates import quantize
+
+    reach = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step)
+        if reach is None:
+            reach = ev.groupBy(key).agg(F.min(ts).alias("__t"))
+        else:
+            reach = (
+                ev.join(reach.select(key, "__t"), key)
+                .where(F.col(ts) >= F.col("__t"))
+                .groupBy(key)
+                .agg(F.min(ts).alias("__t"))
+            )
+        counts.append(
+            reach.agg(F.count(F.lit(1)).alias(f"n{i}"))
+        )
+    wide = counts[0]
+    for c in counts[1:]:
+        wide = wide.crossJoin(F.broadcast(c))
+    rows = []
+    for i, step in enumerate(steps):
+        conv = (
+            F.lit(1.0)
+            if i == 0
+            else F.col(f"n{i}").cast("double")
+            / F.col(f"n{i-1}").cast("double")
+        )
+        rows.append(
+            wide.select(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+                quantize(conv, 6).alias("conversion"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = the epoch week of a user's first
+    event; a user is retained at offset k if they have any event in
+    cohort_week + k. Returns (cohort_week, week_offset, n_users) — the
+    retention triangle behind every cohort chart.
+
+    Week index is exact integer arithmetic (seconds since epoch / 604800,
+    floored in double — exact below 2^53), so both engines bucket
+    identically; tz-free on TIMESTAMP_NTZ. Scale shape: one event-grain
+    projection to (user, week) + distinct, a user-grain MIN for the
+    cohort, a broadcastable user-grain join back, and a (cohort, offset)
+    rollup whose output is calendar-bounded, never corpus-bounded.
+    """
+    wk = F.floor(
+        F.expr(
+            f"timestampdiff(SECOND, timestamp'1970-01-01 00:00:00', {ts})"
+        ).cast("double")
+        / F.lit(604800.0)
+    ).cast("bigint")
+    uw = events.select(F.col(key), wk.alias("__wk")).distinct()
+    first = uw.groupBy(key).agg(F.min("__wk").alias("__cw"))
+    return (
+        uw.join(first, key)
+        .groupBy(
+            F.col("__cw").alias("cohort_week"),
+            (F.col("__wk") - F.col("__cw")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

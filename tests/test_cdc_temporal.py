@@ -132,3 +132,64 @@ def test_gap_fill_spine_complete_and_locf(spark):
             if r["n"] == 0:
                 assert r["filled"] == prev
             prev = r["filled"]
+
+
+def test_funnel_conversion_ordered_dropoff(spark):
+    """Step reach requires the step event AT OR AFTER the previous reach:
+    out-of-order purchases don't count, ties do, drop-off math checks."""
+    import datetime as dt
+
+    from data_lakehouse_hygiene_spark.operators.temporal import (
+        funnel_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: full ordered funnel
+        (1, 1, "view", t0), (2, 1, "click", t0 + s), (3, 1, "purchase", t0 + 2 * s),
+        # u2: purchase BEFORE click — reaches click only
+        (4, 2, "view", t0), (5, 2, "purchase", t0 + s), (6, 2, "click", t0 + 2 * s),
+        # u3: view only
+        (7, 3, "view", t0),
+        # u4: click with NO view — never enters the funnel
+        (8, 4, "click", t0),
+        # u5: click at the SAME ts as view (inclusive) then purchase
+        (9, 5, "view", t0), (10, 5, "click", t0), (11, 5, "purchase", t0 + s),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {r["step"]: (r["n_users"], r["conversion"]) for r in funnel_conversion(df).collect()}
+    assert got["view"] == (4, 1.0)       # u1 u2 u3 u5
+    assert got["click"] == (3, 0.75)     # u1 u2 u5
+    assert got["purchase"] == (2, 0.666667)  # u1 u5 (u2's purchase was early)
+
+
+def test_cohort_retention_triangle(spark):
+    """Known two-cohort triangle: counts per (cohort_week, offset)."""
+    import datetime as dt
+
+    from data_lakehouse_hygiene_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    wk = dt.timedelta(days=7)
+    w0 = dt.datetime(2024, 1, 4)  # all within one epoch week bucket
+    rows = [
+        (1, 10, "x", w0), (2, 10, "x", w0 + wk),      # u10: weeks 0,1
+        (3, 11, "x", w0),                              # u11: week 0 only
+        (4, 12, "x", w0 + wk), (5, 12, "x", w0 + 2 * wk),  # u12: cohort w+1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {
+        (r["week_offset"],): r["n_users"]
+        for r in cohort_retention(df).groupBy("week_offset")
+        .sum("n_users")
+        .withColumnRenamed("sum(n_users)", "n_users")
+        .collect()
+    }
+    # offsets: u10 {0,1}, u11 {0}, u12 {0,1} → offset0: 3 users, offset1: 2
+    assert got[(0,)] == 3 and got[(1,)] == 2
