@@ -306,3 +306,90 @@ def test_event_debounce_matches_python_replay(spark, events, window_s):
         bygroup[(u, ty)] = ts
     got = {tuple(r) for r in event_debounce(df, window_s=window_s).collect()}
     assert got == want
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_doc_text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+@given(st.lists(_doc_text, min_size=2, max_size=10))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_simhash_kernel_equals_expression_on_random_docs(spark, texts):
+    """The size-gated Arrow popcount kernel and the expression-combo path
+    must emit identical pair sets on arbitrary small corpora (integer ops
+    both sides)."""
+    from data_lakehouse_hygiene_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    expr_pairs = sorted(
+        tuple(r) for r in D.simhash_near_dup_pairs(df).collect()
+    )
+    old = D.SIMHASH_KERNEL_BYTES
+    D.SIMHASH_KERNEL_BYTES = 0
+    try:
+        kern_pairs = sorted(
+            tuple(r) for r in D.simhash_near_dup_pairs(df).collect()
+        )
+    finally:
+        D.SIMHASH_KERNEL_BYTES = old
+    assert expr_pairs == kern_pairs
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),              # user
+            st.sampled_from(["view", "click", "purchase"]),     # step type
+            st.integers(min_value=0, max_value=100),            # ts offset
+        ),
+        min_size=1, max_size=24,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_conversion_matches_python_replay(spark, events):
+    """funnel_conversion == a brute-force replay of the inclusive
+    at-or-after reach rule."""
+    import datetime as dt
+
+    from data_lakehouse_hygiene_spark.operators.temporal import (
+        funnel_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (eid, u, ty, t0 + dt.timedelta(seconds=off))
+        for eid, (u, ty, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    # python replay
+    byu: dict = {}
+    for _, u, ty, ts in rows:
+        byu.setdefault(u, []).append((ty, ts))
+    reach_counts = []
+    reach_t: dict = {}
+    for step in ("view", "click", "purchase"):
+        nxt = {}
+        for u, evs in byu.items():
+            if step != "view" and u not in reach_t:
+                continue
+            lo = reach_t.get(u)
+            cand = [
+                ts for ty, ts in evs
+                if ty == step and (lo is None or ts >= lo)
+            ]
+            if cand:
+                nxt[u] = min(cand)
+        reach_t = nxt
+        reach_counts.append(len(nxt))
+    got = {
+        r["step"]: r["n_users"] for r in funnel_conversion(df).collect()
+    }
+    assert got["view"] == reach_counts[0]
+    assert got["click"] == reach_counts[1]
+    assert got["purchase"] == reach_counts[2]
