@@ -3861,7 +3861,215 @@ GROUP BY 1, 2
 """
 
 
+def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality stats: class counts + Simpson
+    diversity (no-log entropy substitute; see text.char_stats)."""
+    return text_ops.char_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_char_stats() -> str:
+    from data_lakehouse_hygiene_spark.operators.text import CHAR_CLASSES
+
+    cnts = ",\n         ".join(
+        f"length(text) - length(replace(text, '{c}', '')) AS c_{i}"
+        for i, c in enumerate(CHAR_CLASSES)
+    )
+    letters = " + ".join(f"c_{i}" for i in range(26))
+    digits = " + ".join(f"c_{i}" for i in range(26, 36))
+    known = " + ".join(f"c_{i}" for i in range(36))
+    distinct_known = " + ".join(
+        f"(CASE WHEN c_{i} > 0 THEN 1 ELSE 0 END)" for i in range(36)
+    ) + " + (CASE WHEN c_sp > 0 THEN 1 ELSE 0 END)"
+    sumsq = (
+        " + ".join(f"c_{i}*c_{i}" for i in range(36))
+        + " + c_sp*c_sp + oth*oth"
+    )
+    keep = ", ".join(f"c_{i}" for i in range(36))
+    return f"""
+WITH c AS (
+  SELECT doc_id, length(text) AS n,
+         length(text) - length(replace(text, ' ', '')) AS c_sp,
+         {cnts}
+  FROM documents),
+m AS (
+  SELECT doc_id, n, c_sp, {keep},
+         ({letters}) AS lets, ({digits}) AS digs,
+         n - ({known}) - c_sp AS oth
+  FROM c)
+SELECT doc_id, n AS n_chars, lets AS n_letters, digs AS n_digits,
+       c_sp AS n_spaces, oth AS n_other,
+       CAST({distinct_known} AS BIGINT) AS n_distinct_chars,
+       CASE WHEN n > 0 THEN
+         floor((1.0 - CAST({sumsq} AS DOUBLE) / CAST(n*n AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS char_simpson
+FROM m
+"""
+
+
+SQL_CHAR_STATS = _sql_char_stats()
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signals (text.code_signals)."""
+    return text_ops.code_signals(_t(spark, sf_dir, "documents"))
+
+
+_KW_LIST = "[" + ", ".join(
+    f"'{w}'" for w in text_ops.CODE_KEYWORDS
+) + "]"
+
+SQL_CODE_DETECT = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS nc,
+         len(string_split(text, ' ')) AS n_tok,
+         len(regexp_extract_all(text,
+             '[{{}}\\[\\]()<>=;:!&|^~#@+*/%-]')) AS n_sym,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_KW_LIST}, x))) AS n_kw,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents),
+m AS (
+  SELECT doc_id, nc, n_sym, n_kw, n_digit,
+         CASE WHEN nc > 0 THEN
+           floor(CAST(n_sym AS DOUBLE)/nc*10000.0 + 0.5)/10000.0 END
+           AS sym_ratio,
+         CASE WHEN n_tok > 0 THEN
+           floor(CAST(n_kw AS DOUBLE)/n_tok*10000.0 + 0.5)/10000.0 END
+           AS kw_ratio,
+         CASE WHEN nc > 0 THEN
+           floor(CAST(n_digit AS DOUBLE)/nc*10000.0 + 0.5)/10000.0 END
+           AS dig_ratio
+  FROM base)
+SELECT doc_id, nc AS n_chars, n_sym AS n_symbols, n_kw AS n_keywords,
+       n_digit AS n_digit_chars, sym_ratio AS symbol_ratio,
+       kw_ratio AS keyword_ratio, dig_ratio AS digit_ratio,
+       CASE WHEN coalesce(sym_ratio, 0.0) > 0.03
+              OR coalesce(kw_ratio, 0.0) > 0.05
+            THEN 'code' ELSE 'prose' END AS doc_class
+FROM m
+"""
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate 3-gram mining: phrases in >= 5 distinct docs
+    (text.boilerplate_ngrams; min_docs=5 sized so the sf0.01 fixture
+    corpus — max doc frequency 7 — yields a non-empty result)."""
+    return text_ops.boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), min_docs=5
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+inst AS (
+  SELECT t.doc_id, t.ts[g.i] || ' ' || t.ts[g.i+1] || ' ' || t.ts[g.i+2] AS s
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts) - 1)) AS i) g
+  WHERE len(t.ts) >= 3),
+pd AS (SELECT s, doc_id, count(*) AS c FROM inst GROUP BY 1, 2)
+SELECT s AS shingle, count(*) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM pd GROUP BY s HAVING count(*) >= 5
+"""
+
+
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (aggregates.group_median) —
+    the continuous companion to percentile_disc."""
+    from data_lakehouse_hygiene_spark.operators.aggregates import group_median
+
+    return group_median(
+        _t(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        "o_totalprice",
+        alias="median_price",
+    )
+
+
+SQL_GROUP_MEDIAN = """
+WITH r AS (
+  SELECT o_orderstatus AS k, o_totalprice AS v,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+  FROM orders)
+SELECT k AS o_orderstatus,
+       (CAST(min(v) AS DOUBLE) + CAST(max(v) AS DOUBLE)) / 2.0
+         AS median_price
+FROM r WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2
+GROUP BY k
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust 3-MAD outlier rows per event_type
+    (aggregates.mad_outliers)."""
+    from data_lakehouse_hygiene_spark.operators.aggregates import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH base AS (SELECT event_id, event_type AS k, value AS v FROM events),
+r1 AS (SELECT k, v, event_id,
+        row_number() OVER (PARTITION BY k ORDER BY v, event_id) AS rn,
+        count(*) OVER (PARTITION BY k) AS cnt FROM base),
+med AS (SELECT k, min(v) AS med FROM r1 WHERE rn = (cnt+1)//2 GROUP BY k),
+dev AS (SELECT b.event_id, b.k, abs(b.v - m.med) AS adev
+        FROM base b JOIN med m USING (k)),
+r2 AS (SELECT k, adev, event_id,
+        row_number() OVER (PARTITION BY k ORDER BY adev, event_id) AS rn,
+        count(*) OVER (PARTITION BY k) AS cnt FROM dev),
+mad AS (SELECT k, min(adev) AS mad FROM r2 WHERE rn = (cnt+1)//2 GROUP BY k)
+SELECT b.event_id, b.k AS event_type, b.v AS value, m.med, d.mad
+FROM base b JOIN med m USING (k) JOIN mad d USING (k)
+WHERE abs(b.v - m.med) > CAST(3.0 AS DOUBLE) * d.mad
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group [p05, p95] winsorization of event values
+    (aggregates.winsorize)."""
+    from data_lakehouse_hygiene_spark.operators.aggregates import winsorize
+
+    return winsorize(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+SQL_WINSORIZE = """
+WITH r AS (
+  SELECT event_id, event_type AS k, value AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events),
+b AS (
+  SELECT k,
+         min(CASE WHEN rn = greatest(
+               CAST(ceil(cnt * CAST(0.05 AS DOUBLE)) AS BIGINT), 1)
+             THEN v END) AS lo_bound,
+         min(CASE WHEN rn = greatest(
+               CAST(ceil(cnt * CAST(0.95 AS DOUBLE)) AS BIGINT), 1)
+             THEN v END) AS hi_bound
+  FROM r GROUP BY k)
+SELECT e.event_id, e.event_type, e.value,
+       greatest(least(e.value, b.hi_bound), b.lo_bound) AS clipped,
+       b.lo_bound, b.hi_bound
+FROM events e JOIN b ON e.event_type = b.k
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- NEW this round (r08): robust statistics + corpus text analytics ----
+    "char_stats": (q_char_stats, SQL_CHAR_STATS),
+    "code_detect": (q_code_detect, SQL_CODE_DETECT),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "group_median": (q_group_median, SQL_GROUP_MEDIAN),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "winsorize": (q_winsorize, SQL_WINSORIZE),
     # -- NEW this round (r07) -----------------------------------------------
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),

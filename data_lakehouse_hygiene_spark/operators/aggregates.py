@@ -128,3 +128,167 @@ def salted_group_count(
         .agg(F.sum("__partial").cast("bigint").alias(alias))
         .orderBy(F.desc(alias), F.col(key))
     )
+
+
+def group_median(
+    df: DataFrame, key: str, val: str, alias: str = "median"
+) -> DataFrame:
+    """Exact CONTINUOUS (interpolated) median per group.
+
+    Element selection by row_number — for odd group sizes the median IS a
+    data element (exact); for even sizes it is the mean of the two middle
+    elements, computed as ``(lo + hi) / 2`` in double arithmetic: one
+    addition + one division by a power of two, both correctly rounded and
+    engine-independent, so cross-engine parity needs no quantization.
+    Ties in ``val`` are broken by the companion row-number ordering, which
+    only affects WHICH equal value is selected — not the result.
+
+    Scale shape: one hash-partition + in-partition sort (the window),
+    then a per-group filter — the same distributed sort any exact
+    percentile needs. Groups are hash-partitioned independently, so skew
+    is bounded by the largest single group; at 100 TB with pathological
+    group sizes, route through approx_percentile instead (the
+    approx_quantiles operator) — exactness is this operator's contract.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(val)
+    wc = Window.partitionBy(key)
+    ranked = df.select(key, val).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__cnt", F.count(F.lit(1)).over(wc))
+    lo_pos = (F.col("__cnt") + 1) / 2  # fractional for even counts
+    picked = ranked.where(
+        (F.col("__rn") == F.floor(lo_pos))
+        | (F.col("__rn") == F.ceil(lo_pos))
+    )
+    return (
+        picked.groupBy(key)
+        .agg(
+            (
+                (F.min(val).cast("double") + F.max(val).cast("double"))
+                / F.lit(2.0)
+            ).alias(alias)
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    val: str,
+    id_col: str,
+    n_mads: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier detection: flag rows whose absolute
+    deviation from the group median exceeds ``n_mads`` × the median
+    absolute deviation (MAD) — the robust z-score every metrics pipeline
+    uses where mean/stddev would be dragged by the outliers themselves.
+
+    Every step is EXACT: both medians are discrete element selections
+    (lower-middle element — no interpolation), |v - med| is one exactly-
+    rounded double subtraction, and the threshold compare multiplies by a
+    small constant — all deterministic IEEE ops, so the oracle matches
+    bit for bit with no quantization anywhere.
+
+    Scale shape: two windowed selections over the same (key)-partitioned
+    sort, then a broadcast join of the per-group thresholds (one row per
+    group — tiny) back onto the rows. Groups process independently; at
+    100 TB the threshold table broadcasts and the row pass is scan-speed.
+    """
+    from pyspark.sql.window import Window
+
+    def _disc_median(d: DataFrame, c: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(c, id_col)
+        wc = Window.partitionBy(key)
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+            .where(F.col("__rn") == F.expr("(__cnt + 1) div 2"))
+            .groupBy(key)
+            .agg(F.min(c).alias(out))
+        )
+
+    base = df.select(id_col, key, val)
+    med = _disc_median(base, val, "med")
+    dev = base.join(F.broadcast(med), key).withColumn(
+        "__adev", F.abs(F.col(val) - F.col("med"))
+    )
+    mad = _disc_median(
+        dev.select(id_col, key, F.col("__adev").alias("adev")),
+        "adev",
+        "mad",
+    )
+    thresholds = med.join(mad, key)
+    return (
+        base.join(F.broadcast(thresholds), key)
+        .where(
+            F.abs(F.col(val) - F.col("med"))
+            > F.lit(float(n_mads)) * F.col("mad")
+        )
+        .select(
+            id_col,
+            key,
+            val,
+            "med",
+            "mad",
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    key: str,
+    val: str,
+    id_col: str,
+    lower_pct: float = 0.05,
+    upper_pct: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip values to the group's discrete
+    [lower_pct, upper_pct] percentile elements — outlier damping before
+    averaging or model-feature export.
+
+    Percentile selection is DISCRETE (``ceil(pct · n)``-th element, an
+    actual data value — no interpolation), so the clip bounds and the
+    clipped values are exact and engine-independent. Scale shape: one
+    (key)-partitioned window sort to rank, a per-group filter producing
+    the TWO bound rows per group, and a broadcast join back — rows never
+    move except for the rank shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(val, id_col)
+    wc = Window.partitionBy(key)
+    ranked = (
+        df.select(id_col, key, val)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+    )
+    lo_rn = F.greatest(
+        F.ceil(F.col("__cnt") * F.lit(float(lower_pct))), F.lit(1)
+    )
+    hi_rn = F.greatest(
+        F.ceil(F.col("__cnt") * F.lit(float(upper_pct))), F.lit(1)
+    )
+    bounds = (
+        ranked.withColumn(
+            "__lo_v", F.when(F.col("__rn") == lo_rn, F.col(val))
+        )
+        .withColumn("__hi_v", F.when(F.col("__rn") == hi_rn, F.col(val)))
+        .groupBy(key)
+        .agg(
+            F.min("__lo_v").alias("lo_bound"),
+            F.min("__hi_v").alias("hi_bound"),
+        )
+    )
+    out = df.select(id_col, key, val).join(F.broadcast(bounds), key)
+    return out.select(
+        id_col,
+        key,
+        val,
+        F.greatest(
+            F.least(F.col(val), F.col("hi_bound")), F.col("lo_bound")
+        ).alias("clipped"),
+        "lo_bound",
+        "hi_bound",
+    )

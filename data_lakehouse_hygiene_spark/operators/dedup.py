@@ -658,8 +658,167 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
 # wins 1.5 s vs 3.2 s, ~4 MB at sf1 where the kernel wins 5.8 s vs 13 s).
 SIMHASH_KERNEL_BYTES = 2 << 20
 
+# Above this estimated input size the pair stage switches again, from the
+# 8-bit-band Arrow kernel to multi-index hashing (see _simhash_mih_pairs):
+# 8-bit bands have only 256 values, so bucket occupancy — and the
+# occupancy² pair term — grows linearly with the corpus no matter how the
+# work is kernelized (measured: 487 s at sf10/500k docs, ~2000 docs per
+# bucket). MIH swaps the geometry for 4×16-bit bands + single-bit-flip
+# variant keys: 65536 bucket values, occupancy n/65536, identical final
+# pair set. Crossover: the kernel path wins below ~50k docs (its emit
+# volume is 8 rows/doc vs MIH's 68), MIH wins above.
+SIMHASH_MIH_BYTES = 16 << 20
+
 SIMHASH_BANDS = 8  # 8 disjoint 8-bit bands of the 64-bit signature
 SIMHASH_MAX_HAMMING = 7  # must stay < SIMHASH_BANDS for the recall guarantee
+
+
+def _np_pop64(x):
+    """Branch-free SWAR popcount over a uint64 ndarray (same constants as
+    the in-kernel copy in simhash_near_dup_pairs)."""
+    import numpy as np
+
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * h) >> np.uint64(56)
+
+
+def _simhash_mih_pairs(agg: DataFrame, max_hamming: int) -> DataFrame:
+    """Multi-index-hashing pair stage (Norouzi/Punjani/Fleet, CVPR'12):
+    the corpus-scale plan shape for simhash_near_dup_pairs, value-equal
+    to the banded plans.
+
+    Geometry: the 64-bit signature splits into 4 disjoint 16-bit bands
+    with per-band search radius r = max_hamming // 4 (0 or 1 — callers
+    with max_hamming > 7 stay on the banded kernel). Pigeonhole: if every
+    band differed in ≥ r+1 bits the total distance would be ≥ 4(r+1) >
+    max_hamming, so every qualifying pair agrees with some band to within
+    r bits. For r = 1 each doc emits, per band, its exact 16-bit value
+    plus the 16 single-bit-flip variants (68 keys/doc total); a pair at
+    band distance 1 collides exact×variant in BOTH orientations, a pair
+    at band distance 0 collides exact×exact. The final pair set is
+    exactly {a<b : hamming ≤ max_hamming} — identical to the other two
+    plan shapes (asserted in tests/test_properties.py).
+
+    Scale shape: occupancy per (band, value) bucket is n/65536 exact
+    rows + 16n/65536 variant rows vs n/256 for 8-bit bands, so the
+    occupancy² kernel term drops ~100× at 500k docs (measured 487 s →
+    see SCALING.md second decade) for an 8.5× emit-volume increase —
+    narrow int64 rows, an equi-shuffle Spark absorbs. At even larger
+    corpora the same rule applies as for the banded geometry: occupancy
+    n/2^w is the contract, so w must grow with the corpus (r=1 variants
+    cap w growth at the point where w flips/doc dominate; past ~10^9
+    docs, route through exact_dedup first and shard by source).
+
+    The repartition between signature assembly and key emit is a
+    deliberate exchange barrier: without it CollapseProject inlines the
+    full SWAR majority-vote expression into all 68 variant-key
+    expressions and Catalyst planning alone costs seconds
+    (data-size-independent; same pathology as deriving band keys from
+    sh_lo/sh_hi in the banded plan, see simhash_near_dup_pairs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    r = max_hamming // 4
+    sigs = agg.select(
+        "doc_id", _swar_half(0, "sh_lo"), _swar_half(32, "sh_hi")
+    ).repartition("doc_id")
+    structs = []
+    for k in range(4):
+        src = "sh_lo" if k < 2 else "sh_hi"
+        bv = f"(shiftrightunsigned({src}, {16 * (k % 2)}) & 65535)"
+        structs.append(
+            f"struct({k} AS band, cast({bv} as bigint) AS band_val,"
+            " 0 AS kind)"
+        )
+        if r >= 1:
+            structs.extend(
+                f"struct({k} AS band, cast({bv} ^ {1 << i} as bigint)"
+                " AS band_val, 1 AS kind)"
+                for i in range(16)
+            )
+    ex = (
+        sigs.select(
+            "doc_id",
+            "sh_lo",
+            "sh_hi",
+            F.explode(F.expr("array(" + ",".join(structs) + ")")).alias(
+                "bk"
+            ),
+        )
+        .select("doc_id", "sh_lo", "sh_hi", "bk.band", "bk.band_val", "bk.kind")
+    )
+
+    _EMPTY = {
+        "doc_a": pd.Series(dtype="int64"),
+        "doc_b": pd.Series(dtype="int64"),
+        "hamming": pd.Series(dtype="int64"),
+    }
+
+    def _mih_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [pd.DataFrame(_EMPTY)]
+        for _, g in pdf.groupby("band_val", sort=False):
+            if len(g) < 2:
+                continue
+            e = g[g["kind"] == 0]
+            n_e = len(e)
+            if n_e == 0:
+                continue
+            v = g[g["kind"] == 1]
+            ids_e = e["doc_id"].to_numpy()
+            ids_a = np.concatenate([ids_e, v["doc_id"].to_numpy()])
+            lo_a = np.concatenate(
+                [e["sh_lo"].to_numpy(), v["sh_lo"].to_numpy()]
+            ).astype(np.uint64)
+            hi_a = np.concatenate(
+                [e["sh_hi"].to_numpy(), v["sh_hi"].to_numpy()]
+            ).astype(np.uint64)
+            cols = np.arange(len(ids_a))[None, :]
+            for c0 in range(0, n_e, 4096):
+                c1 = min(c0 + 4096, n_e)
+                ham = (
+                    _np_pop64(lo_a[c0:c1, None] ^ lo_a[None, :])
+                    + _np_pop64(hi_a[c0:c1, None] ^ hi_a[None, :])
+                ).astype(np.int64)
+                rows = np.arange(c0, c1)[:, None]
+                # exact×exact upper triangle + exact×variant (distinct
+                # docs); variant×variant is never needed — those pairs
+                # are ≥2 apart in THIS band and collide elsewhere.
+                m = (
+                    ((cols < n_e) & (rows < cols))
+                    | ((cols >= n_e) & (ids_e[c0:c1, None] != ids_a[None, :]))
+                ) & (ham <= max_hamming)
+                rr, cc = np.nonzero(m)
+                if len(rr):
+                    a = ids_e[rr + c0]
+                    b = ids_a[cc]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": np.minimum(a, b),
+                                "doc_b": np.maximum(a, b),
+                                "hamming": ham[rr, cc],
+                            }
+                        )
+                    )
+        return pd.concat(outs, ignore_index=True)
+
+    # Coarse Arrow transport, same rationale as the banded kernel: 4·256
+    # shuffle keys of ~17n/1024 rows each, exact-value sub-grouping at
+    # C speed inside pandas.
+    coarse = ex.withColumn("__sub", F.pmod("band_val", F.lit(256)))
+    return (
+        coarse.groupBy("band", "__sub")
+        .applyInPandas(_mih_kernel, "doc_a long, doc_b long, hamming long")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("hamming").alias("hamming"))
+    )
 
 
 def simhash_near_dup_pairs(
@@ -716,6 +875,13 @@ def simhash_near_dup_pairs(
     assert max_hamming < n_bands, "recall guarantee needs h < n_bands"
     width = 64 // n_bands
     agg = _simhash_agg(df, text_col)
+    # CORPUS-SCALE plan: multi-index hashing (4×16-bit bands + 1-bit-flip
+    # variant keys). The pair set is the same {hamming ≤ max_hamming}
+    # regardless of geometry — every plan shape has full recall — so the
+    # switch is purely a cost decision; see _simhash_mih_pairs. Only
+    # radii ≤ 7 keep the variant enumeration at one flip per band.
+    if max_hamming <= 7 and _estimated_bytes(df) >= SIMHASH_MIH_BYTES:
+        return _simhash_mih_pairs(agg, max_hamming)
     bands = F.expr(
         "array("
         + ",".join(

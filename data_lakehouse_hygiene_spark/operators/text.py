@@ -757,3 +757,199 @@ def strip_html(df: DataFrame, text_col: str = "text") -> DataFrame:
         collapsed.alias("clean_text"),
         n_tags.alias("n_tags_removed"),
     )
+
+
+# Fixed counting alphabet for char_stats: the per-class counts come from
+# length-difference (one replace() per class), so the class set must be
+# finite and known up front. Characters outside it fold into one "other"
+# class — for diversity purposes that UNDER-counts other-heavy documents'
+# diversity, which is the conservative direction for a gibberish filter.
+CHAR_CLASSES = tuple("abcdefghijklmnopqrstuvwxyz0123456789")
+
+
+def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-distribution statistics for encoding- and
+    gibberish-detection: class counts (letters/digits/spaces/other),
+    distinct-character richness, and the Simpson diversity index
+    ``1 - Σ p_c²`` over per-character classes.
+
+    Simpson instead of Shannon entropy BY DESIGN: entropy needs libm
+    ``log``, which is not bit-stable across engines (the same rule the
+    bigram LM follows); Simpson is Σ of exact BIGINT squares and ONE
+    correctly-rounded double division — bit-identical in any engine —
+    and is monotone-comparable for the filtering use (mono-character
+    spam → 0, uniform text → high).
+
+    Scale shape: ZERO shuffles. Every class count is
+    ``length(text) - length(replace(text, c, ''))`` — per-row string
+    passes that whole-stage codegen compiles, ~37 scans of each string
+    per row. That beats the explode-chars alternative by construction:
+    exploding 100 TB of text into per-character rows shuffles 10¹⁴ rows;
+    this streams at scan speed with no exchange at all. The counts
+    materialize in their own projection (multiply-referenced non-cheap
+    expressions — CollapseProject keeps the boundary, same rule as
+    ``project_tokens``).
+    """
+    t = F.col(text_col)
+    counts = df.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("__n"),
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))))
+        .cast("bigint")
+        .alias("__c_sp"),
+        *[
+            (F.length(t) - F.length(F.replace(t, F.lit(c), F.lit(""))))
+            .cast("bigint")
+            .alias(f"__c_{c}")
+            for c in CHAR_CLASSES
+        ],
+    )
+    letters = sum(
+        (F.col(f"__c_{c}") for c in CHAR_CLASSES[:26]),
+        F.lit(0).cast("bigint"),
+    )
+    digits = sum(
+        (F.col(f"__c_{c}") for c in CHAR_CLASSES[26:]),
+        F.lit(0).cast("bigint"),
+    )
+    n = F.col("__n")
+    other = n - letters - digits - F.col("__c_sp")
+    distinct_known = sum(
+        (
+            F.when(F.col(f"__c_{c}") > 0, 1).otherwise(0)
+            for c in CHAR_CLASSES
+        ),
+        F.when(F.col("__c_sp") > 0, 1).otherwise(0),
+    ).cast("bigint")
+    sumsq = (
+        sum(
+            (F.col(f"__c_{c}") * F.col(f"__c_{c}") for c in CHAR_CLASSES),
+            F.lit(0).cast("bigint"),
+        )
+        + F.col("__c_sp") * F.col("__c_sp")
+        + other * other
+    )
+    simpson = F.when(
+        n > 0,
+        quantize(
+            F.lit(1.0)
+            - sumsq.cast("double") / (n * n).cast("double"),
+            6,
+        ),
+    )
+    return counts.select(
+        "doc_id",
+        n.alias("n_chars"),
+        letters.alias("n_letters"),
+        digits.alias("n_digits"),
+        F.col("__c_sp").alias("n_spaces"),
+        other.alias("n_other"),
+        distinct_known.alias("n_distinct_chars"),
+        simpson.alias("char_simpson"),
+    )
+
+
+# Keyword markers for the code-vs-prose router. Matched as whole tokens
+# (split on space), never substrings — 'for' inside 'forest' is not a hit.
+CODE_KEYWORDS = (
+    "def", "return", "if", "else", "for", "while", "class", "import",
+    "function", "var", "const", "null", "void", "int", "struct",
+)
+
+# Symbol class for code detection; RE2-compatible (no backrefs), '-' last
+# so the character class parses identically in Java regex and RE2.
+CODE_SYMBOL_RE = "[{}\\[\\]()<>=;:!&|^~#@+*/%-]"
+
+
+def code_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-vs-prose routing signals — the mixture split an LLM data
+    pipeline applies before language-specific processing (code gets a
+    different tokenizer/quality stack than prose).
+
+    Features are deterministic column algebra: symbol density (brackets/
+    operators per char), code-keyword token hits, digit density, and a
+    threshold CASE router. Shuffle-free per-row compute at scan speed;
+    every expression replays in ANSI SQL (counts are exact integers,
+    ratios one double division + floor-quantize).
+    """
+    df = project_tokens(df, text_col)
+    t = F.col(text_col)
+    toks = F.col("__toks")
+    n_chars = F.length(t).cast("bigint")
+    n_tok = F.size(toks)
+    n_sym = F.regexp_count(t, F.lit(CODE_SYMBOL_RE)).cast("bigint")
+    n_kw = _stopword_hits(toks, CODE_KEYWORDS).cast("bigint")
+    n_digit = F.regexp_count(t, F.lit("[0-9]")).cast("bigint")
+    sym_ratio = F.when(
+        n_chars > 0, quantize(n_sym.cast("double") / n_chars, 4)
+    )
+    kw_ratio = F.when(n_tok > 0, quantize(n_kw.cast("double") / n_tok, 4))
+    digit_ratio = F.when(
+        n_chars > 0, quantize(n_digit.cast("double") / n_chars, 4)
+    )
+    is_code = (
+        F.when(
+            (F.coalesce(sym_ratio, F.lit(0.0)) > 0.03)
+            | (F.coalesce(kw_ratio, F.lit(0.0)) > 0.05),
+            F.lit("code"),
+        )
+        .otherwise(F.lit("prose"))
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_symbols"),
+        n_kw.alias("n_keywords"),
+        n_digit.alias("n_digit_chars"),
+        sym_ratio.alias("symbol_ratio"),
+        kw_ratio.alias("keyword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        is_code.alias("doc_class"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 20,
+) -> DataFrame:
+    """Corpus-level boilerplate mining: word n-grams that appear in at
+    least ``min_docs`` DISTINCT documents, with document frequency and
+    total occurrence counts — the discovery pass that feeds template/
+    banner removal (C4 and RefinedWeb both strip high-document-frequency
+    lines and phrases before dedup).
+
+    Scale shape: one corpus scan → explode n-gram INSTANCES → one
+    map-side-combined hash aggregate keyed on (shingle, doc_id) → one
+    aggregate keyed on shingle, filtered by the doc-frequency threshold
+    BEFORE anything corpus-sized is sorted or collected. The result is
+    vocabulary-bounded (shingles above a real threshold are a tiny tail
+    of the shingle distribution), so the final ordering sorts a small
+    relation. No joins, no windows; at 100 TB this is two partial-agg
+    shuffles of shrinking size.
+    """
+    # n-gram INSTANCES (multiplicity preserved — unlike dedup's
+    # shingle_rows, which array_distincts per doc, occurrence totals need
+    # every instance). Same split-once projection-boundary discipline.
+    elems = ", ".join(f"__toks[i + {j}]" for j in range(n))
+    sh = F.expr(
+        f"if(size(__toks) >= {n}, "
+        f"transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', {elems})), array())"
+    )
+    inst = project_tokens(df, text_col).select(
+        "doc_id", F.explode(sh).alias("shingle")
+    )
+    per_doc = inst.groupBy("shingle", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_in_doc")
+    )
+    return (
+        per_doc.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_in_doc").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "shingle")
+    )

@@ -393,3 +393,30 @@ def test_funnel_conversion_matches_python_replay(spark, events):
     assert got["view"] == reach_counts[0]
     assert got["click"] == reach_counts[1]
     assert got["purchase"] == reach_counts[2]
+
+
+@given(st.lists(_doc_text, min_size=2, max_size=10))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_simhash_mih_equals_expression_on_random_docs(spark, texts):
+    """The multi-index-hashing corpus-scale plan (4×16-bit bands +
+    single-bit-flip variant keys) must emit the identical pair set as the
+    8-band expression path on arbitrary small corpora — all three plan
+    shapes compute the same {hamming ≤ 7} relation."""
+    from data_lakehouse_hygiene_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    expr_pairs = sorted(
+        tuple(r) for r in D.simhash_near_dup_pairs(df).collect()
+    )
+    old = D.SIMHASH_MIH_BYTES
+    D.SIMHASH_MIH_BYTES = 0
+    try:
+        mih_pairs = sorted(
+            tuple(r) for r in D.simhash_near_dup_pairs(df).collect()
+        )
+    finally:
+        D.SIMHASH_MIH_BYTES = old
+    assert expr_pairs == mih_pairs

@@ -1,0 +1,190 @@
+"""Round-8 operators: robust statistics (group_median / mad_outliers /
+winsorize), corpus text analytics (char_stats / code_signals /
+boilerplate_ngrams), and the simhash multi-index-hashing plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_ORACLE
+
+
+# ---------------------------------------------------------------- simhash MIH
+
+
+def test_simhash_mih_planted_pairs_fixture(spark):
+    """On the oracle fixture the MIH plan returns exactly the banded
+    plan's pair set (which the driver oracle already certifies as the
+    brute-force hamming ≤ 7 relation)."""
+    from data_lakehouse_hygiene_spark.operators import dedup as D
+
+    df = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base = sorted(tuple(r) for r in D.simhash_near_dup_pairs(df).collect())
+    old = D.SIMHASH_MIH_BYTES
+    D.SIMHASH_MIH_BYTES = 0
+    try:
+        mih = sorted(tuple(r) for r in D.simhash_near_dup_pairs(df).collect())
+    finally:
+        D.SIMHASH_MIH_BYTES = old
+    assert base == mih and len(base) > 0
+
+
+def test_simhash_mih_r0_geometry(spark):
+    """max_hamming ≤ 3 ⇒ per-band radius 0: the MIH plan degenerates to an
+    exact 16-bit-band match and still equals the 4-band banded plan."""
+    from data_lakehouse_hygiene_spark.operators import dedup as D
+
+    df = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base = sorted(
+        tuple(r)
+        for r in D.simhash_near_dup_pairs(df, n_bands=4, max_hamming=3).collect()
+    )
+    old = D.SIMHASH_MIH_BYTES
+    D.SIMHASH_MIH_BYTES = 0
+    try:
+        mih = sorted(
+            tuple(r)
+            for r in D.simhash_near_dup_pairs(
+                df, n_bands=4, max_hamming=3
+            ).collect()
+        )
+    finally:
+        D.SIMHASH_MIH_BYTES = old
+    assert base == mih
+
+
+# ------------------------------------------------------------------ char_stats
+
+
+def test_char_stats_counts_and_simpson(spark):
+    from data_lakehouse_hygiene_spark.operators.text import char_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "aaaa"),            # mono-character: diversity 0
+            (1, "ab12 xy"),         # mixed classes
+            (2, "????"),            # all-"other" mono-class: diversity 0
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in char_stats(df).collect()}
+    r0 = rows[0]
+    assert (r0["n_chars"], r0["n_letters"], r0["char_simpson"]) == (4, 4, 0.0)
+    assert r0["n_distinct_chars"] == 1
+    r1 = rows[1]
+    assert r1["n_letters"] == 4 and r1["n_digits"] == 2
+    assert r1["n_spaces"] == 1 and r1["n_other"] == 0
+    assert r1["n_distinct_chars"] == 7
+    # 7 singleton classes over 7 chars: 1 - 7/49
+    assert r1["char_simpson"] == pytest.approx(1 - 7 / 49, abs=1e-6)
+    r2 = rows[2]
+    assert r2["n_other"] == 4 and r2["char_simpson"] == 0.0
+    assert r2["n_distinct_chars"] == 0
+
+
+# ---------------------------------------------------------------- code_signals
+
+
+def test_code_signals_routes_code_vs_prose(spark):
+    from data_lakehouse_hygiene_spark.operators.text import code_signals
+
+    df = spark.createDataFrame(
+        [
+            (0, "def f(x): return x + 1;"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in code_signals(df).collect()}
+    assert rows[0]["doc_class"] == "code"
+    assert rows[0]["n_keywords"] >= 1 and rows[0]["n_symbols"] >= 5
+    assert rows[1]["doc_class"] == "prose"
+    assert rows[1]["n_symbols"] == 0 and rows[1]["n_keywords"] == 0
+
+
+# ---------------------------------------------------------- boilerplate_ngrams
+
+
+def test_boilerplate_ngrams_finds_planted_template(spark):
+    from data_lakehouse_hygiene_spark.operators.text import boilerplate_ngrams
+
+    banner = "click here to subscribe"
+    docs = [(i, f"{banner} unique{i} words{i} body{i}") for i in range(6)]
+    docs.append((6, "completely different text entirely here"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = boilerplate_ngrams(df, n=3, min_docs=6).collect()
+    shingles = {r["shingle"]: (r["n_docs"], r["n_occurrences"]) for r in out}
+    assert shingles["click here to"] == (6, 6)
+    assert shingles["here to subscribe"] == (6, 6)
+    # nothing document-unique crosses the threshold
+    assert all(v[0] >= 6 for v in shingles.values())
+
+
+def test_boilerplate_ngrams_counts_multiplicity(spark):
+    from data_lakehouse_hygiene_spark.operators.text import boilerplate_ngrams
+
+    # the phrase occurs twice inside each of 3 docs -> n_docs 3, n_occ 6
+    df = spark.createDataFrame(
+        [(i, "a b c filler a b c") for i in range(3)], ["doc_id", "text"]
+    )
+    out = {
+        r["shingle"]: (r["n_docs"], r["n_occurrences"])
+        for r in boilerplate_ngrams(df, n=3, min_docs=3).collect()
+    }
+    assert out["a b c"] == (3, 6)
+
+
+# ---------------------------------------------------------------- group_median
+
+
+def test_group_median_odd_and_even(spark):
+    from data_lakehouse_hygiene_spark.operators.aggregates import group_median
+
+    df = spark.createDataFrame(
+        [("odd", v) for v in [3.0, 1.0, 2.0]]
+        + [("even", v) for v in [10.0, 40.0, 20.0, 30.0]],
+        ["k", "v"],
+    )
+    rows = {r["k"]: r["median"] for r in group_median(df, "k", "v").collect()}
+    assert rows["odd"] == 2.0
+    assert rows["even"] == 25.0
+
+
+# ---------------------------------------------------------------- mad_outliers
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    from data_lakehouse_hygiene_spark.operators.aggregates import mad_outliers
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 12, 13, 14])]
+    rows.append((99, "a", 1000.0))  # the spike
+    rows += [(100 + i, "b", 5.0) for i in range(4)]  # constant group: MAD 0
+    df = spark.createDataFrame(rows, ["event_id", "k", "v"])
+    out = mad_outliers(df, "k", "v", "event_id").collect()
+    flagged = {r["event_id"] for r in out}
+    assert flagged == {99}
+    spike = next(r for r in out if r["event_id"] == 99)
+    assert spike["med"] == 12.0 and spike["mad"] == 1.0
+
+
+# ------------------------------------------------------------------- winsorize
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    from data_lakehouse_hygiene_spark.operators.aggregates import winsorize
+
+    vals = list(range(1, 21))  # 1..20 -> p05 elem = 1st, p95 elem = 19th
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(vals)],
+        ["event_id", "k", "v"],
+    )
+    out = {r["event_id"]: r for r in winsorize(df, "k", "v", "event_id").collect()}
+    lo = out[0]["lo_bound"]
+    hi = out[0]["hi_bound"]
+    # discrete element selection: ceil(20*.05)=1st element, ceil(20*.95)=19th
+    # (0.05/0.95 are binary doubles slightly above/below, ceil handles both)
+    assert lo == 1.0 and hi in (19.0, 20.0)
+    assert out[19]["clipped"] == hi  # the max row got clipped down
+    assert out[0]["clipped"] == lo
+    assert all(lo <= r["clipped"] <= hi for r in out.values())
