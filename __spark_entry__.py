@@ -4062,6 +4062,57 @@ FROM events e JOIN b ON e.event_type = b.k
 """
 
 
+def q_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental line dedup: src0 batch cleaned against the line index
+    of the rest of the corpus (dedup.incremental_line_dedup); same
+    pseudo-line transform as q_line_dedup."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), _PSEUDO_LINE_PAT, "$1\n")
+    )
+    return dedup.incremental_line_dedup(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+    )
+
+
+SQL_INCREMENTAL_LINE_DEDUP = r"""
+WITH pl AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents),
+hle AS (
+  SELECT DISTINCT unnest(string_split(text, chr(10))) AS line
+  FROM pl WHERE source <> 'src0'),
+ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS la
+  FROM pl WHERE source = 'src0'),
+lines AS (
+  SELECT t.doc_id, g.i - 1 AS pos, t.la[g.i] AS line
+  FROM ls t, LATERAL (SELECT unnest(range(1, len(t.la) + 1)) AS i) g),
+k AS (
+  SELECT doc_id, pos, line,
+         length(line) >= 1 AS elig,
+         doc_id * 1000000000 + pos AS key,
+         min(CASE WHEN length(line) >= 1
+                  THEN doc_id * 1000000000 + pos END)
+           OVER (PARTITION BY line) AS min_key
+  FROM lines),
+kept AS (
+  SELECT doc_id, pos, line,
+         ((NOT elig) OR (key = min_key AND NOT EXISTS (
+             SELECT 1 FROM hle h
+             WHERE h.line = k.line AND length(h.line) >= 1))) AS keep
+  FROM k)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE keep), '') AS clean_text,
+       CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
+         AS n_lines_removed
+FROM kept
+GROUP BY doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- NEW this round (r08): robust statistics + corpus text analytics ----
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
@@ -4070,6 +4121,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "group_median": (q_group_median, SQL_GROUP_MEDIAN),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "winsorize": (q_winsorize, SQL_WINSORIZE),
+    "incremental_line_dedup": (
+        q_incremental_line_dedup,
+        SQL_INCREMENTAL_LINE_DEDUP,
+    ),
     # -- NEW this round (r07) -----------------------------------------------
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
@@ -4291,6 +4346,38 @@ _R7_PREFIX = (
 _REGISTRY = {
     n: _REGISTRY[n]
     for n in _R7_PREFIX + [n for n in _REGISTRY if n not in _R7_PREFIX]
+}
+
+# Round-8 rotation: the driver checks the FIRST 50 registry rows each
+# round, so the prefix carries (a) this round's new queries (first-ever
+# check), (b) every row whose latest official check is round 5 — the
+# oldest cohort — and (c) the simhash family (its pair stage gained the
+# MIH plan this round) plus the oldest round-6 rows that fit.
+_R8_NEW = [
+    "char_stats", "code_detect", "boilerplate_ngrams", "group_median",
+    "mad_outliers", "winsorize", "incremental_line_dedup",
+]
+_R8_STALE_R5 = [
+    "dedup_keep_best", "doc_fingerprint", "exact_dedup", "explode_tokens",
+    "fixed_size_sample", "flatten_json", "full_sort", "hash_sample",
+    "histogram_bin", "hygiene_score", "kmv_distinct", "lang_id",
+    "latest_row", "latest_snapshot", "lsh_ann", "lsh_near_dup",
+    "mixture_weights", "nested_flatten", "normalize_columns", "null_funcs",
+    "partition_skew", "percentile_disc", "profile_table", "quality_score",
+    "sessionize", "stratified_sample", "streaming_time_bucket",
+    "string_funcs", "substring_dedup", "substring_dedup_apply",
+    "substring_dedup_keep_first", "time_interval_filter", "token_count",
+    "union_distinct", "window_after_event",
+]
+_R8_FILL_R6 = [
+    "simhash_near_dup", "simhash_fp", "quality_weighted_sample",
+    "curation_funnel", "streaming_near_dup", "incremental_near_dup",
+    "strip_html", "gopher_quality",
+]
+_R8_PREFIX = _R8_NEW + _R8_STALE_R5 + _R8_FILL_R6
+_REGISTRY = {
+    n: _REGISTRY[n]
+    for n in _R8_PREFIX + [n for n in _REGISTRY if n not in _R8_PREFIX]
 }
 
 

@@ -106,6 +106,10 @@ HEADLINE = [
     "strip_html",
     "fuzzy_dedup",
     "event_debounce",
+    "char_stats",
+    "boilerplate_ngrams",
+    "mad_outliers",
+    "winsorize",
 ]
 
 

@@ -1320,6 +1320,95 @@ def line_dedup(
     )
 
 
+def incremental_line_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    delim: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Incremental C4/CCNet line dedup: strip from each NEW document every
+    line already present in the ingested corpus, plus batch-internal
+    duplicates (keep-first within the batch) — completing the incremental
+    family (``incremental_dedup`` for exact docs, ``incremental_near_dup``
+    for near-dups, this for lines). Returns (doc_id, clean_text,
+    n_lines_removed) for every new document.
+
+    Scale shape: the history side collapses to DISTINCT line digests
+    (md5 — 16 bytes per distinct line; in a real deployment this digest
+    index is a maintained table appended once per batch, so the daily
+    cost reads the NEW batch only, exactly like ``incremental_dedup``'s
+    digest set). New-batch lines are posexploded once; the batch-internal
+    keep-first election reuses ``line_dedup``'s packed-BIGINT MIN window
+    (line-frequency-bounded partitions); history membership is ONE
+    digest equi-join — uniform md5 keys, no skew, broadcastable while
+    the index is small and hash-partitioned beyond that. One corpus
+    scan of the batch, three exchanges total.
+    """
+    hist = (
+        spread(history_df)
+        .select(
+            F.explode(F.split(F.col(text_col), delim, -1)).alias("line")
+        )
+        .where(F.length("line") >= min_chars)
+        .select(F.md5("line").alias("__hline"))
+        .distinct()
+    )
+    lines = spread(new_df).select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias(
+            "pos", "line"
+        ),
+    )
+    elig = F.length("line") >= min_chars
+    max_doc = (1 << 63) // LINE_STRIDE - 1
+    key = F.expr(
+        f"if(assert_true(doc_id >= 0 AND doc_id <= {max_doc} "
+        f"AND pos < {LINE_STRIDE}, "
+        f"'incremental_line_dedup key packing needs 0 <= doc_id <= "
+        f"{max_doc} and < {LINE_STRIDE} lines per document; chunk or "
+        f"re-key first') is null, "
+        f"cast(doc_id * {LINE_STRIDE}L + pos as bigint), null)"
+    )
+    min_key = F.min(F.when(elig, key)).over(Window.partitionBy("line"))
+    flagged = (
+        lines.select(
+            "doc_id",
+            "pos",
+            "line",
+            elig.alias("__elig"),
+            (key == min_key).alias("__first"),
+            F.md5("line").alias("__hline"),
+        )
+        .join(
+            hist.withColumn("__dup", F.lit(True)), "__hline", "left"
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "line",
+            (
+                ~F.col("__elig")
+                | (F.col("__first") & F.col("__dup").isNull())
+            ).alias("__kept"),
+        )
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "__kept", "line"))).alias(
+            "ls"
+        )
+    )
+    clean = F.array_join(
+        F.expr("transform(filter(ls, s -> s.__kept), s -> s.line)"), delim
+    )
+    removed = F.size("ls") - F.expr("size(filter(ls, s -> s.__kept))")
+    return agg.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        removed.cast("bigint").alias("n_lines_removed"),
+    )
+
+
 def source_dup_stats(
     df: DataFrame, text_col: str = "text", key_col: str = "source"
 ) -> DataFrame:

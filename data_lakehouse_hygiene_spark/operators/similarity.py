@@ -673,11 +673,38 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def resolve_planes(
+    df: DataFrame, n_planes, target_occupancy: int = 64
+) -> int:
+    """Resolve the hyperplane count: an integer passes through; the
+    string ``"auto"`` sizes it from the corpus so expected bucket
+    occupancy n/2^planes stays ≤ ``target_occupancy`` — the simhash
+    band-width rule, automated. The sf10 rehearsal measured WHY: 200k
+    vectors on the 8-plane default is ~780/bucket and 514 s, while the
+    occupancy-bounded 12 planes runs 61.7 s (SCALING.md).
+
+    Costs one ``count()`` job (a map-side-combined aggregate over the
+    scan — trivial next to the pair stage it sizes). Auto mode changes
+    the CANDIDATE SET with corpus size, which is legitimate for an
+    approximate operator but wrong for oracle replay — the declared
+    queries pin the static default. Capped at 20 planes: beyond 2^20
+    buckets the per-row projection cost (one O(dim) aggregate per
+    plane) dominates before occupancy does."""
+    if n_planes == "auto":
+        import math
+
+        n = max(int(df.count()), 1)
+        if n <= target_occupancy:
+            return N_PLANES
+        return max(N_PLANES, min(20, math.ceil(math.log2(n / target_occupancy))))
+    return int(n_planes)
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_planes: int = N_PLANES,
+    n_planes: int | str = N_PLANES,
 ) -> DataFrame:
     """SUB-QUADRATIC approximate near-dup mining: candidate pairs are
     restricted to hyperplane buckets that are equal or differ in exactly
@@ -696,6 +723,7 @@ def lsh_near_dup_pairs(
     side explodes bucket ∪ {bucket⊕2^p}; a pair at bucket-Hamming 0 or 1
     matches exactly one probe, and ``vec_a < vec_b`` fixes orientation.
     """
+    n_planes = resolve_planes(df, n_planes)
     n = norms(df, vec_col).withColumn(
         "bucket", lsh_bucket(vec_col, n_planes)
     )
@@ -787,7 +815,7 @@ def lsh_ann(
     query_pred: Column | None = None,
     k: int = 5,
     multiprobe: bool = True,
-    n_planes: int = N_PLANES,
+    n_planes: int | str = N_PLANES,
 ) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors: queries only meet
     candidates in their own hyperplane bucket, then exact cosine + top-k.
@@ -797,9 +825,13 @@ def lsh_ann(
     to ~9n/256 per query while recall rises sharply — the standard
     multi-probe LSH trade. The probe set explodes on the (tiny, broadcast)
     QUERY side, so the candidate join stays one equi-join.
+
+    ``n_planes="auto"`` sizes the plane count from the corpus so bucket
+    occupancy stays bounded as it grows (see ``resolve_planes``).
     """
     from pyspark.sql.window import Window
 
+    n_planes = resolve_planes(df, n_planes)
     if query_pred is None:
         query_pred = F.col("vec_id") < 3
     n = norms(df, vec_col).withColumn(

@@ -789,63 +789,50 @@ def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     materialize in their own projection (multiply-referenced non-cheap
     expressions — CollapseProject keeps the boundary, same rule as
     ``project_tokens``).
+
+    Both projections are GENERATED SQL parsed by selectExpr, not Column
+    algebra: building 37 count columns plus their class sums from Column
+    calls costs hundreds of py4j round-trips (~2.8 s of driver-side
+    DataFrame construction per call, data-size-independent — the
+    ``_swar_bits_sql`` pathology); ~45 parsed strings are each a single
+    round-trip.
     """
-    t = F.col(text_col)
-    counts = df.select(
+    ident = "`" + text_col.replace("`", "``") + "`"
+    counts = df.selectExpr(
         "doc_id",
-        F.length(t).cast("bigint").alias("__n"),
-        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))))
-        .cast("bigint")
-        .alias("__c_sp"),
+        f"cast(length({ident}) as bigint) AS __n",
+        f"cast(length({ident}) - length(replace({ident}, ' ', ''))"
+        " as bigint) AS __c_sp",
         *[
-            (F.length(t) - F.length(F.replace(t, F.lit(c), F.lit(""))))
-            .cast("bigint")
-            .alias(f"__c_{c}")
+            f"cast(length({ident}) - length(replace({ident}, '{c}', ''))"
+            f" as bigint) AS __c_{c}"
             for c in CHAR_CLASSES
         ],
     )
-    letters = sum(
-        (F.col(f"__c_{c}") for c in CHAR_CLASSES[:26]),
-        F.lit(0).cast("bigint"),
-    )
-    digits = sum(
-        (F.col(f"__c_{c}") for c in CHAR_CLASSES[26:]),
-        F.lit(0).cast("bigint"),
-    )
-    n = F.col("__n")
-    other = n - letters - digits - F.col("__c_sp")
-    distinct_known = sum(
-        (
-            F.when(F.col(f"__c_{c}") > 0, 1).otherwise(0)
-            for c in CHAR_CLASSES
-        ),
-        F.when(F.col("__c_sp") > 0, 1).otherwise(0),
-    ).cast("bigint")
+    letters = " + ".join(f"__c_{c}" for c in CHAR_CLASSES[:26])
+    digits = " + ".join(f"__c_{c}" for c in CHAR_CLASSES[26:])
+    oth = f"(__n - ({letters}) - ({digits}) - __c_sp)"
+    distinct_known = " + ".join(
+        f"(CASE WHEN __c_{c} > 0 THEN 1 ELSE 0 END)" for c in CHAR_CLASSES
+    ) + " + (CASE WHEN __c_sp > 0 THEN 1 ELSE 0 END)"
     sumsq = (
-        sum(
-            (F.col(f"__c_{c}") * F.col(f"__c_{c}") for c in CHAR_CLASSES),
-            F.lit(0).cast("bigint"),
-        )
-        + F.col("__c_sp") * F.col("__c_sp")
-        + other * other
+        " + ".join(f"__c_{c}*__c_{c}" for c in CHAR_CLASSES)
+        + f" + __c_sp*__c_sp + {oth}*{oth}"
     )
-    simpson = F.when(
-        n > 0,
-        quantize(
-            F.lit(1.0)
-            - sumsq.cast("double") / (n * n).cast("double"),
-            6,
-        ),
-    )
-    return counts.select(
+    return counts.selectExpr(
         "doc_id",
-        n.alias("n_chars"),
-        letters.alias("n_letters"),
-        digits.alias("n_digits"),
-        F.col("__c_sp").alias("n_spaces"),
-        other.alias("n_other"),
-        distinct_known.alias("n_distinct_chars"),
-        simpson.alias("char_simpson"),
+        "__n AS n_chars",
+        f"({letters}) AS n_letters",
+        f"({digits}) AS n_digits",
+        "__c_sp AS n_spaces",
+        f"{oth} AS n_other",
+        f"cast({distinct_known} as bigint) AS n_distinct_chars",
+        # D-suffixed literals: the SQL parser types bare 1.0 as DECIMAL
+        # (unlike F.lit), which would drag the whole chain into decimal
+        # arithmetic and break double parity with the oracle.
+        f"CASE WHEN __n > 0 THEN "
+        f"floor((1.0D - cast({sumsq} as double) / cast(__n*__n as double))"
+        f" * 1000000.0D + 0.5D) / 1000000.0D END AS char_simpson",
     )
 
 

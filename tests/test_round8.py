@@ -188,3 +188,68 @@ def test_winsorize_clips_to_group_percentiles(spark):
     assert out[19]["clipped"] == hi  # the max row got clipped down
     assert out[0]["clipped"] == lo
     assert all(lo <= r["clipped"] <= hi for r in out.values())
+
+
+# ------------------------------------------------------ incremental_line_dedup
+
+
+def test_incremental_line_dedup_history_and_batch(spark):
+    from data_lakehouse_hygiene_spark.operators.dedup import (
+        incremental_line_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(100, "old banner\nkeep me not")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            # line 0 dupes history; line 1 is novel
+            (0, "old banner\nfresh content"),
+            # line 0 is the batch-first 'shared line'; also has a blank line
+            (1, "shared line\n\ntail"),
+            # line 0 dupes doc 1's first line (batch-internal, keep-first)
+            (2, "shared line\nunique here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in incremental_line_dedup(new, hist).collect()
+    }
+    assert rows[0]["clean_text"] == "fresh content"
+    assert rows[0]["n_lines_removed"] == 1
+    # blank line (below min_chars) always kept; batch-first survives
+    assert rows[1]["clean_text"] == "shared line\n\ntail"
+    assert rows[1]["n_lines_removed"] == 0
+    assert rows[2]["clean_text"] == "unique here"
+    assert rows[2]["n_lines_removed"] == 1
+
+
+# --------------------------------------------------------------- auto n_planes
+
+
+def test_resolve_planes_auto(spark):
+    from data_lakehouse_hygiene_spark.operators import similarity as S
+
+    small = spark.range(20).withColumnRenamed("id", "vec_id")
+    # tiny corpus: auto keeps the static default
+    assert S.resolve_planes(small, "auto") == S.N_PLANES
+    big = spark.range(300).withColumnRenamed("id", "vec_id")
+    # 300 vectors at target occupancy 1 -> ceil(log2(300)) = 9 planes
+    assert S.resolve_planes(big, "auto", target_occupancy=1) == 9
+    # integers pass through untouched; cap binds at 20
+    assert S.resolve_planes(small, 12) == 12
+    huge_target = S.resolve_planes(big, "auto", target_occupancy=0.0001)
+    assert huge_target == 20
+
+
+def test_lsh_near_dup_auto_matches_default_on_small_corpus(spark):
+    from data_lakehouse_hygiene_spark.operators import similarity as S
+    from .conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    d = sorted(tuple(r) for r in S.lsh_near_dup_pairs(df).collect())
+    a = sorted(
+        tuple(r) for r in S.lsh_near_dup_pairs(df, n_planes="auto").collect()
+    )
+    # the smoke corpus is below the auto threshold: identical plan+result
+    assert d == a
