@@ -4113,6 +4113,25 @@ GROUP BY doc_id
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix on the 8-token head fingerprint
+    (dedup.source_overlap)."""
+    return dedup.source_overlap(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_OVERLAP = """
+WITH d AS (
+  SELECT DISTINCT
+    md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS k,
+    source AS src
+  FROM documents),
+p AS (SELECT a.k, a.src AS src_a, b.src AS src_b
+      FROM d a JOIN d b ON a.k = b.k AND a.src < b.src)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY 1, 2
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- NEW this round (r08): robust statistics + corpus text analytics ----
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
@@ -4125,6 +4144,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_incremental_line_dedup,
         SQL_INCREMENTAL_LINE_DEDUP,
     ),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     # -- NEW this round (r07) -----------------------------------------------
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
@@ -4356,6 +4376,7 @@ _REGISTRY = {
 _R8_NEW = [
     "char_stats", "code_detect", "boilerplate_ngrams", "group_median",
     "mad_outliers", "winsorize", "incremental_line_dedup",
+    "source_overlap",
 ]
 _R8_STALE_R5 = [
     "dedup_keep_best", "doc_fingerprint", "exact_dedup", "explode_tokens",
@@ -4372,7 +4393,7 @@ _R8_STALE_R5 = [
 _R8_FILL_R6 = [
     "simhash_near_dup", "simhash_fp", "quality_weighted_sample",
     "curation_funnel", "streaming_near_dup", "incremental_near_dup",
-    "strip_html", "gopher_quality",
+    "strip_html",
 ]
 _R8_PREFIX = _R8_NEW + _R8_STALE_R5 + _R8_FILL_R6
 _REGISTRY = {

@@ -195,6 +195,13 @@ def mad_outliers(
     sort, then a broadcast join of the per-group thresholds (one row per
     group — tiny) back onto the rows. Groups process independently; at
     100 TB the threshold table broadcasts and the row pass is scan-speed.
+    CAVEAT (all per-group exact-selection operators share it): a window
+    partition is ONE task, so with few distinct keys the sort serializes
+    at #groups-way parallelism (measured: 8.7× on 10× data at 5 event
+    types, SCALING.md). Exactness is this operator's contract; when the
+    key cardinality is small relative to the cluster AND the corpus is
+    huge, route through ``approx_quantiles`` (t-digest scales flat) and
+    accept approximate thresholds.
     """
     from pyspark.sql.window import Window
 
@@ -253,7 +260,10 @@ def winsorize(
     clipped values are exact and engine-independent. Scale shape: one
     (key)-partitioned window sort to rank, a per-group filter producing
     the TWO bound rows per group, and a broadcast join back — rows never
-    move except for the rank shuffle.
+    move except for the rank shuffle. Same low-cardinality-key caveat as
+    ``mad_outliers``: exact selection serializes each group into one
+    sort task; at corpus scale with few groups, take the bounds from
+    ``approx_quantiles`` instead and keep only the clip pass here.
     """
     from pyspark.sql.window import Window
 

@@ -1451,6 +1451,52 @@ def source_dup_stats(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    head_tokens: int = 8,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair
+    (src_a < src_b), the number of distinct head-shingle fingerprints
+    present in BOTH — the mirror/template diagnostic a multi-source
+    curation pipeline reads before deciding which source to keep. Exact
+    whole-document digests rarely cross sources (mirrors edit footers);
+    the md5 of the first ``head_tokens`` tokens is the standard cheap
+    head fingerprint.
+
+    Scale shape: one scan → distinct (fingerprint, source) — a map-side-
+    combined hash agg — → groupBy fingerprint with an in-row ordered
+    pair expansion over the per-fingerprint source SET (bounded by the
+    source count, never the corpus) → one final tiny aggregate. No
+    self-join: the join-free pair generation is the minhash bucket
+    pattern, and the output is #sources² rows at most.
+    """
+    key = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.col(text_col), " "), 1, head_tokens)
+        )
+    )
+    d = df.select(
+        key.alias("k"), F.col(source_col).alias("src")
+    ).distinct()
+    sets = (
+        d.groupBy("k")
+        .agg(F.array_sort(F.collect_set("src")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x AS src_a, y AS src_b))))"
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
 def incremental_near_dup(
     new: DataFrame,
     hist: DataFrame,

@@ -420,3 +420,51 @@ def test_simhash_mih_equals_expression_on_random_docs(spark, texts):
     finally:
         D.SIMHASH_MIH_BYTES = old
     assert expr_pairs == mih_pairs
+
+
+@given(
+    st.lists(  # new batch: per-doc line lists over a tiny line vocabulary
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", ""]),
+                 min_size=1, max_size=5),
+        min_size=1, max_size=6,
+    ),
+    st.lists(  # history lines
+        st.sampled_from(["aa", "bb", "xx"]), min_size=0, max_size=4
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_line_dedup_replay(spark, batch, hist_lines):
+    """Python replay of the keep rule: a line is kept iff it is below
+    min_chars, or (it is the batch-global first occurrence by (doc_id,
+    pos) AND absent from the history line set)."""
+    from data_lakehouse_hygiene_spark.operators.dedup import (
+        incremental_line_dedup,
+    )
+
+    new_rows = [(i, "\n".join(ls)) for i, ls in enumerate(batch)]
+    hist_rows = [(100, "\n".join(hist_lines))] if hist_lines else [
+        (100, "zz")
+    ]
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    hist_df = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+    hist_set = {l for l in (hist_lines or ["zz"]) if len(l) >= 1}
+    first: dict[str, tuple[int, int]] = {}
+    for i, ls in enumerate(batch):
+        for p, l in enumerate(ls):
+            if len(l) >= 1 and l not in first:
+                first[l] = (i, p)
+    want = {}
+    for i, ls in enumerate(batch):
+        kept = [
+            l for p, l in enumerate(ls)
+            if len(l) < 1
+            or (first.get(l) == (i, p) and l not in hist_set)
+        ]
+        removed = len(ls) - len(kept)
+        want[i] = ("\n".join(kept), removed)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_removed"])
+        for r in incremental_line_dedup(new_df, hist_df).collect()
+    }
+    assert got == want

@@ -253,3 +253,31 @@ def test_lsh_near_dup_auto_matches_default_on_small_corpus(spark):
     )
     # the smoke corpus is below the auto threshold: identical plan+result
     assert d == a
+
+
+# -------------------------------------------------------------- source_overlap
+
+
+def test_source_overlap_matrix(spark):
+    from data_lakehouse_hygiene_spark.operators.dedup import source_overlap
+
+    head = "alpha beta gamma delta eps zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (0, f"{head} tail0", "a"),
+            (1, f"{head} tail1", "b"),
+            (2, f"{head} tail2", "c"),
+            (3, "other text entirely unrelated", "a"),
+            (4, "other text entirely unrelated", "b"),
+            (5, "short", "a"),  # <8 tokens: fingerprint over all tokens
+            (6, "short", "a"),  # same source: no cross-source pair
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in source_overlap(df).collect()
+    }
+    # the 3-source mirror contributes all three pairs; the 2-source exact
+    # dup contributes (a,b) again
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
