@@ -4391,9 +4391,12 @@ _R8_STALE_R5 = [
     "union_distinct", "window_after_event",
 ]
 _R8_FILL_R6 = [
+    # kmeans_assign first: its latest RECORDED official check (r6) is the
+    # dtype-artifact FAIL fixed in r7 (CAST AS BIGINT in the oracle) —
+    # CORRECTNESS_r07 was never written, so the green must land in r8.
+    "kmeans_assign",
     "simhash_near_dup", "simhash_fp", "quality_weighted_sample",
     "curation_funnel", "streaming_near_dup", "incremental_near_dup",
-    "strip_html",
 ]
 _R8_PREFIX = _R8_NEW + _R8_STALE_R5 + _R8_FILL_R6
 _REGISTRY = {
