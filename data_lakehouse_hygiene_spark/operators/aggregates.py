@@ -205,6 +205,11 @@ def mad_outliers(
     """
     from pyspark.sql.window import Window
 
+    if _robust_select_applies(df):
+        out = _mad_outliers_select(df, key, val, id_col, n_mads)
+        if out is not None:
+            return out
+
     def _disc_median(d: DataFrame, c: str, out: str) -> DataFrame:
         w = Window.partitionBy(key).orderBy(c, id_col)
         wc = Window.partitionBy(key)
@@ -267,6 +272,11 @@ def winsorize(
     """
     from pyspark.sql.window import Window
 
+    if _robust_select_applies(df):
+        out = _winsorize_select(df, key, val, id_col, lower_pct, upper_pct)
+        if out is not None:
+            return out
+
     w = Window.partitionBy(key).orderBy(val, id_col)
     wc = Window.partitionBy(key)
     ranked = (
@@ -292,6 +302,231 @@ def winsorize(
         )
     )
     out = df.select(id_col, key, val).join(F.broadcast(bounds), key)
+    return out.select(
+        id_col,
+        key,
+        val,
+        F.greatest(
+            F.least(F.col(val), F.col("hi_bound")), F.col("lo_bound")
+        ).alias("clipped"),
+        "lo_bound",
+        "hi_bound",
+    )
+
+
+# Above this estimated input size the robust-stats operators switch their
+# exact per-group selections from the rank window (one sort TASK per
+# group — serializes when the key cardinality is small: 5 event types =
+# 5-way parallelism forever, measured 29.6 s at the 10M-row rehearsal) to
+# the iterative range-bucketing selection below (O(log) column-pruned
+# scans, every one fully parallel).
+ROBUST_SELECT_BYTES = 64 << 20
+
+# The bucketing path collects one row per group per iteration, so it is
+# FOR low-cardinality keys by construction; past this many groups the
+# window path parallelizes fine and the driver traffic would not.
+RANK_SELECT_MAX_GROUPS = 10_000
+
+
+def rank_select(
+    df: DataFrame,
+    key: str,
+    val: str,
+    targets: dict,
+    n_buckets: int = 1024,
+    max_iters: int = 64,
+) -> dict:
+    """EXACT k-th-smallest selection per group, distributed: returns
+    ``{(group, label): value}`` where ``targets`` maps label →
+    ``rank_of(cnt)`` (a 1-indexed target rank as a function of the group
+    row count). The classic iterative range-bucketing selection: per
+    iteration ONE scan computes (count, min, max) per (group, value
+    bucket) inside each group's remaining [lo, hi] range; the driver
+    walks cumulative counts to the bucket containing the rank and
+    recurses into that bucket's ACTUAL [min, max]. A bucket whose
+    min == max IS the answer.
+
+    Scale shape vs the window path: the window sorts each group in one
+    task (parallelism = #groups); this runs ≤ max_iters column-pruned
+    scans, each a map-side-combined hash aggregate at full cluster
+    parallelism, and ships only #groups·n_buckets count rows per
+    iteration. Convergence: every iteration either resolves or shrinks
+    the value range ≥ n_buckets×, so IEEE doubles resolve in ≤
+    ~(11 + 52)/log2(n_buckets) ≈ 7 iterations; mass-duplicate values
+    resolve immediately (their bucket degenerates to min == max).
+    Deterministic throughout — bucket arithmetic is exact-rounded double
+    ops on collected bounds that ship back as plan literals (the
+    kmeans-centroid convention). NULLs are excluded (SQL percentile
+    semantics); NaNs are the caller's contract to pre-filter, same as
+    the window path.
+    """
+    base = df.select(
+        F.col(key).alias("k"), F.col(val).cast("double").alias("v")
+    ).where(F.col(val).isNotNull())
+    bounds = base.groupBy("k").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).collect()
+    if len(bounds) > RANK_SELECT_MAX_GROUPS:
+        raise ValueError(
+            f"rank_select is the low-cardinality-key plan "
+            f"({len(bounds)} groups > {RANK_SELECT_MAX_GROUPS}); with this "
+            f"many groups the rank-window path already parallelizes — "
+            f"use it instead"
+        )
+    result: dict = {}
+    state: dict = {}
+    for row in bounds:
+        for lbl, rank_of in targets.items():
+            r = int(rank_of(row["cnt"]))
+            assert 1 <= r <= row["cnt"], "target rank out of range"
+            if row["lo"] == row["hi"]:
+                result[(row["k"], lbl)] = row["lo"]
+            else:
+                state[(row["k"], lbl)] = (row["lo"], row["hi"], r)
+    it = 0
+    while state and it < max_iters:
+        it += 1
+        # Group the active selections by label so each label costs one
+        # scan per iteration (ranges differ per label after iteration 1;
+        # within a label each group has exactly one range).
+        by_label: dict = {}
+        for (k, lbl), st in state.items():
+            by_label.setdefault(lbl, {})[k] = st
+        for lbl, per_group in by_label.items():
+            lo_map = F.create_map(
+                *[F.lit(x) for k, (lo, hi, r) in per_group.items()
+                  for x in (k, lo)]
+            )
+            hi_map = F.create_map(
+                *[F.lit(x) for k, (lo, hi, r) in per_group.items()
+                  for x in (k, hi)]
+            )
+            lo_c = F.element_at(lo_map, F.col("k"))
+            hi_c = F.element_at(hi_map, F.col("k"))
+            width = (hi_c - lo_c) / F.lit(float(n_buckets))
+            bucket = F.least(
+                F.floor((F.col("v") - lo_c) / width).cast("bigint"),
+                F.lit(n_buckets - 1),
+            )
+            stats = (
+                base.where(
+                    F.col("k").isin(list(per_group.keys()))
+                    & (F.col("v") >= lo_c)
+                    & (F.col("v") <= hi_c)
+                )
+                .groupBy("k", bucket.alias("b"))
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.min("v").alias("bmin"),
+                    F.max("v").alias("bmax"),
+                )
+                .collect()
+            )
+            per_k: dict = {}
+            for row in stats:
+                per_k.setdefault(row["k"], []).append(row)
+            for k, (lo, hi, r) in per_group.items():
+                cum = 0
+                for row in sorted(per_k[k], key=lambda x: x["b"]):
+                    if cum + row["c"] >= r:
+                        if row["bmin"] == row["bmax"]:
+                            result[(k, lbl)] = row["bmin"]
+                            del state[(k, lbl)]
+                        else:
+                            state[(k, lbl)] = (
+                                row["bmin"], row["bmax"], r - cum
+                            )
+                        break
+                    cum += row["c"]
+    if state:
+        raise RuntimeError(f"rank_select failed to converge: {state}")
+    return result
+
+
+def _robust_select_applies(df: DataFrame) -> bool:
+    from .dedup import _estimated_bytes
+
+    return _estimated_bytes(df) >= ROBUST_SELECT_BYTES
+
+
+def _group_table(df: DataFrame, key: str, rows: list, cols: list):
+    """Per-group literal table (one row per group) with the key column
+    typed like the source — the collected selections ship back into the
+    plan as literals (the kmeans-centroid convention)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    key_field = next(f for f in df.schema.fields if f.name == key)
+    schema = StructType(
+        [StructField(key, key_field.dataType)]
+        + [StructField(c, DoubleType()) for c in cols]
+    )
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def _mad_outliers_select(df, key, val, id_col, n_mads):
+    """mad_outliers' large-input plan: both discrete medians via
+    rank_select (fully parallel scans) instead of per-group rank windows
+    (one sort task per group). Identical rows to the window plan — the
+    r-th-smallest VALUE is selection-order independent; property-tested
+    equal. Returns None on empty input (the window plan keeps the
+    degenerate case)."""
+    base = df.select(id_col, key, val)
+    med = rank_select(base, key, val, {"m": lambda c: (c + 1) // 2})
+    if not med:
+        return None
+    med_df = _group_table(
+        df, key, [(k, float(v)) for (k, _), v in med.items()], ["med"]
+    )
+    dev = base.join(F.broadcast(med_df), key).select(
+        id_col, key, F.abs(F.col(val) - F.col("med")).alias("adev")
+    )
+    mad = rank_select(dev, key, "adev", {"m": lambda c: (c + 1) // 2})
+    mad_df = _group_table(
+        df, key, [(k, float(v)) for (k, _), v in mad.items()], ["mad"]
+    )
+    return (
+        base.join(F.broadcast(med_df), key)
+        .join(F.broadcast(mad_df), key)
+        .where(
+            F.abs(F.col(val) - F.col("med"))
+            > F.lit(float(n_mads)) * F.col("mad")
+        )
+        .select(id_col, key, val, "med", "mad")
+    )
+
+
+def _winsorize_select(df, key, val, id_col, lower_pct, upper_pct):
+    """winsorize's large-input plan: both percentile elements via
+    rank_select. Rank math mirrors the window plan bit-for-bit —
+    ``ceil(cnt * pct)`` in double arithmetic (Python floats ARE IEEE
+    doubles), clamped to ≥ 1."""
+    import math
+
+    base = df.select(id_col, key, val)
+    sel = rank_select(
+        base,
+        key,
+        val,
+        {
+            "lo": lambda c: max(math.ceil(c * float(lower_pct)), 1),
+            "hi": lambda c: max(math.ceil(c * float(upper_pct)), 1),
+        },
+    )
+    if not sel:
+        return None
+    groups = sorted({k for (k, _) in sel})
+    bounds = _group_table(
+        df,
+        key,
+        [
+            (k, float(sel[(k, "lo")]), float(sel[(k, "hi")]))
+            for k in groups
+        ],
+        ["lo_bound", "hi_bound"],
+    )
+    out = base.join(F.broadcast(bounds), key)
     return out.select(
         id_col,
         key,

@@ -281,3 +281,54 @@ def test_source_overlap_matrix(spark):
     # the 3-source mirror contributes all three pairs; the 2-source exact
     # dup contributes (a,b) again
     assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+# ------------------------------------------------------- rank_select scale path
+
+
+def test_rank_select_exact_small(spark):
+    from data_lakehouse_hygiene_spark.operators import aggregates as A
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+    rows += [(10 + i, "h", 2.0) for i in range(4)]  # mass-duplicate group
+    df = spark.createDataFrame(rows, ["event_id", "k", "v"])
+    sel = A.rank_select(
+        df, "k", "v",
+        {"med": lambda c: (c + 1) // 2, "max": lambda c: c},
+    )
+    assert sel[("g", "med")] == 5.0 and sel[("g", "max")] == 9.0
+    assert sel[("h", "med")] == 2.0 and sel[("h", "max")] == 2.0
+
+
+def test_mad_and_winsorize_select_path_equals_window_path(spark):
+    from data_lakehouse_hygiene_spark.operators import aggregates as A
+    from .conftest import SF_ORACLE
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    win_mad = sorted(
+        tuple(r)
+        for r in A.mad_outliers(ev, "event_type", "value", "event_id").collect()
+    )
+    win_w = sorted(
+        tuple(r)
+        for r in A.winsorize(ev, "event_type", "value", "event_id").collect()
+    )
+    old = A.ROBUST_SELECT_BYTES
+    A.ROBUST_SELECT_BYTES = 0
+    try:
+        sel_mad = sorted(
+            tuple(r)
+            for r in A.mad_outliers(
+                ev, "event_type", "value", "event_id"
+            ).collect()
+        )
+        sel_w = sorted(
+            tuple(r)
+            for r in A.winsorize(
+                ev, "event_type", "value", "event_id"
+            ).collect()
+        )
+    finally:
+        A.ROBUST_SELECT_BYTES = old
+    assert sel_mad == win_mad and len(sel_mad) > 0
+    assert sel_w == win_w and len(sel_w) > 0
