@@ -461,33 +461,48 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     libm log is not bit-stable across implementations, so the score is an
     avg probability, monotone-equivalent to perplexity for filtering.
 
-    Scale shape (4 shuffles, ONE corpus scan): one explode of bigram
-    instances feeds one map-side-combined hash aggregate to the
-    per-document bigram-count table D = (doc_id, bg, cnt), which is
-    MATERIALIZED once via ``localCheckpoint`` — D has two consumers (the
-    model build and the scoring aggregate) whose diverging column
-    prunings defeat ReuseExchange, so without the checkpoint Catalyst
-    re-scans and re-explodes the corpus once per consumer (the round-4
-    plan paid 7 exchanges and 3 corpus scans this way). From D: the
-    corpus bigram count c2 is one skew-safe partial-agg rollup, its
-    a-marginal c1 rides a window PARTITIONED BY the first token over c2
-    (one row per distinct bigram, so the partition is vocabulary-bounded
-    — never corpus-bounded), and the finished LM table — tiny relative
-    to the corpus — BROADCASTS back onto D (the "ship the model to every
-    worker" pattern) for one per-doc weighted hash aggregate. No global
-    windows, no self-joins, no driver-side model collect.
+    Scale shape (4 shuffles): one explode of bigram instances feeds one
+    map-side-combined hash aggregate to the per-document bigram-count
+    table D = (doc_id, bg, cnt). D has two consumers (the model build
+    and the scoring aggregate) whose diverging column prunings defeat
+    ReuseExchange, so the corpus scan+explode runs once per consumer —
+    and that is the FAST plan: an A/B at 5k/50k/500k docs measured the
+    ``localCheckpoint``-materialized D consistently ~2× slower than the
+    double scan (32.0 s vs 16.9 s at 500k docs), because the
+    materialization barrier serializes the DAG and pays a full
+    write+read of D while the redundant explode pipelines freely across
+    all cores. ``ccnet_buckets`` is the exception — it re-consumes the
+    whole scored output a second time, where the same A/B shows the
+    checkpoint winning — so the knob lives on ``_bigram_scored``. From
+    D: the corpus bigram count c2 is one skew-safe partial-agg rollup,
+    its a-marginal c1 rides a window PARTITIONED BY the first token over
+    c2 (one row per distinct bigram, so the partition is
+    vocabulary-bounded — never corpus-bounded), and the finished LM
+    table — tiny relative to the corpus — BROADCASTS back onto D (the
+    "ship the model to every worker" pattern) for one per-doc weighted
+    hash aggregate. No global windows, no self-joins, no driver-side
+    model collect.
     """
-    return _bigram_scored(df, text_col, carry=())
+    return _bigram_scored(df, text_col, carry=(), materialize=False)
 
 
 def _bigram_scored(
-    df: DataFrame, text_col: str, carry: tuple[str, ...]
+    df: DataFrame, text_col: str, carry: tuple[str, ...],
+    materialize: bool = False,
 ) -> DataFrame:
     """``bigram_lm_score``'s pipeline with optional pass-through columns:
     ``carry`` names doc-level columns (functionally dependent on doc_id,
     e.g. lang) threaded through the group keys — same groups, zero extra
     rows, and composites like ``ccnet_buckets`` skip a corpus-sized
-    label join."""
+    label join.
+
+    ``materialize=True`` checkpoints the D = (doc_id, bg, cnt) table so
+    lineage above it never re-executes. Only worth it when the CALLER
+    multiplies the rescans — ``ccnet_buckets`` consumes the scored
+    output twice, so without it the scan+explode runs 4× (measured
+    36.9 s vs 24.6 s at 500k docs). For single-consumption
+    (``bigram_lm_score``) the barrier is a straight loss — see that
+    docstring's A/B numbers."""
     from pyspark.sql.window import Window
 
     df = project_tokens(df, text_col, *carry)
@@ -502,20 +517,17 @@ def _bigram_scored(
         F.array().cast("array<struct<a:string,b:string>>")
     )
     inst = df.select("doc_id", *carry, F.explode(safe).alias("bg"))
-    # Deferred (lazy) checkpoint: D (doc_id x bigram) feeds both the model
-    # aggregate and the per-doc join, so materializing it once avoids a
-    # double scan of the corpus — but eager=True would run a full Spark job
-    # at DataFrame-CONSTRUCTION time (even a bare .explain() triggered it).
-    # eager=False defers the job to first execution. Caveat at cluster
-    # scale: localCheckpoint blocks live on executors with no lineage to
-    # recompute them, so an executor loss mid-query fails the query; for a
-    # 100 TB run swap this for a reliable checkpoint dir or accept the
-    # double scan (cheap relative to the shuffle).
-    d = (
-        inst.groupBy("doc_id", *carry, "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+    d = inst.groupBy("doc_id", *carry, "bg").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    if materialize:
+        # Deferred (lazy) checkpoint — eager=True would run a full Spark
+        # job at DataFrame-CONSTRUCTION time (even a bare .explain()
+        # triggered it). Caveat at cluster scale: localCheckpoint blocks
+        # live on executors with no lineage to recompute them, so an
+        # executor loss mid-query fails the query; for a 100 TB run swap
+        # this for a reliable checkpoint dir or accept the rescans.
+        d = d.localCheckpoint(eager=False)
     c2 = d.groupBy("bg").agg(F.sum("cnt").alias("c2"))
     c1 = F.sum("c2").over(Window.partitionBy(F.col("bg.a")))
     units = F.floor(
@@ -691,13 +703,15 @@ def ccnet_buckets(
     # lang rides the LM aggregates as an extra group key (functionally
     # dependent on doc_id — same groups, zero extra rows), which deletes
     # the corpus-sized scored⋈lang join the round-6 plan paid twice (once
-    # per consumer of the labeled corpus). A labeled-level localCheckpoint
-    # was tried and measured SLOWER (+0.7 s at sf0.1): the materialization
-    # barrier costs more than the per_doc recompute it saves, because the
-    # expensive explode already materializes once via the D checkpoint.
-    labeled = _bigram_scored(df, text_col, carry=(lang_col,)).withColumnRenamed(
-        lang_col, "lang"
-    )
+    # per consumer of the labeled corpus). materialize=True: labeled has
+    # two consumers here (the tercile election and the final join), so
+    # without the D checkpoint the scan+explode runs 4×. The 500k-doc
+    # A/B: D-checkpoint 24.6 s, no checkpoint 36.9 s, labeled-level
+    # checkpoint 30.2 s — checkpointing D (above the broadcast join, so
+    # the rescued lineage is maximal per byte materialized) wins.
+    labeled = _bigram_scored(
+        df, text_col, carry=(lang_col,), materialize=True
+    ).withColumnRenamed(lang_col, "lang")
     dist = labeled.groupBy("lang", "lm_score").agg(
         F.count(F.lit(1)).alias("cnt")
     )
