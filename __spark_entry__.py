@@ -4132,8 +4132,98 @@ FROM p GROUP BY 1, 2
 """
 
 
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point (Gonzalez) k-center diversity sampling over
+    the embeddings table (k=8): seed = lowest vec_id, then each round
+    picks the vector with the maximum exact integer squared distance to
+    its nearest selected center. See ``similarity.kcenter_sample`` for
+    the engine-portability construction (KMEANS_SCALE quantization,
+    BIGINT distances — no float-sum order dependence)."""
+    return similarity.kcenter_sample(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def _sql_kcenter(k: int = 8) -> str:
+    """DuckDB replay of the greedy k-center selection, round by round
+    (unrolled CTEs — the ``_sql_kmeans`` pattern): identical seed,
+    identical exact-integer distances, identical max-distance /
+    lowest-vec_id tie-break. list_sum returns HUGEINT — CAST back to
+    BIGINT so pandas doesn't materialize float64 (the r06 kmeans dtype
+    lesson). The accumulating CTEs are AS MATERIALIZED: DuckDB inlines
+    plain CTEs, and each round references its predecessor twice (FROM +
+    NOT IN), so the inlined form re-evaluates the whole chain 2^k
+    times — materialization makes each round run once."""
+    s = similarity.KMEANS_SCALE
+    dist = (
+        "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
+        " i -> (v.qv[i] - c.qv[i]) * (v.qv[i] - c.qv[i]))) AS BIGINT)"
+    )
+    parts = [
+        "q AS (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {s}.0 + 0.5) AS BIGINT))"
+        " AS qv FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT 0 AS sel_rank, vec_id, qv,"
+        " CAST(0 AS BIGINT) AS dist FROM q ORDER BY vec_id LIMIT 1)",
+        "p1 AS MATERIALIZED (SELECT vec_id, qv FROM s0)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"s{r} AS MATERIALIZED (\n"
+            f"  SELECT {r} AS sel_rank, vec_id, qv, mind AS dist"
+            " FROM (\n"
+            f"    SELECT v.vec_id, v.qv, min({dist}) AS mind\n"
+            f"    FROM q v, p{r} c\n"
+            f"    WHERE v.vec_id NOT IN (SELECT vec_id FROM p{r})\n"
+            "    GROUP BY v.vec_id, v.qv) z\n"
+            "  ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"p{r + 1} AS MATERIALIZED (SELECT vec_id, qv FROM p{r}"
+            f" UNION ALL SELECT vec_id, qv FROM s{r})"
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT sel_rank, vec_id, dist FROM s{r}" for r in range(k)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+SQL_KCENTER_SAMPLE = _sql_kcenter()
+
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (attribution): each
+    purchase pairs with the same user's clicks in the preceding hour —
+    two unbounded inputs, both watermarked, state bounded by the time
+    range. Inner join + append mode means a bounded replay reproduces
+    the batch interval join exactly; the oracle is that plain SQL
+    join."""
+    from data_lakehouse_hygiene_spark import streaming
+
+    pin_session(spark)
+    ev = streaming.load_stream_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    j = streaming.interval_join_stream(clicks, purchases, horizon="1 hour")
+    return streaming.run_to_memory(j, output_mode="append")
+
+
+SQL_STREAMING_JOIN = """
+SELECT a.user_id,
+       b.event_id AS left_id,
+       a.event_id AS right_id,
+       CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS lag_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'purchase'
+ AND b.event_type = 'click'
+ AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- NEW this round (r08): robust statistics + corpus text analytics ----
+    "kcenter_sample": (q_kcenter_sample, SQL_KCENTER_SAMPLE),
+    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),

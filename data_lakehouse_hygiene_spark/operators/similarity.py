@@ -1062,3 +1062,74 @@ def kmeans_fit_assign(
             .where(F.lit(False))
         )
     return _kmeans_assign(q, cents).select("vec_id", "cluster", "dist")
+
+def kcenter_sample(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> DataFrame:
+    """Greedy farthest-point (Gonzalez) k-center selection over an
+    embedding column — diversity-MAXIMIZING coreset sampling, the
+    complement of the frequency/quality samplers: pick the k vectors
+    that spread over the embedding space (2-approximation of the
+    optimal k-center cover), the standard diverse-subset primitive for
+    training-data curation and IVF seeding.
+
+    Deterministic and engine-portable by the k-means construction
+    (``KMEANS_SCALE`` integer quantization, exact BIGINT squared
+    distances — no float-sum order dependence): the seed is the lowest
+    vec_id; each round selects the not-yet-selected vector with the
+    MAXIMUM exact integer squared distance to its nearest selected
+    center, ties to the lowest vec_id. A SQL oracle replays every round
+    bit-for-bit (unrolled CTEs, the ``kmeans_fit_assign`` pattern).
+
+    Returns (sel_rank, vec_id, dist): dist = the selected vector's
+    min-squared-distance to the prior centers in KMEANS_SCALE² integer
+    units at selection time (0 for the seed) — the classic k-center
+    coverage-radius curve.
+
+    Scale shape: k rounds, each ONE scan-shaped pass — the selected
+    centers ship as literal arrays in the plan (ship-the-model, no
+    join; round r evaluates r literal distances per row) and the argmax
+    is a TakeOrderedAndProject (per-partition top-1 + driver merge of
+    #partitions rows — no global sort shuffle). Driver traffic: one
+    (id, vector) row per round. Total work O(k²·n/P) per executor; for
+    the large-k regime keep a running-min column checkpointed per round
+    (O(k·n)) instead — at the k ≤ 64 this trainer targets, the
+    stateless literal form is cheaper than k materialization barriers
+    (the bigram-LM checkpoint lesson, text.py).
+    """
+    from .cleaning import spread
+
+    q = spread(df, key="vec_id").select(
+        "vec_id", _kq(F.col(vec_col)).alias("qv")
+    )
+    spark = df.sparkSession
+    out_schema = "sel_rank int, vec_id bigint, dist bigint"
+    seed = q.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame([], out_schema)
+    sel: list[tuple[int, int, int]] = [(0, seed[0]["vec_id"], 0)]
+    cents: list[list[int]] = [list(seed[0]["qv"])]
+    for r in range(1, k):
+        dists = []
+        for ci, c in enumerate(cents):
+            lit = F.array(*[F.lit(int(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(F.col("qv"), lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda s, v: s + v,
+            )
+            dists.append(d)
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        cand = (
+            q.where(~F.col("vec_id").isin([s[1] for s in sel]))
+            .select("vec_id", "qv", mind.alias("mind"))
+            .orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not cand:  # fewer vectors than k: the selection IS the corpus
+            break
+        row = cand[0]
+        sel.append((r, row["vec_id"], row["mind"]))
+        cents.append(list(row["qv"]))
+    return spark.createDataFrame(sel, out_schema)

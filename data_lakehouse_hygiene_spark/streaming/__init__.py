@@ -371,3 +371,62 @@ def debounce_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    horizon: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the attribution shape:
+    every ``right`` event (the conversion) pairs with the ``left``
+    events (the touchpoints) of the same key whose timestamp falls in
+    ``[right.ts - horizon, right.ts]``.
+
+    This is the canonical two-unbounded-inputs join: neither side can
+    be broadcast and neither can buffer forever, so BOTH sides carry a
+    watermark and the join predicate carries the time-range constraint
+    — together they bound the join state (Spark evicts buffered rows
+    once the other side's watermark passes the range), which is what
+    makes the operator runnable on an unbounded feed at 100 TB/day.
+    Inner join + append mode: every emitted pair is final the moment it
+    matches (no retractions), and a bounded replay reproduces the batch
+    interval join exactly — the declared query's DuckDB oracle is that
+    plain SQL join.
+
+    Emits (key, left id, right id, lag_us): lag_us = the exact integer
+    microsecond gap right.ts − left.ts (≥ 0, ≤ horizon).
+    """
+    lts, rts = f"__l_{ts_col}", f"__r_{ts_col}"
+    ls = (
+        left.select(
+            F.col(key).alias("__l_key"),
+            F.col(id_col).alias("left_id"),
+            F.col(ts_col).cast("timestamp").alias(lts),
+        ).withWatermark(lts, delay)
+    )
+    rs = (
+        right.select(
+            F.col(key).alias("__r_key"),
+            F.col(id_col).alias("right_id"),
+            F.col(ts_col).cast("timestamp").alias(rts),
+        ).withWatermark(rts, delay)
+    )
+    cond = (
+        (F.col("__l_key") == F.col("__r_key"))
+        & (F.col(lts) <= F.col(rts))
+        & (F.col(lts) >= F.expr(f"{rts} - INTERVAL {horizon}"))
+    )
+    joined = ls.join(rs, cond, "inner")
+    lag = F.unix_micros(F.col(rts)) - F.unix_micros(F.col(lts))
+    return joined.select(
+        F.col("__l_key").alias(key),
+        "left_id",
+        "right_id",
+        lag.alias("lag_us"),
+    )

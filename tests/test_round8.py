@@ -332,3 +332,115 @@ def test_mad_and_winsorize_select_path_equals_window_path(spark):
         A.ROBUST_SELECT_BYTES = old
     assert sel_mad == win_mad and len(sel_mad) > 0
     assert sel_w == win_w and len(sel_w) > 0
+
+
+# ------------------------------------------------- k-center diversity sampling
+
+
+def test_kcenter_planted_geometry(spark):
+    """Three tight clusters + one far outlier: the greedy selection must
+    visit all four regions before refining any of them (the k-center
+    guarantee), with the coverage radius non-increasing round to round."""
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    rows = []
+    region = {}
+    vid = 0
+    for rx, ry, tag in [(0, 0, "a"), (10, 0, "b"), (0, 10, "c"), (50, 50, "far")]:
+        for dx in (0.0, 0.01, 0.02):
+            rows.append((vid, vec(rx + dx, ry)))
+            region[vid] = tag
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kcenter_sample(df, k=4).orderBy("sel_rank").collect()
+    assert [r["sel_rank"] for r in out] == [0, 1, 2, 3]
+    assert {region[r["vec_id"]] for r in out} == {"a", "b", "c", "far"}
+    dists = [r["dist"] for r in out[1:]]
+    assert dists == sorted(dists, reverse=True)  # non-increasing radius
+
+
+def test_kcenter_fewer_rows_than_k(spark):
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    out = kcenter_sample(df, k=5).orderBy("sel_rank").collect()
+    assert [(r["sel_rank"], r["vec_id"]) for r in out] == [(0, 3), (1, 7)]
+    empty = kcenter_sample(df.where("vec_id < 0"), k=3)
+    assert empty.count() == 0
+
+
+def test_kcenter_partition_invariant(spark):
+    """Same selection regardless of physical layout (exact integer
+    arithmetic + deterministic tie-breaks)."""
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = [tuple(r) for r in kcenter_sample(emb, k=6).collect()]
+    b = [
+        tuple(r)
+        for r in kcenter_sample(emb.repartition(13, "vec_id"), k=6).collect()
+    ]
+    assert sorted(a) == sorted(b) and len(a) == 6
+
+
+# ------------------------------------------------- stream-stream interval join
+
+
+def test_interval_join_stream_matches_batch(spark):
+    """Bounded replay of the watermarked stream-stream join reproduces the
+    batch interval join exactly (append mode, inner join)."""
+    from data_lakehouse_hygiene_spark import streaming
+    from .conftest import SF_ORACLE
+
+    ev = streaming.load_stream_table(spark, SF_ORACLE, "events")
+    j = streaming.interval_join_stream(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+    got = sorted(
+        tuple(r)
+        for r in streaming.run_to_memory(j, output_mode="append").collect()
+    )
+
+    b = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    c = b.where("event_type = 'click'").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("cid"),
+        F.col("ts").cast("timestamp").alias("cts"),
+    )
+    p = b.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.expr("pts - INTERVAL 1 HOUR")),
+        )
+        .select(
+            "cu",
+            "cid",
+            "pid",
+            (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # every lag inside the horizon
+    assert all(0 <= r[3] <= 3_600_000_000 for r in got)

@@ -30,7 +30,8 @@ SKIP = {"streaming_time_bucket", "streaming_sliding_window",
         # driver-looped iterative fixpoint — the printed plan would only
         # show the final round's join, not the algorithm
         "dedup_clusters", "dedup_keep_best",
-        "kmeans_assign"}  # streaming plans finalize per micro-batch
+        "kmeans_assign", "kcenter_sample",
+        "streaming_join"}  # streaming plans finalize per micro-batch
 
 
 def audit(plan: str) -> dict[str, int]:
