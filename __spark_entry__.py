@@ -4220,10 +4220,34 @@ JOIN events b
 """
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream LEFT-joins the bounded
+    customer dimension (broadcast — stateless per micro-batch, the
+    stream side never repartitions). See ``streaming.enrich_stream``."""
+    from data_lakehouse_hygiene_spark import streaming
+
+    pin_session(spark)
+    ev = streaming.load_stream_table(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    out = streaming.enrich_stream(
+        ev, cust, key="user_id", dim_key="c_custkey",
+        cols=("c_mktsegment", "c_nationkey"),
+    ).select("event_id", "user_id", "event_type", "c_mktsegment",
+             "c_nationkey")
+    return streaming.run_to_memory(out, output_mode="append")
+
+
+SQL_STREAMING_ENRICH = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_nationkey
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- NEW this round (r08): robust statistics + corpus text analytics ----
     "kcenter_sample": (q_kcenter_sample, SQL_KCENTER_SAMPLE),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
+    "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),

@@ -430,3 +430,26 @@ def interval_join_stream(
         "right_id",
         lag.alias("lag_us"),
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str,
+    dim_key: str,
+    cols: tuple[str, ...],
+) -> DataFrame:
+    """STREAM-STATIC enrichment join — the third join shape next to the
+    stream-stream interval join and the batch broadcast joins: an
+    unbounded stream LEFT-joins a bounded dimension, picking up ``cols``.
+
+    The static side is explicitly ``broadcast()``: a dimension is
+    re-read per micro-batch (that is the stream-static contract — dim
+    updates between batches are visible), and broadcasting it keeps
+    every micro-batch join shuffle-free on the stream side — the stream
+    never repartitions, state never accumulates (no watermark needed:
+    stateless per-batch join). LEFT join is the enrichment contract:
+    stream rows never drop when the dimension misses."""
+    d = dim.select(F.col(dim_key).alias(key), *cols)
+    return stream.join(F.broadcast(d), key, "left")

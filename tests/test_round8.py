@@ -444,3 +444,27 @@ def test_interval_join_stream_matches_batch(spark):
     assert got == want and len(got) > 0
     # every lag inside the horizon
     assert all(0 <= r[3] <= 3_600_000_000 for r in got)
+
+
+def test_enrich_stream_matches_batch_and_keeps_misses(spark):
+    """Stream-static LEFT join: every stream row survives, matched rows
+    pick up the dim columns, unmatched rows carry NULLs."""
+    from data_lakehouse_hygiene_spark import streaming
+    from .conftest import SF_ORACLE
+
+    ev = streaming.load_stream_table(spark, SF_ORACLE, "events")
+    cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    # poke a hole in the dim so the left-join contract is actually tested
+    dim = cust.where("c_custkey <> 0")
+    out = streaming.run_to_memory(
+        streaming.enrich_stream(
+            ev, dim, key="user_id", dim_key="c_custkey",
+            cols=("c_mktsegment",),
+        ).select("event_id", "user_id", "c_mktsegment"),
+        output_mode="append",
+    )
+    n_events = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
+    assert out.count() == n_events  # no stream row dropped
+    misses = out.where("c_mktsegment IS NULL")
+    assert misses.count() > 0
+    assert misses.where("user_id <> 0").count() == 0  # only the hole misses

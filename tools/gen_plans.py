@@ -31,7 +31,7 @@ SKIP = {"streaming_time_bucket", "streaming_sliding_window",
         # show the final round's join, not the algorithm
         "dedup_clusters", "dedup_keep_best",
         "kmeans_assign", "kcenter_sample",
-        "streaming_join"}  # streaming plans finalize per micro-batch
+        "streaming_join", "streaming_enrich"}  # streaming plans finalize per micro-batch
 
 
 def audit(plan: str) -> dict[str, int]:
