@@ -4243,11 +4243,50 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-and-encode: top-16 corpus vocabulary (frequency-desc /
+    token-asc ids), every document re-emitted as its ordered token-id
+    array with OOV → -1 plus the coverage diagnostic (n_tokens, n_unk).
+    See ``text.vocab_encode``. vocab_size=16 against the fixture's
+    31-token vocabulary so the UNK path carries real traffic."""
+    return text_ops.vocab_encode(
+        _t(spark, sf_dir, "documents"), vocab_size=16
+    )
+
+
+SQL_VOCAB_ENCODE = """
+WITH tf AS (
+  SELECT token, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INT) - 1
+           AS vid
+  FROM (SELECT token, freq FROM tf ORDER BY freq DESC, token ASC LIMIT 16) t),
+pos AS (
+  SELECT d.doc_id, g.i AS pos, d.ts[g.i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(d.ts) + 1)) AS i) g),
+enc AS (
+  SELECT p.doc_id, p.pos,
+         coalesce(v.vid, -1) AS id,
+         CASE WHEN v.vid IS NULL THEN 1 ELSE 0 END AS unk
+  FROM pos p LEFT JOIN vocab v USING (token))
+SELECT doc_id,
+       list(id ORDER BY pos) AS ids,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(unk) AS BIGINT) AS n_unk
+FROM enc GROUP BY doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- NEW this round (r08): robust statistics + corpus text analytics ----
     "kcenter_sample": (q_kcenter_sample, SQL_KCENTER_SAMPLE),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
+    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),

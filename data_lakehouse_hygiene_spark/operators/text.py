@@ -954,3 +954,75 @@ def boilerplate_ngrams(
         .where(F.col("n_docs") >= min_docs)
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "shingle")
     )
+
+
+def vocab_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 256,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Tokenize-and-encode — the step that turns a curated corpus into
+    model input: build the top-``vocab_size`` corpus vocabulary (ids
+    0..V-1 in frequency-desc / token-asc order, ``vocab_topk``'s exact
+    ranking) and re-emit every document as its token-id array, with
+    out-of-vocabulary tokens mapped to ``unk_id``.
+
+    Returns (doc_id, ids array<int>, n_tokens, n_unk): the id sequence
+    preserves token order, and the OOV count is the coverage diagnostic
+    a tokenizer budget is tuned against.
+
+    Scale shape: one explode feeds the term-grain aggregate
+    (vocabulary-bounded output), the top-V cut is TakeOrderedAndProject
+    (never a full sort — only ≤ V survivors pass the single-partition
+    id-assignment window), and the finished vocab BROADCASTS onto the
+    positional token stream (ship-the-model — the corpus never
+    shuffles to meet the vocab). The only corpus-sized shuffle is the
+    final per-document reassembly groupBy; order is restored by
+    ``array_sort`` over (pos, id) structs, not by any cross-partition
+    ordering assumption (collect_list order is undefined by contract).
+    """
+    from pyspark.sql.window import Window as W
+
+    from .cleaning import spread
+
+    base = project_tokens(spread(df), text_col)
+    tf = (
+        base.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = W.orderBy(F.col("freq").desc(), F.col("token").asc())
+    vocab = (
+        tf.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select(
+            "token",
+            (F.row_number().over(w) - F.lit(1)).cast("int").alias("__vid"),
+        )
+    )
+    pos = base.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "token")
+    )
+    enc = pos.join(F.broadcast(vocab), "token", "left")
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.coalesce(
+                                F.col("__vid"), F.lit(int(unk_id)).cast("int")
+                            ).alias("id"),
+                        )
+                    )
+                ),
+                lambda s: s["id"],
+            ).alias("ids"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__vid").isNull().cast("bigint")).alias("n_unk"),
+        )
+        .select("doc_id", "ids", "n_tokens", "n_unk")
+    )

@@ -468,3 +468,41 @@ def test_enrich_stream_matches_batch_and_keeps_misses(spark):
     misses = out.where("c_mktsegment IS NULL")
     assert misses.count() > 0
     assert misses.where("user_id <> 0").count() == 0  # only the hole misses
+
+
+# ---------------------------------------------------------------- vocab_encode
+
+
+def test_vocab_encode_planted_vocab_and_oov(spark):
+    from data_lakehouse_hygiene_spark.operators.text import vocab_encode
+
+    df = spark.createDataFrame(
+        [
+            (0, "b b b a a c"),   # freqs: b=3 a=2 c=1
+            (1, "a b rare"),      # 'rare' is OOV at vocab_size=2
+            (2, ""),              # empty text -> one '' token, OOV
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in vocab_encode(df, vocab_size=2).collect()}
+    # vocab: b -> 0 (freq 3), a -> 1 (freq 2); c/rare/'' -> -1
+    assert out[0]["ids"] == [0, 0, 0, 1, 1, -1]
+    assert (out[0]["n_tokens"], out[0]["n_unk"]) == (6, 1)
+    assert out[1]["ids"] == [1, 0, -1]
+    assert (out[1]["n_tokens"], out[1]["n_unk"]) == (3, 1)
+    assert out[2]["ids"] == [-1] and out[2]["n_unk"] == 1
+
+
+def test_vocab_encode_tie_and_order_stability(spark):
+    from data_lakehouse_hygiene_spark.operators.text import vocab_encode
+
+    # equal freqs -> token-asc order decides ids; order survives repartition
+    df = spark.createDataFrame(
+        [(0, "z y x"), (1, "x y z")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["ids"]
+        for r in vocab_encode(df.repartition(7), vocab_size=3).collect()
+    }
+    # vocab by (freq desc, token asc): x->0, y->1, z->2
+    assert out[0] == [2, 1, 0] and out[1] == [0, 1, 2]
