@@ -159,13 +159,15 @@ def _top_level_groups(s: str) -> list[str]:
 # at most k rows (k=100) ever enter the single partition — the guarded
 # class of bug (corpus-sized single-task windows) cannot occur. A
 # dedicated test below asserts the limit really precedes the window.
-_WINDOW_EXEMPT = _PLAN_EXEMPT | {"vocab_topk"}
+_WINDOW_EXEMPT = _PLAN_EXEMPT | {"vocab_topk", "vocab_encode"}
 
 
-def test_vocab_topk_window_input_is_limit_bounded(spark):
-    """The unpartitioned ranking window in vocab_topk must consume the
-    top-k limit's output, never the raw term table."""
-    plan = _plan(spark, "vocab_topk")
+@pytest.mark.parametrize("name", ["vocab_topk", "vocab_encode"])
+def test_vocab_window_input_is_limit_bounded(spark, name):
+    """The unpartitioned ranking/id-assignment window in the vocab
+    operators must consume the top-k limit's output, never the raw term
+    table."""
+    plan = _plan(spark, name)
     assert "TakeOrderedAndProject" in plan, plan
     window_at = plan.find("Window ")
     limit_at = plan.find("TakeOrderedAndProject")
