@@ -4254,6 +4254,59 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift of document length vs the pooled
+    corpus: fixed-width (100-char) histogram Pearson chi-square per
+    source, flagged at 5.0 (chosen so the fixture exercises BOTH flag
+    branches). See ``maintenance.dist_drift`` for the exact-integer
+    summation and the missing-bin telescoping."""
+    from data_lakehouse_hygiene_spark import maintenance
+
+    return maintenance.dist_drift(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", 100.0,
+        threshold=5.0,
+    )
+
+
+SQL_DIST_DRIFT = """
+WITH hist AS (
+  SELECT source AS g, floor(n_chars / 100.0) * 100.0 AS bin,
+         CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+nb AS (SELECT bin, sum(o) AS n_b FROM hist GROUP BY 1),
+ng AS (SELECT g, sum(o) AS n_g FROM hist GROUP BY 1),
+tot AS (SELECT sum(o) AS n_tot FROM hist),
+j AS (
+  SELECT h.g, h.o, nb.n_b, ng.n_g, t.n_tot
+  FROM hist h JOIN nb USING (bin) JOIN ng USING (g) CROSS JOIN tot t),
+per_g AS (
+  SELECT g, n_g, n_tot,
+         sum(CAST(floor(
+           (CAST(o AS DOUBLE)
+              - CAST(n_b AS DOUBLE) * CAST(n_g AS DOUBLE)
+                / CAST(n_tot AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+              - CAST(n_b AS DOUBLE) * CAST(n_g AS DOUBLE)
+                / CAST(n_tot AS DOUBLE))
+           / (CAST(n_b AS DOUBLE) * CAST(n_g AS DOUBLE)
+                / CAST(n_tot AS DOUBLE))
+           * 1000000.0 + 0.5) AS BIGINT)) AS su,
+         sum(n_b) AS nb_seen
+  FROM j GROUP BY 1, 2, 3),
+fin AS (
+  SELECT g, n_g,
+         floor(
+           CAST(su + CAST(floor(
+               CAST(n_g AS DOUBLE)
+               * (1.0 - CAST(nb_seen AS DOUBLE) / CAST(n_tot AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+           / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS chi2
+  FROM per_g)
+SELECT g AS source, CAST(n_g AS BIGINT) AS n, chi2, chi2 > 5.0 AS drifted
+FROM fin ORDER BY source
+"""
+
+
 SQL_VOCAB_ENCODE = """
 WITH tf AS (
   SELECT token, count(*) AS freq FROM (
@@ -4287,6 +4340,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
+    "dist_drift": (q_dist_drift, SQL_DIST_DRIFT),
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),

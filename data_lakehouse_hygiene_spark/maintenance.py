@@ -237,3 +237,100 @@ def partition_skew(df: DataFrame, key: str) -> DataFrame:
             (F.col("n") / F.col("__avg")).alias("skew_ratio"),
         )
     )
+
+
+# Integer-unit scale for the drift statistic's per-bin terms: exact BIGINT
+# summation (order-independent) with chi2 values up to ~9.2e12 before
+# overflow — far above any statistic a real drift check produces.
+DRIFT_UNITS = 1_000_000
+
+
+def dist_drift(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    bin_width: float,
+    threshold: float = 11.07,
+) -> DataFrame:
+    """Per-group distribution drift against the pooled corpus baseline —
+    the data-quality primitive behind "did this source's / this batch's
+    value distribution shift?": a fixed-width histogram Pearson
+    chi-square statistic per group, flagged against ``threshold``.
+
+    For group g and bin b with observed count o_gb, bin total N_b, group
+    total n_g and corpus total N, the expected count under the pooled
+    distribution is e_gb = N_b·n_g/N and
+    chi2_g = Σ_b (o_gb − e_gb)²/e_gb. (Bins the GROUP has no rows in
+    contribute n_g·N_b/N each; those missing-bin terms telescope into
+    n_g·(1 − Σ_{b∈g}N_b/N), computed from the same joined row set — no
+    dense bin×group materialization is ever built.)
+
+    Chi-square instead of PSI/KL BY DESIGN: the information-theoretic
+    forms need libm ``log``, which is not bit-stable across engines (the
+    bigram-LM/Simpson precedent); Pearson's statistic is pure rational
+    arithmetic on exact integer counts. Each per-bin term is one fixed
+    expression over BIGINTs evaluated in IEEE doubles (identical
+    everywhere), floor-quantized to ``DRIFT_UNITS`` integer units, and
+    summed as exact BIGINTs — order-independent, so the result is
+    bit-identical in any engine and under any partitioning.
+
+    Scale shape: ONE corpus-sized map-side-combined hash aggregate to
+    the (group, bin) grain; everything after runs on that value-bounded
+    table (≤ groups×bins rows) — the bin marginal and corpus total are
+    tiny rollups of it that BROADCAST back on. Returns
+    (``group_col``, n, chi2, drifted) ordered by group.
+    """
+    b = (F.floor(F.col(val_col) / F.lit(float(bin_width)))
+         * F.lit(float(bin_width))).alias("__bin")
+    hist = (
+        df.groupBy(F.col(group_col).alias("__g"), b)
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    nb = hist.groupBy("__bin").agg(F.sum("o").alias("n_b"))
+    ng = hist.groupBy("__g").agg(F.sum("o").alias("n_g"))
+    tot = hist.agg(F.sum("o").alias("n_tot"))
+    j = (
+        hist.join(F.broadcast(nb), "__bin")
+        .join(F.broadcast(ng), "__g")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("n_b").cast("double")
+        * F.col("n_g").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    units = F.floor(term * F.lit(float(DRIFT_UNITS)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    # share of the corpus mass sitting in bins THIS group occupies — the
+    # complement feeds the missing-bin telescoped term below
+    per_g = j.groupBy("__g", "n_g", "n_tot").agg(
+        F.sum(units).alias("__su"),
+        F.sum("n_b").alias("__nb_seen"),
+    )
+    miss = (
+        F.col("n_g").cast("double")
+        * (
+            F.lit(1.0)
+            - F.col("__nb_seen").cast("double") / F.col("n_tot").cast("double")
+        )
+    )
+    miss_units = F.floor(
+        miss * F.lit(float(DRIFT_UNITS)) + F.lit(0.5)
+    ).cast("bigint")
+    chi2 = (
+        (F.col("__su") + miss_units).cast("double")
+        / F.lit(float(DRIFT_UNITS))
+    )
+    from .operators.aggregates import quantize
+
+    return (
+        per_g.select(
+            F.col("__g").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n"),
+            quantize(chi2, 6).alias("chi2"),
+            (quantize(chi2, 6) > F.lit(float(threshold))).alias("drifted"),
+        )
+        .orderBy(group_col)
+    )

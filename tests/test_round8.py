@@ -506,3 +506,65 @@ def test_vocab_encode_tie_and_order_stability(spark):
     }
     # vocab by (freq desc, token asc): x->0, y->1, z->2
     assert out[0] == [2, 1, 0] and out[1] == [0, 1, 2]
+
+
+# ------------------------------------------------------------------ dist_drift
+
+
+def test_dist_drift_planted_shift_flags_only_the_shifted_group(spark):
+    from data_lakehouse_hygiene_spark.maintenance import dist_drift
+
+    rows = []
+    # two groups drawn from the same values dominate the pooled baseline
+    for g in ("a", "b"):
+        rows += [(g, float(v)) for v in range(0, 100)]
+    # one SMALL group entirely in a disjoint range: its own fit explodes
+    # while barely perturbing the baseline the big groups are scored on
+    rows += [("shifted", float(v)) for v in range(500, 510)]
+    df = spark.createDataFrame(rows, ["src", "v"])
+    out = {r["src"]: r for r in dist_drift(df, "src", "v", 50.0).collect()}
+    assert out["shifted"]["drifted"] and not out["a"]["drifted"]
+    assert not out["b"]["drifted"]
+    assert out["a"]["chi2"] == out["b"]["chi2"]  # symmetric by construction
+
+
+def test_dist_drift_matches_dense_reference(spark):
+    """The telescoped missing-bin term must equal the dense chi-square
+    computed the textbook way (full group x bin grid)."""
+    from collections import Counter
+
+    from data_lakehouse_hygiene_spark.maintenance import dist_drift
+
+    rows = [
+        ("g1", 1.0), ("g1", 1.5), ("g1", 7.0),
+        ("g2", 4.0), ("g2", 4.5), ("g2", 4.9), ("g2", 12.0),
+        ("g3", 1.2), ("g3", 12.5),
+    ]
+    width = 3.0
+    out = {
+        r["src"]: r["chi2"]
+        for r in dist_drift(
+            spark.createDataFrame(rows, ["src", "v"]), "src", "v", width
+        ).collect()
+    }
+    import math
+
+    binned = [(g, math.floor(v / width) * width) for g, v in rows]
+    obs = Counter(binned)
+    nb = Counter(b for _, b in binned)
+    ng = Counter(g for g, _ in binned)
+    n = len(binned)
+    for g in ng:
+        units = 0
+        for b in nb:
+            e = nb[b] * ng[g] / n
+            o = obs.get((g, b), 0)
+            t = (o - e) * (o - e) / e
+            if o:
+                units += math.floor(t * 1e6 + 0.5)
+        miss = ng[g] * (1 - sum(nb[b] for b in nb if obs.get((g, b), 0)) / n)
+        units += math.floor(miss * 1e6 + 0.5)
+        want = math.floor(units / 1e6 * 1e6 + 0.5) / 1e6
+        # dense-reference parity within one quantization unit per bin
+        # (the engine quantizes occupied-bin terms individually too)
+        assert abs(out[g] - want) <= len(nb) * 1e-6, (g, out[g], want)
