@@ -468,3 +468,123 @@ def test_incremental_line_dedup_replay(spark, batch, hist_lines):
         for r in incremental_line_dedup(new_df, hist_df).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- round-8 additions
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # group
+            st.integers(min_value=0, max_value=40),  # value
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_dist_drift_zero_for_identical_groups_and_python_parity(spark, pairs):
+    """(a) Groups that are exact copies of one another score chi2 == 0
+    (o == e exactly, rational arithmetic). (b) On arbitrary grouped
+    integers, the engine matches a direct Python replay of the declared
+    quantized arithmetic."""
+    from collections import Counter
+
+    from data_lakehouse_hygiene_spark.maintenance import dist_drift
+
+    # (a) identical copies
+    base = [v for _, v in pairs]
+    rows = [("a", float(v)) for v in base] + [("b", float(v)) for v in base]
+    out = dist_drift(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", 10.0
+    ).collect()
+    assert all(r["chi2"] == 0.0 and not r["drifted"] for r in out)
+
+    # (b) python replay on the raw pairs
+    width = 10.0
+    rows2 = [(f"g{g}", float(v)) for g, v in pairs]
+    out2 = {
+        r["g"]: r["chi2"]
+        for r in dist_drift(
+            spark.createDataFrame(rows2, ["g", "v"]), "g", "v", width
+        ).collect()
+    }
+    binned = [(g, math.floor(v / width) * width) for g, v in rows2]
+    obs = Counter(binned)
+    nb = Counter(b for _, b in binned)
+    ng = Counter(g for g, _ in binned)
+    n = len(binned)
+    for g in ng:
+        units = 0
+        seen = 0
+        for b in nb:
+            o = obs.get((g, b), 0)
+            if not o:
+                continue
+            e = float(nb[b]) * float(ng[g]) / float(n)
+            units += math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+            seen += nb[b]
+        miss = float(ng[g]) * (1.0 - float(seen) / float(n))
+        units += math.floor(miss * 1e6 + 0.5)
+        want = math.floor(units / 1e6 * 1e6 + 0.5) / 1e6
+        assert out2[g] == want, (g, out2[g], want)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=4, max_size=4,
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=tuple,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_kcenter_structural_properties(spark, vecs, k):
+    """|selection| = min(k, n); ids distinct; seed = min vec_id with
+    dist 0; radii non-increasing."""
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    rows = [(i, list(map(float, v))) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kcenter_sample(df, k=k).orderBy("sel_rank").collect()
+    assert len(out) == min(k, len(rows))
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    assert out[0]["vec_id"] == 0 and out[0]["dist"] == 0
+    radii = [r["dist"] for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_vocab_encode_coverage_invariants(spark, texts, vsize):
+    """ids length == token count; every id in [-1, V-1]; n_unk counts
+    exactly the ids equal to unk; totals match the raw tokenization."""
+    from data_lakehouse_hygiene_spark.operators.text import vocab_encode
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in vocab_encode(df, vocab_size=vsize).collect()}
+    assert set(out) == {i for i, _ in rows}
+    vocab_n = len({tok for _, t in rows for tok in t.split(" ")})
+    for i, t in rows:
+        toks = t.split(" ")
+        r = out[i]
+        assert len(r["ids"]) == len(toks) == r["n_tokens"]
+        assert all(-1 <= x < min(vsize, vocab_n) for x in r["ids"])
+        assert r["n_unk"] == sum(1 for x in r["ids"] if x == -1)
