@@ -282,9 +282,16 @@ def dist_drift(
     """
     b = (F.floor(F.col(val_col) / F.lit(float(bin_width)))
          * F.lit(float(bin_width))).alias("__bin")
+    # The (group, bin) table is TINY (value-bounded) but has FOUR
+    # consumers whose diverging prunings defeat ReuseExchange — without
+    # the checkpoint each one re-runs the corpus-sized count aggregate
+    # (4 corpus scans; the mixture_weights case from TUNING.md, where a
+    # tiny materialization guards a corpus re-aggregate: measured
+    # 0.94 → 0.77 s at sf0.1, and at 100 TB it is 3 saved corpus reads).
     hist = (
         df.groupBy(F.col(group_col).alias("__g"), b)
         .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
     )
     nb = hist.groupBy("__bin").agg(F.sum("o").alias("n_b"))
     ng = hist.groupBy("__g").agg(F.sum("o").alias("n_g"))
