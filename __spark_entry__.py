@@ -4254,6 +4254,95 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization over the embeddings table (m=4 subspaces,
+    k=8 codes, 1 Lloyd iteration): per-subspace deterministic integer
+    k-means codebooks, every vector encoded as its 4 nearest-centroid
+    ids plus the exact integer quantization error. See
+    ``similarity.pq_encode``."""
+    return similarity.pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_pq(m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64) -> str:
+    """DuckDB replay of the product quantizer: per subspace, the same
+    id-ordered init / exact-integer assignment / floor(sum/count)
+    update chain as ``_sql_kmeans``, then the m per-subspace assignments
+    join on vec_id into the code array. All list_sums CAST back to
+    BIGINT (the r06 HUGEINT→float64 dtype lesson)."""
+    s_ = similarity.KMEANS_SCALE
+    sub = dim // m
+    dist = (
+        "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
+        " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    parts = [
+        "qall AS (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {s_}.0 + 0.5) AS BIGINT))"
+        " AS qv FROM embeddings)"
+    ]
+    finals = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"q{s} AS (SELECT vec_id, list_slice(qv, {lo}, {hi}) AS qv"
+            " FROM qall)"
+        )
+        parts.append(
+            f"c{s}x0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)"
+            " AS INT) - 1 AS cluster, qv AS cv FROM"
+            f" (SELECT vec_id, qv FROM q{s} ORDER BY vec_id LIMIT {k}) t)"
+        )
+        prev = f"c{s}x0"
+        for it in range(n_iter):
+            parts.append(
+                f"a{s}x{it} AS (\n  SELECT * FROM (\n"
+                f"    SELECT v.vec_id, v.qv, c.cluster, {dist} AS dist\n"
+                f"    FROM q{s} v, {prev} c) z\n"
+                "  QUALIFY row_number() OVER (PARTITION BY vec_id"
+                " ORDER BY dist, cluster) = 1)"
+            )
+            parts.append(
+                f"s{s}x{it} AS (\n  SELECT cluster, g.i AS pos,"
+                " sum(qv[g.i]) AS s, count(*) AS c\n"
+                f"  FROM a{s}x{it}, LATERAL (SELECT"
+                " unnest(range(1, len(qv) + 1)) AS i) g\n"
+                "  GROUP BY cluster, g.i)"
+            )
+            parts.append(
+                f"u{s}x{it} AS (\n  SELECT cluster,"
+                " list(CAST(floor(CAST(s AS DOUBLE) / c) AS BIGINT)"
+                " ORDER BY pos) AS cv\n"
+                f"  FROM s{s}x{it} GROUP BY cluster)"
+            )
+            parts.append(
+                f"c{s}x{it + 1} AS (\n  SELECT p.cluster,"
+                " coalesce(u.cv, p.cv) AS cv\n"
+                f"  FROM {prev} p LEFT JOIN u{s}x{it} u USING (cluster))"
+            )
+            prev = f"c{s}x{it + 1}"
+        parts.append(
+            f"f{s} AS (\n  SELECT vec_id, cluster AS code, dist FROM (\n"
+            f"    SELECT v.vec_id, c.cluster, {dist} AS dist\n"
+            f"    FROM q{s} v, {prev} c) z\n"
+            "  QUALIFY row_number() OVER (PARTITION BY vec_id"
+            " ORDER BY dist, cluster) = 1)"
+        )
+        finals.append(f"f{s}")
+    joins = finals[0]
+    for f in finals[1:]:
+        joins += f" JOIN {f} USING (vec_id)"
+    code_list = ", ".join(f"{f}.code" for f in finals)
+    err_sum = " + ".join(f"{f}.dist" for f in finals)
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT vec_id, [{code_list}] AS codes,"
+        f" CAST({err_sum} AS BIGINT) AS err\nFROM {joins}"
+    )
+
+
+SQL_PQ_ENCODE = _sql_pq()
+
+
 def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift of document length vs the pooled
     corpus: fixed-width (100-char) histogram Pearson chi-square per
@@ -4341,6 +4430,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "dist_drift": (q_dist_drift, SQL_DIST_DRIFT),
+    "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),

@@ -568,3 +568,45 @@ def test_dist_drift_matches_dense_reference(spark):
         # dense-reference parity within one quantization unit per bin
         # (the engine quantizes occupied-bin terms individually too)
         assert abs(out[g] - want) <= len(nb) * 1e-6, (g, out[g], want)
+
+
+# ------------------------------------------------------------------- pq_encode
+
+
+def test_pq_encode_planted_codebook_geometry(spark):
+    """k vectors seed the codebooks (id-ordered init); with n_iter=1 and
+    well-separated clusters, copies of a seed encode to its code with
+    zero error in every subspace."""
+    from data_lakehouse_hygiene_spark.operators.similarity import pq_encode
+
+    def vec(seed):
+        return [float(seed)] * 8  # constant vector: same in all subspaces
+
+    rows = [(i, vec(10 * i)) for i in range(4)]          # 4 seeds
+    rows += [(100 + i, vec(10 * i)) for i in range(4)]   # exact copies
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in pq_encode(df, m=2, k=4).collect()}
+    for i in range(4):
+        assert out[i]["codes"] == [i, i] and out[i]["err"] == 0
+        assert out[100 + i]["codes"] == [i, i] and out[100 + i]["err"] == 0
+
+
+def test_pq_encode_dim_guard_and_empty(spark):
+    from data_lakehouse_hygiene_spark.operators.similarity import pq_encode
+
+    bad = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="subspaces"):
+        pq_encode(bad, m=2)
+    empty = bad.where("vec_id < 0")
+    assert pq_encode(empty, m=2).count() == 0
+
+
+def test_pq_encode_partition_invariant(spark):
+    from data_lakehouse_hygiene_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(tuple((r["vec_id"], tuple(r["codes"]), r["err"]))
+               for r in pq_encode(emb).collect())
+    b = sorted(tuple((r["vec_id"], tuple(r["codes"]), r["err"]))
+               for r in pq_encode(emb.repartition(11, "vec_id")).collect())
+    assert a == b and len(a) > 0
