@@ -4263,12 +4263,17 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(_t(spark, sf_dir, "embeddings"))
 
 
-def _sql_pq(m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64) -> str:
+def _sql_pq(
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64,
+    ann_topk: int = 0,
+) -> str:
     """DuckDB replay of the product quantizer: per subspace, the same
     id-ordered init / exact-integer assignment / floor(sum/count)
     update chain as ``_sql_kmeans``, then the m per-subspace assignments
     join on vec_id into the code array. All list_sums CAST back to
-    BIGINT (the r06 HUGEINT→float64 dtype lesson)."""
+    BIGINT (the r06 HUGEINT→float64 dtype lesson). ``ann_topk>0``
+    instead emits the ADC search replay (``pq_ann``): per-query lookup
+    tables × code joins × per-query ranking."""
     s_ = similarity.KMEANS_SCALE
     sub = dim // m
     dist = (
@@ -4333,14 +4338,55 @@ def _sql_pq(m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64) -> str:
         joins += f" JOIN {f} USING (vec_id)"
     code_list = ", ".join(f"{f}.code" for f in finals)
     err_sum = " + ".join(f"{f}.dist" for f in finals)
+    if not ann_topk:
+        return (
+            "WITH " + ",\n".join(parts) + "\n"
+            f"SELECT vec_id, [{code_list}] AS codes,"
+            f" CAST({err_sum} AS BIGINT) AS err\nFROM {joins}"
+        )
+    # ADC search replay: per-query / per-subspace lookup tables against
+    # the FINAL centroids, summed via the per-vector codes, ranked.
+    parts.append(
+        "qq AS (SELECT vec_id AS query_id, qv FROM qall WHERE vec_id < 3)"
+    )
+    tbls = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"t{s} AS (\n  SELECT v.query_id, c.cluster, {dist} AS d\n"
+            f"  FROM (SELECT query_id, list_slice(qv, {lo}, {hi}) AS qv"
+            f" FROM qq) v, c{s}x{n_iter} c)"
+        )
+        tbls.append(f"t{s}")
+    tjoin = f"JOIN t0 ON t0.cluster = f0.code"
+    for s in range(1, m):
+        tjoin += (
+            f"\n  JOIN t{s} ON t{s}.query_id = t0.query_id"
+            f" AND t{s}.cluster = f{s}.code"
+        )
+    adc = " + ".join(f"t{s}.d" for s in range(m))
     return (
         "WITH " + ",\n".join(parts) + "\n"
-        f"SELECT vec_id, [{code_list}] AS codes,"
-        f" CAST({err_sum} AS BIGINT) AS err\nFROM {joins}"
+        "SELECT query_id, vec_id, adc, CAST(rn AS INT) AS rank FROM (\n"
+        f"  SELECT t0.query_id, f0.vec_id, CAST({adc} AS BIGINT) AS adc,\n"
+        "         row_number() OVER (PARTITION BY t0.query_id"
+        f" ORDER BY {adc}, f0.vec_id) AS rn\n"
+        f"  FROM {joins}\n  {tjoin}\n"
+        "  WHERE f0.vec_id <> t0.query_id) z\n"
+        f"WHERE rn <= {ann_topk}"
     )
 
 
 SQL_PQ_ENCODE = _sql_pq()
+SQL_PQ_ANN = _sql_pq(ann_topk=5)
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC approximate nearest neighbors over the PQ codes (queries =
+    vec_id < 3, top-5): per-query integer lookup tables against the
+    per-subspace codebooks, summed via each vector's m code ids — the
+    search half of IVF+PQ. See ``similarity.pq_ann``."""
+    return similarity.pq_ann(_t(spark, sf_dir, "embeddings"))
 
 
 def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4431,6 +4477,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "dist_drift": (q_dist_drift, SQL_DIST_DRIFT),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
+    "pq_ann": (q_pq_ann, SQL_PQ_ANN),
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),

@@ -1224,3 +1224,97 @@ def pq_encode(
         F.array(*codes).alias("codes"),
         err.cast("bigint").alias("err"),
     )
+
+def pq_ann(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iter: int = 1,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) approximate nearest
+    neighbors over PQ codes — the search half of IVF+PQ: queries score
+    every vector as the SUM of per-subspace lookup-table entries
+    table[s][code] = exact integer distance(query_subvector,
+    codebook_centroid), so the corpus side touches only its m small
+    code ids, never the raw vectors. This is the memory shape that
+    searches a 100 TB corpus from RAM: per vector m bytes of codes
+    instead of 4·dim bytes of floats.
+
+    Deterministic end-to-end: codebooks and codes come from the
+    integer-kmeans PQ fit (``pq_encode``), the per-query tables are
+    exact integer distances computed once on the driver (m·k·n_queries
+    small ints — bounded), and they ship as literal arrays so the
+    scoring pass is ONE scan-shaped projection over the code table —
+    no joins, no shuffle except the per-query top-k window (partitioned
+    by query, k-bounded). Ties rank by lowest vec_id. The SQL oracle
+    replays fit, encode, tables, and ranking exactly.
+
+    Returns (query_id, vec_id, adc, rank): adc = the integer
+    approximate squared distance (KMEANS_SCALE² units), rank 1..k per
+    query, self-matches excluded.
+    """
+    from pyspark.sql.window import Window
+
+    from .cleaning import spread
+
+    if query_pred is None:
+        query_pred = F.col("vec_id") < 3
+    q = spread(df, key="vec_id").select(
+        "vec_id", _kq(F.col(vec_col)).alias("qv")
+    )
+    first = q.select(F.size("qv").alias("d")).limit(1).collect()
+    out_schema = "query_id bigint, vec_id bigint, adc bigint, rank int"
+    if not first:
+        return df.sparkSession.createDataFrame([], out_schema)
+    dim = first[0]["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        qs = q.select("vec_id", F.slice("qv", s * sub + 1, sub).alias("qv"))
+        books.append(_kmeans_fit(qs, n_codes, n_iter))
+    codes = pq_encode(df, vec_col, m=m, k=n_codes, n_iter=n_iter).select(
+        "vec_id", "codes"
+    )
+    queries = (
+        q.where(query_pred).select("vec_id", "qv").orderBy("vec_id").collect()
+    )
+    if not queries:
+        return df.sparkSession.createDataFrame([], out_schema)
+    # per-query ADC lookup tables, exact integer arithmetic on the driver
+    # (n_queries · m · n_codes small ints — bounded driver work)
+    structs = []
+    for row in queries:
+        qid, qv = row["vec_id"], list(row["qv"])
+        adc = None
+        for s, cents in enumerate(books):
+            qs = qv[s * sub:(s + 1) * sub]
+            tbl = [
+                sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in cents
+            ]
+            lookup = F.element_at(
+                F.array(*[F.lit(int(t)).cast("bigint") for t in tbl]),
+                F.col("codes")[s] + F.lit(1),
+            )
+            adc = lookup if adc is None else adc + lookup
+        structs.append(
+            F.struct(
+                F.lit(int(qid)).cast("bigint").alias("query_id"),
+                adc.cast("bigint").alias("adc"),
+            )
+        )
+    scored = (
+        codes.select("vec_id", F.explode(F.array(*structs)).alias("p"))
+        .select(F.col("p.query_id"), "vec_id", F.col("p.adc"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc", "rank")
+    )

@@ -610,3 +610,48 @@ def test_pq_encode_partition_invariant(spark):
     b = sorted(tuple((r["vec_id"], tuple(r["codes"]), r["err"]))
                for r in pq_encode(emb.repartition(11, "vec_id")).collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------- pq_ann
+
+
+def test_pq_ann_planted_copy_ranks_first_with_zero_adc(spark):
+    from data_lakehouse_hygiene_spark.operators.similarity import pq_ann
+
+    def vec(seed):
+        return [float(seed)] * 8
+
+    rows = [(i, vec(10 * i)) for i in range(4)]          # codebook seeds
+    rows += [(100 + i, vec(10 * i)) for i in range(4)]   # exact copies
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = pq_ann(df, query_pred=F.col("vec_id") < 2, k=3, m=2, n_codes=4)
+    rows_out = out.collect()
+    by_q = {}
+    for r in rows_out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in (0, 1):
+        top = sorted(by_q[qid], key=lambda r: r["rank"])
+        # the exact copy of the query encodes to the query's own nearest
+        # codes -> ADC 0, rank 1
+        assert top[0]["vec_id"] == 100 + qid and top[0]["adc"] == 0
+        adcs = [r["adc"] for r in top]
+        assert adcs == sorted(adcs)
+
+
+def test_pq_ann_structural_invariants(spark):
+    from data_lakehouse_hygiene_spark.operators.similarity import pq_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_ann(emb).collect()
+    by_q = {}
+    for r in out:
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc"]))
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        assert [a for _, a in rs] == sorted(a for _, a in rs)
+    # deterministic under physical layout
+    out2 = pq_ann(emb.repartition(9, "vec_id")).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

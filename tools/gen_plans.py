@@ -30,7 +30,7 @@ SKIP = {"streaming_time_bucket", "streaming_sliding_window",
         # driver-looped iterative fixpoint — the printed plan would only
         # show the final round's join, not the algorithm
         "dedup_clusters", "dedup_keep_best",
-        "kmeans_assign", "kcenter_sample", "pq_encode",
+        "kmeans_assign", "kcenter_sample", "pq_encode", "pq_ann",
         "streaming_join", "streaming_enrich"}  # streaming plans finalize per micro-batch
 
 
