@@ -3037,6 +3037,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.lsh_ann(emb).select(
             F.lit("lsh").alias("method"), "query_id", "vec_id"
         )
+    ).unionByName(
+        similarity.pq_ann(emb).select(
+            F.lit("pq").alias("method"), "query_id", "vec_id"
+        )
     )
     rec = (
         ann.join(F.broadcast(truth), ["query_id", "vec_id"], "left")
@@ -3091,22 +3095,9 @@ GROUP BY vec_id
 """
 
 
-SQL_ANN_RECALL = f"""
-WITH truth AS (
-  SELECT query_id, vec_id FROM ({SQL_COSINE_TOPK}) t WHERE rank <= 5),
-ann AS (
-  SELECT 'ivf' AS method, query_id, vec_id FROM ({SQL_IVF_ANN}) i
-  UNION ALL
-  SELECT 'lsh' AS method, query_id, vec_id FROM ({SQL_LSH_ANN}) l)
-SELECT a.method, a.query_id,
-       CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_hits,
-       floor(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-             / 5.0 * 1000000.0 + 0.5) / 1000000.0 AS recall_at_5
-FROM ann a LEFT JOIN truth t
-  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
-GROUP BY a.method, a.query_id
-"""
+# SQL_ANN_RECALL is defined AFTER the PQ section below — its third arm
+# composes SQL_PQ_ANN, which does not exist yet at this point in the
+# module's top-to-bottom execution.
 
 
 # ---------------------------------------------------------------------------
@@ -4387,6 +4378,26 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace codebooks, summed via each vector's m code ids — the
     search half of IVF+PQ. See ``similarity.pq_ann``."""
     return similarity.pq_ann(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_ANN_RECALL = f"""
+WITH truth AS (
+  SELECT query_id, vec_id FROM ({SQL_COSINE_TOPK}) t WHERE rank <= 5),
+ann AS (
+  SELECT 'ivf' AS method, query_id, vec_id FROM ({SQL_IVF_ANN}) i
+  UNION ALL
+  SELECT 'lsh' AS method, query_id, vec_id FROM ({SQL_LSH_ANN}) l
+  UNION ALL
+  SELECT 'pq' AS method, query_id, vec_id FROM ({SQL_PQ_ANN}) p)
+SELECT a.method, a.query_id,
+       CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       floor(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / 5.0 * 1000000.0 + 0.5) / 1000000.0 AS recall_at_5
+FROM ann a LEFT JOIN truth t
+  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+GROUP BY a.method, a.query_id
+"""
 
 
 def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -364,8 +364,13 @@ def test_ann_recall_deterministic_and_pinned(spark):
         (r["method"], r["query_id"]): (r["n_hits"], r["recall_at_5"])
         for r in entrymod.queries()["ann_recall"](spark, SF_ORACLE).collect()
     }
-    assert len(rows) == 6  # 2 methods x 3 query vectors
-    assert sum(h for h, _ in rows.values()) == 3  # ivf 2 + lsh 1
+    assert len(rows) == 9  # 3 methods x 3 query vectors
+    by_method = {}
+    for (meth, _), (h, _) in rows.items():
+        by_method[meth] = by_method.get(meth, 0) + h
+    # pq out-recalls the bucketed paths here: ADC scans every code, so
+    # only quantization (not bucketing) loses neighbors
+    assert by_method == {"ivf": 2, "lsh": 1, "pq": 4}
     for (_, _), (h, rec) in rows.items():
         assert rec == h / 5.0
 
