@@ -655,3 +655,97 @@ def test_pq_ann_structural_invariants(spark):
     # deterministic under physical layout
     out2 = pq_ann(emb.repartition(9, "vec_id")).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_interval_join_stream_across_micro_batches(spark, tmp_path):
+    """Cross-batch state: a time-ordered two-file replay (one file per
+    micro-batch via maxFilesPerTrigger=1) must still reproduce the batch
+    interval join — clicks buffered in batch 1 match purchases arriving
+    in batch 2, and watermark eviction only drops rows that could no
+    longer match anyway."""
+    from data_lakehouse_hygiene_spark import streaming
+    from .conftest import SF_ORACLE
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    # split at the click timestamp of a real attribution pair with a
+    # strictly positive lag, so that pair's click lands in batch 1 and
+    # its purchase in batch 2 — the cross-batch claim cannot be vacuous
+    cc = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts"))
+    pp = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("pts"))
+    pair = (
+        cc.join(pp, (F.col("u") == F.col("u2"))
+                & (F.col("cts") < F.col("pts"))
+                & (F.col("cts") >= F.expr("pts - INTERVAL 1 HOUR")))
+        .orderBy("cts").limit(1).collect()
+    )
+    assert pair, "fixture has no positive-lag attribution pair"
+    split = pair[0]["cts"]
+    d = str(tmp_path / "ev")
+    ev.where(F.col("ts") <= F.lit(split)).coalesce(1).write.parquet(f"{d}/f1")
+    ev.where(F.col("ts") > F.lit(split)).coalesce(1).write.parquet(f"{d}/f2")
+    import glob
+    import shutil
+
+    files = sorted(glob.glob(f"{d}/f1/part-*.parquet")) + sorted(
+        glob.glob(f"{d}/f2/part-*.parquet")
+    )
+    stream_dir = str(tmp_path / "feed")
+    import os
+
+    os.makedirs(stream_dir)
+    # file mtimes give the source its processing order: f1 then f2
+    for i, f in enumerate(files):
+        dst = f"{stream_dir}/{i:02d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    j = streaming.interval_join_stream(
+        src.where(F.col("event_type") == "click"),
+        src.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+    got = sorted(
+        tuple(r)
+        for r in streaming.run_to_memory(j, output_mode="append").collect()
+    )
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").cast("timestamp").alias("cts"))
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("ts").cast("timestamp").alias("pts"))
+    want = sorted(
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.expr("pts - INTERVAL 1 HOUR")),
+        ).select(
+            "cu", "cid", "pid",
+            (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # the claim is only non-vacuous if some pair actually straddles the
+    # file boundary (click in batch 1, purchase in batch 2)
+    straddling = (
+        c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.expr("pts - INTERVAL 1 HOUR")),
+        )
+        .where(
+            (F.col("cts") <= F.lit(split).cast("timestamp"))
+            & (F.col("pts") > F.lit(split).cast("timestamp"))
+        )
+        .count()
+    )
+    assert straddling > 0, "split produced no cross-batch pairs"
