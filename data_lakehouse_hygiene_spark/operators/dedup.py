@@ -431,7 +431,8 @@ def contamination_check(
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Dedup CLUSTERS from a near-dup pair graph: every document that
     appears in ≥1 pair gets ``cluster_id`` = the smallest doc_id reachable
@@ -439,20 +440,33 @@ def connected_components(
 
     Production dedup needs this step — pairwise output alone double-counts
     (A~B, B~C must collapse to one keeper, even when A~C was never
-    emitted). Iterative min-label propagation: each round, every node takes
-    the min of its own label and its neighbors' labels; fixpoint after
-    ``diameter`` rounds (near-dup clusters are shallow — planted chains
-    here converge in ≤3). Each round materializes via ``localCheckpoint``
-    to truncate lineage (else the plan doubles per iteration); the
-    convergence check is one count per round. At web scale, switch to the
-    alternating large-star/small-star formulation (Kiveris et al.,
-    "Connected Components in MapReduce", SoCC'14) for O(log n) rounds —
-    same join shape per round.
+    emitted). Two algorithms, property-tested equal:
+
+    - ``"propagate"`` (default): iterative min-label propagation — each
+      round every node takes the min of its own and its neighbors'
+      labels; fixpoint after ``diameter`` rounds. Right for near-dup
+      graphs, whose clusters are shallow (planted chains here converge
+      in ≤3 rounds).
+    - ``"star"``: the alternating large-star/small-star formulation
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14) — each round hooks every node to the minimum of its
+      neighborhood, which HALVES long paths instead of shortening them
+      by one: O(log n) rounds on any diameter, the web-scale choice
+      when components can be deep (URL graphs, co-citation). Same join
+      shape per round (edge ⋈ per-node min), one extra exceptAll for
+      the convergence check.
+
+    Each round materializes via ``localCheckpoint`` to truncate lineage
+    (else the plan doubles per iteration).
 
     The declared query's oracle computes the identical fixpoint as a
     DuckDB recursive CTE (transitive closure + min per node) — exact
-    parity for a genuinely iterative algorithm.
+    parity for a genuinely iterative algorithm, whichever plan ran.
     """
+    if algorithm == "star":
+        return _connected_components_star(pairs, a, b, max_iter)
+    if algorithm != "propagate":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     edges = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -492,6 +506,90 @@ def connected_components(
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def _connected_components_star(
+    pairs: DataFrame, a: str, b: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star rounds to a star-graph fixpoint
+    (each component collapses to edges pointing at its minimum node).
+
+    Per round, both phases are the SAME bounded shape: a per-node MIN
+    aggregate joined back onto the edge list — no neighbor lists are
+    ever collected, so a hub of any degree costs one partial-aggregated
+    min, not a collect_list. large-star hooks every bigger-than-u
+    neighbor to min(Γ(u) ∪ {u}); small-star re-hooks the smaller ones;
+    paths halve every round (O(log n) rounds at any diameter).
+    Convergence = edge set unchanged (two exceptAll counts on the
+    checkpointed frames — exact, and at fixpoint both are empty)."""
+    e0 = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    # directed big -> small, deduped: the invariant both phases preserve
+    edges = (
+        e0.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select("u")
+        .union(e0.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # ---- large-star: for every node u, m = min(neighbors ∪ {u});
+        # every neighbor v > u re-hooks to m
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: edges now run big -> small; for each u,
+        # m = min of its smaller neighbors; every smaller neighbor and u
+        # itself hook to m
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(m2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(edges).count() + edges.exceptAll(small).count()
+        )
+        edges = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(star): no fixpoint after {max_iter} "
+            f"rounds ({changed} edge diffs); raise max_iter"
+        )
+    # star fixpoint: every non-center points at its component minimum;
+    # centers have no outgoing edge and label themselves
+    lbl = edges.groupBy("u").agg(F.min("v").alias("lbl"))
+    return (
+        nodes.join(lbl, nodes["node"] == lbl["u"], "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("lbl", "node").alias("cluster_id"),
+        )
     )
 
 

@@ -588,3 +588,30 @@ def test_vocab_encode_coverage_invariants(spark, texts, vsize):
         assert len(r["ids"]) == len(toks) == r["n_tokens"]
         assert all(-1 <= x < min(vsize, vocab_n) for x in r["ids"])
         assert r["n_unk"] == sum(1 for x in r["ids"] if x == -1)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_star_equals_propagate(spark, raw_edges):
+    """The O(log n)-round large-star/small-star plan must label every
+    node identically to min-label propagation on arbitrary graphs."""
+    from data_lakehouse_hygiene_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in raw_edges if a != b] or [(0, 1)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    a = sorted(tuple(r) for r in connected_components(df).collect())
+    b = sorted(
+        tuple(r) for r in connected_components(df, algorithm="star").collect()
+    )
+    assert a == b and len(a) > 0

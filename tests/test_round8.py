@@ -749,3 +749,24 @@ def test_interval_join_stream_across_micro_batches(spark, tmp_path):
         .count()
     )
     assert straddling > 0, "split produced no cross-batch pairs"
+
+
+# --------------------------------------------- star connected components
+
+
+def test_star_components_deep_chain_within_log_rounds(spark):
+    """A 64-node path (diameter 63) must resolve under the star plan in
+    far fewer rounds than its diameter — max_iter=10 > log2(64) passes,
+    where min-label propagation at the same budget cannot finish."""
+    from data_lakehouse_hygiene_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["doc_a", "doc_b"]
+    )
+    out = connected_components(chain, max_iter=10, algorithm="star").collect()
+    assert len(out) == 64
+    assert all(r["cluster_id"] == 0 for r in out)
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iter=10).collect()
