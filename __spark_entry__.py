@@ -1145,6 +1145,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME component fixpoint computed by the O(log n)-round
+    large-star/small-star plan (Kiveris SoCC'14) — declared separately
+    so the driver hash-certifies the web-scale deep-component path, not
+    just the shallow-graph propagation plan. Shares the recursive-CTE
+    oracle: the answer is algorithm-independent."""
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return dedup.connected_components(pairs, algorithm="star")
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD}) t),
@@ -4488,6 +4498,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "dist_drift": (q_dist_drift, SQL_DIST_DRIFT),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
+    "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "pq_ann": (q_pq_ann, SQL_PQ_ANN),
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),

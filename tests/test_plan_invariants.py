@@ -114,6 +114,7 @@ _PLAN_EXEMPT = {
     # the bounded per-iteration collect jobs; the printed plan would only
     # show the final assignment pass
     "dedup_clusters",
+    "dedup_clusters_star",
     "kmeans_assign",
 }
 
