@@ -598,6 +598,7 @@ def dedup_keep_best(
     pairs: DataFrame,
     quality_col: str = "n_chars",
     max_iter: int = 50,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """End-to-end dedup DECISIONS: pair graph → connected components →
     one keeper per cluster, everything else marked for drop. Pairwise
@@ -613,7 +614,7 @@ def dedup_keep_best(
     documents that appear in ≥1 pair enter the join (near-dup clusters are
     a small fraction of any real corpus, so the labeled side is sparse).
     """
-    cc = connected_components(pairs, max_iter=max_iter)
+    cc = connected_components(pairs, max_iter=max_iter, algorithm=algorithm)
     labeled = cc.join(df.select("doc_id", quality_col), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc(quality_col), F.asc("doc_id")

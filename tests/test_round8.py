@@ -770,3 +770,20 @@ def test_star_components_deep_chain_within_log_rounds(spark):
     assert all(r["cluster_id"] == 0 for r in out)
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(chain, max_iter=10).collect()
+
+
+def test_dedup_keep_best_star_equals_propagate(spark):
+    from data_lakehouse_hygiene_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i % 3)) for i in range(8)], ["doc_id", "n_chars"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (5, 6), (6, 7)], ["doc_a", "doc_b"]
+    )
+    a = sorted(tuple(r) for r in dedup_keep_best(docs, pairs).collect())
+    b = sorted(
+        tuple(r)
+        for r in dedup_keep_best(docs, pairs, algorithm="star").collect()
+    )
+    assert a == b and len(a) == 7  # doc 3 is pair-free, never labeled
