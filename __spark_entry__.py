@@ -4491,7 +4491,10 @@ FROM enc GROUP BY doc_id
 
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- NEW this round (r08): robust statistics + corpus text analytics ----
+    # -- NEW this round (r08): k-center / PQ+ADC similarity, stream-stream
+    # -- and stream-static joins, tokenize-and-encode, chi-square drift,
+    # -- the star components plan, robust statistics, corpus text
+    # -- analytics — first official driver check for all of these --------
     "kcenter_sample": (q_kcenter_sample, SQL_KCENTER_SAMPLE),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
