@@ -4410,6 +4410,31 @@ GROUP BY a.method, a.query_id
 """
 
 
+def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour per-user rolling count/sum/avg over the event
+    stream — the sliding moving-average frame (RANGE over exact integer
+    microseconds, DECIMAL windowed sum). See ``temporal.rolling_agg``."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    return temporal.rolling_agg(
+        _t(spark, sf_dir, "events"), window_s=86_400
+    )
+
+
+SQL_ROLLING_AGG = """
+SELECT event_id, user_id, ts, value,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2))
+         AS sum_window,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS avg_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift of document length vs the pooled
     corpus: fixed-width (100-char) histogram Pearson chi-square per
@@ -4502,6 +4527,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dist_drift": (q_dist_drift, SQL_DIST_DRIFT),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
+    "rolling_agg": (q_rolling_agg, SQL_ROLLING_AGG),
     "pq_ann": (q_pq_ann, SQL_PQ_ANN),
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),

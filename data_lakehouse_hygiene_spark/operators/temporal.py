@@ -337,3 +337,55 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def rolling_agg(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Trailing time-RANGE rolling aggregate per key — the moving-average
+    shape (each event annotated with the count/sum/avg of the same key's
+    events in the preceding ``window_s`` seconds, inclusive of itself).
+    Distinct from the tumbling ``time_bucket_agg`` (fixed buckets) and
+    the cumulative ``running_total`` (unbounded frame): the frame here
+    SLIDES with every row.
+
+    Engine-exact arithmetic: the frame is a ``rangeBetween`` over exact
+    integer microseconds (never a row frame — ties in ``ts`` must all
+    enter the frame together for the result to be partitioning- and
+    sort-stable), the windowed sum runs over DECIMAL(18,2) casts (exact,
+    order-independent — a double sliding sum accumulates differently
+    than a recomputed one), and the average divides the exact pair and
+    floor-quantizes.
+
+    Scale shape: ONE hash exchange on the key; each key's partition
+    sorts locally for the range frame. Skewed keys serialize per key —
+    the same caveat every per-key ordered operator here carries
+    (sessionize, running_total); salt hot keys upstream if one key is a
+    material fraction of the corpus.
+    """
+    from .aggregates import quantize
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(us)
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    dec = F.col(val_col).cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(dec).over(w)
+    return df.select(
+        "event_id",
+        key,
+        F.col(ts_col),
+        F.col(val_col),
+        n.cast("bigint").alias("n_window"),
+        s.cast("decimal(38,2)").alias("sum_window"),
+        quantize(
+            s.cast("double") / n.cast("double"), 6
+        ).alias("avg_window"),
+    )

@@ -787,3 +787,52 @@ def test_dedup_keep_best_star_equals_propagate(spark):
         for r in dedup_keep_best(docs, pairs, algorithm="star").collect()
     )
     assert a == b and len(a) == 7  # doc 3 is pair-free, never labeled
+
+
+# ----------------------------------------------------------------- rolling_agg
+
+
+def test_rolling_agg_planted_frames(spark):
+    """Hand-checkable trailing window: events at minute offsets 0, 30,
+    90 for one user with a 1-hour window — the third event's frame drops
+    the first (gap 90 min) but keeps the second (gap 60 min, inclusive
+    bound)."""
+    from decimal import Decimal
+
+    from data_lakehouse_hygiene_spark.operators.temporal import rolling_agg
+
+    base = "2024-01-01 00:"
+    rows = [
+        (1, 7, f"{base}00:00", 10.0),
+        (2, 7, f"{base}30:00", 20.0),
+        (3, 7, f"2024-01-01 01:30:00", 40.0),
+        (4, 8, f"{base}10:00", 5.0),  # other key: frames never mix
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r for r in rolling_agg(df, window_s=3600).collect()}
+    assert (out[1]["n_window"], out[1]["sum_window"]) == (1, Decimal("10.00"))
+    assert (out[2]["n_window"], out[2]["sum_window"]) == (2, Decimal("30.00"))
+    # 01:30 frame = [00:30, 01:30]: event 1 (00:00) is out, event 2 in
+    assert (out[3]["n_window"], out[3]["sum_window"]) == (2, Decimal("60.00"))
+    assert out[3]["avg_window"] == 30.0
+    assert (out[4]["n_window"], out[4]["sum_window"]) == (1, Decimal("5.00"))
+
+
+def test_rolling_agg_tie_timestamps_share_frames(spark):
+    """RANGE (not ROWS) frame: same-timestamp events must see each other
+    regardless of physical order — repartition cannot change results."""
+    from data_lakehouse_hygiene_spark.operators.temporal import rolling_agg
+
+    rows = [
+        (i, 1, "2024-01-01 00:00:00", float(i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    a = sorted(tuple(r) for r in rolling_agg(df).collect())
+    b = sorted(tuple(r) for r in rolling_agg(df.repartition(5)).collect())
+    assert a == b
+    # every tied row sees all four
+    assert all(r[4] == 4 for r in a)
