@@ -956,6 +956,11 @@ def boilerplate_ngrams(
     )
 
 
+# Above this vocabulary size the in-row map-literal encode would bloat
+# the plan / codegen; the broadcast-join + reassembly plan takes over.
+VOCAB_INLINE_MAX = 4096
+
+
 def vocab_encode(
     df: DataFrame,
     text_col: str = "text",
@@ -972,15 +977,29 @@ def vocab_encode(
     preserves token order, and the OOV count is the coverage diagnostic
     a tokenizer budget is tuned against.
 
-    Scale shape: one explode feeds the term-grain aggregate
-    (vocabulary-bounded output), the top-V cut is TakeOrderedAndProject
-    (never a full sort — only ≤ V survivors pass the single-partition
-    id-assignment window), and the finished vocab BROADCASTS onto the
-    positional token stream (ship-the-model — the corpus never
-    shuffles to meet the vocab). The only corpus-sized shuffle is the
-    final per-document reassembly groupBy; order is restored by
-    ``array_sort`` over (pos, id) structs, not by any cross-partition
-    ordering assumption (collect_list order is undefined by contract).
+    Scale shape — TWO value-identical encode plans (tested equal),
+    gated on ``vocab_size``:
+
+    - ``vocab_size ≤ VOCAB_INLINE_MAX``: the finished vocab (≤ V rows,
+      bounded driver traffic by the caller's own parameter) ships as a
+      MAP LITERAL in the plan and the encode is a pure in-row
+      ``transform`` over the token array — ZERO corpus shuffles, no
+      explode, no reassembly; scan speed at any corpus size. The sf10
+      rehearsal measured WHY: the join+reassembly plan paid 19.4 s at
+      500k docs, entirely in the corpus-sized (pos, id) regroup; the
+      in-row plan deletes that exchange.
+    - larger vocabularies (map literals would bloat the plan/codegen):
+      the vocab BROADCASTS onto the positional token stream
+      (ship-the-model — the corpus never shuffles to meet the vocab)
+      and the one corpus-sized shuffle is the per-document reassembly
+      groupBy; order is restored by ``array_sort`` over (pos, id)
+      structs, not by any cross-partition ordering assumption
+      (collect_list order is undefined by contract).
+
+    Both plans build the vocab the same way: one explode feeds the
+    term-grain aggregate (vocabulary-bounded output), the top-V cut is
+    TakeOrderedAndProject (never a full sort — only ≤ V survivors pass
+    the single-partition id-assignment window).
     """
     from pyspark.sql.window import Window as W
 
@@ -1001,6 +1020,31 @@ def vocab_encode(
             (F.row_number().over(w) - F.lit(1)).cast("int").alias("__vid"),
         )
     )
+    if vocab_size <= VOCAB_INLINE_MAX:
+        rows = vocab.collect()  # ≤ vocab_size rows — caller-bounded
+        unk = F.lit(int(unk_id)).cast("int")
+        toks = F.col("__toks")
+        if rows:
+            entries = []
+            for r in rows:
+                entries.append(F.lit(r["token"]))
+                entries.append(F.lit(int(r["__vid"])).cast("int"))
+            mp = F.create_map(*entries)
+            # n_unk counts lookup MISSES (null before the unk coalesce),
+            # so a caller-chosen unk_id colliding with a real id cannot
+            # inflate the count
+            raw = F.transform(toks, lambda t: F.element_at(mp, t))
+        else:  # empty corpus vocab: everything is UNK
+            raw = F.transform(toks, lambda t: F.lit(None).cast("int"))
+        ids = F.transform(raw, lambda x: F.coalesce(x, unk))
+        return base.select(
+            "doc_id",
+            ids.alias("ids"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.filter(raw, lambda x: x.isNull()))
+            .cast("bigint")
+            .alias("n_unk"),
+        )
     pos = base.select(
         "doc_id", F.posexplode("__toks").alias("pos", "token")
     )

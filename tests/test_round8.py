@@ -836,3 +836,26 @@ def test_rolling_agg_tie_timestamps_share_frames(spark):
     assert a == b
     # every tied row sees all four
     assert all(r[4] == 4 for r in a)
+
+
+def test_vocab_encode_inline_and_join_paths_equal(spark):
+    """The map-literal in-row encode and the broadcast-join + reassembly
+    encode must agree on the fixture corpus (same vocab, same ids, same
+    UNK accounting)."""
+    from data_lakehouse_hygiene_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    inline = sorted(
+        (r["doc_id"], tuple(r["ids"]), r["n_tokens"], r["n_unk"])
+        for r in T.vocab_encode(docs, vocab_size=16).collect()
+    )
+    old = T.VOCAB_INLINE_MAX
+    T.VOCAB_INLINE_MAX = 0
+    try:
+        joined = sorted(
+            (r["doc_id"], tuple(r["ids"]), r["n_tokens"], r["n_unk"])
+            for r in T.vocab_encode(docs, vocab_size=16).collect()
+        )
+    finally:
+        T.VOCAB_INLINE_MAX = old
+    assert inline == joined and len(inline) > 0
