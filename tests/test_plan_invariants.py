@@ -167,8 +167,19 @@ _WINDOW_EXEMPT = _PLAN_EXEMPT | {"vocab_topk", "vocab_encode"}
 def test_vocab_window_input_is_limit_bounded(spark, name):
     """The unpartitioned ranking/id-assignment window in the vocab
     operators must consume the top-k limit's output, never the raw term
-    table."""
-    plan = _plan(spark, name)
+    table. vocab_encode's registry query takes the in-row map-literal
+    path (the vocab builds at CONSTRUCTION time, so the returned plan
+    has no window at all) — force the broadcast-join path so the guard
+    checks the plan that actually contains the window."""
+    from data_lakehouse_hygiene_spark.operators import text as T
+
+    old = T.VOCAB_INLINE_MAX
+    if name == "vocab_encode":
+        T.VOCAB_INLINE_MAX = 0
+    try:
+        plan = _plan(spark, name)
+    finally:
+        T.VOCAB_INLINE_MAX = old
     assert "TakeOrderedAndProject" in plan, plan
     window_at = plan.find("Window ")
     limit_at = plan.find("TakeOrderedAndProject")
