@@ -3993,7 +3993,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY o_orderstatus
                             ORDER BY o_totalprice, o_orderkey) AS rn,
          count(*) OVER (PARTITION BY o_orderstatus) AS cnt
-  FROM orders)
+  FROM orders WHERE o_totalprice IS NOT NULL)
 SELECT k AS o_orderstatus,
        (CAST(min(v) AS DOUBLE) + CAST(max(v) AS DOUBLE)) / 2.0
          AS median_price
@@ -4013,7 +4013,8 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MAD_OUTLIERS = """
-WITH base AS (SELECT event_id, event_type AS k, value AS v FROM events),
+WITH base AS (SELECT event_id, event_type AS k, value AS v FROM events
+              WHERE value IS NOT NULL),
 r1 AS (SELECT k, v, event_id,
         row_number() OVER (PARTITION BY k ORDER BY v, event_id) AS rn,
         count(*) OVER (PARTITION BY k) AS cnt FROM base),
@@ -4046,7 +4047,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS cnt
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 b AS (
   SELECT k,
          min(CASE WHEN rn = greatest(
@@ -4060,6 +4061,7 @@ SELECT e.event_id, e.event_type, e.value,
        greatest(least(e.value, b.hi_bound), b.lo_bound) AS clipped,
        b.lo_bound, b.hi_bound
 FROM events e JOIN b ON e.event_type = b.k
+WHERE e.value IS NOT NULL
 """
 
 
@@ -4453,7 +4455,7 @@ SQL_DIST_DRIFT = """
 WITH hist AS (
   SELECT source AS g, floor(n_chars / 100.0) * 100.0 AS bin,
          CAST(count(*) AS BIGINT) AS o
-  FROM documents GROUP BY 1, 2),
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
 nb AS (SELECT bin, sum(o) AS n_b FROM hist GROUP BY 1),
 ng AS (SELECT g, sum(o) AS n_g FROM hist GROUP BY 1),
 tot AS (SELECT sum(o) AS n_tot FROM hist),

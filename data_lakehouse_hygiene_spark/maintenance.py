@@ -280,6 +280,13 @@ def dist_drift(
     tiny rollups of it that BROADCAST back on. Returns
     (``group_col``, n, chi2, drifted) ordered by group.
     """
+    # NULL contract: rows with NULL ``val_col`` are EXCLUDED from the
+    # statistic entirely (they carry no bin). Pre-round-9 they formed a
+    # NULL __bin that the equi-join silently dropped while still
+    # inflating n_g/n_tot — miscounted as missing-bin mass, and a group
+    # of all-NULLs vanished from the output despite a nonzero n. The
+    # oracle SQL applies the same filter.
+    df = df.where(F.col(val_col).isNotNull())
     b = (F.floor(F.col(val_col) / F.lit(float(bin_width)))
          * F.lit(float(bin_width))).alias("__bin")
     # The (group, bin) table is TINY (value-bounded) but has FOUR

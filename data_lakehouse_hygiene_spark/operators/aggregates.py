@@ -154,9 +154,14 @@ def group_median(
 
     w = Window.partitionBy(key).orderBy(val)
     wc = Window.partitionBy(key)
-    ranked = df.select(key, val).withColumn(
-        "__rn", F.row_number().over(w)
-    ).withColumn("__cnt", F.count(F.lit(1)).over(wc))
+    # NULL contract: NULL values are excluded from the median (SQL
+    # percentile semantics — a group of all-NULLs produces no row).
+    ranked = (
+        df.select(key, val)
+        .where(F.col(val).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+    )
     lo_pos = (F.col("__cnt") + 1) / 2  # fractional for even counts
     picked = ranked.where(
         (F.col("__rn") == F.floor(lo_pos))
@@ -206,7 +211,14 @@ def mad_outliers(
     from pyspark.sql.window import Window
 
     if _robust_select_applies(df):
-        out = _mad_outliers_select(df, key, val, id_col, n_mads)
+        # rank_select refuses >RANK_SELECT_MAX_GROUPS keys (ValueError) —
+        # that regime is exactly where the window plan parallelizes, so
+        # fall through to it instead of surfacing an internal helper's
+        # refusal to a caller who never chose the plan.
+        try:
+            out = _mad_outliers_select(df, key, val, id_col, n_mads)
+        except ValueError:
+            out = None
         if out is not None:
             return out
 
@@ -221,7 +233,11 @@ def mad_outliers(
             .agg(F.min(c).alias(out))
         )
 
-    base = df.select(id_col, key, val)
+    # NULL contract (both plans): rows with NULL ``val`` carry no robust-
+    # z-score and are excluded — SQL percentile semantics, matching
+    # rank_select's ``val IS NOT NULL`` filter so the two plans stay
+    # value-identical on NULL-bearing data.
+    base = df.select(id_col, key, val).where(F.col(val).isNotNull())
     med = _disc_median(base, val, "med")
     dev = base.join(F.broadcast(med), key).withColumn(
         "__adev", F.abs(F.col(val) - F.col("med"))
@@ -273,14 +289,24 @@ def winsorize(
     from pyspark.sql.window import Window
 
     if _robust_select_applies(df):
-        out = _winsorize_select(df, key, val, id_col, lower_pct, upper_pct)
+        # Same >10k-group ValueError fallback contract as mad_outliers.
+        try:
+            out = _winsorize_select(
+                df, key, val, id_col, lower_pct, upper_pct
+            )
+        except ValueError:
+            out = None
         if out is not None:
             return out
 
     w = Window.partitionBy(key).orderBy(val, id_col)
     wc = Window.partitionBy(key)
+    # NULL contract (both plans): NULL ``val`` rows are excluded from
+    # ranking AND output — SQL percentile semantics, matching the
+    # rank_select plan's filter.
+    nn = df.select(id_col, key, val).where(F.col(val).isNotNull())
     ranked = (
-        df.select(id_col, key, val)
+        nn
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__cnt", F.count(F.lit(1)).over(wc))
     )
@@ -301,7 +327,7 @@ def winsorize(
             F.min("__hi_v").alias("hi_bound"),
         )
     )
-    out = df.select(id_col, key, val).join(F.broadcast(bounds), key)
+    out = nn.join(F.broadcast(bounds), key)
     return out.select(
         id_col,
         key,
@@ -380,7 +406,11 @@ def rank_select(
     for row in bounds:
         for lbl, rank_of in targets.items():
             r = int(rank_of(row["cnt"]))
-            assert 1 <= r <= row["cnt"], "target rank out of range"
+            if not (1 <= r <= row["cnt"]):
+                raise ValueError(
+                    f"target rank {r} out of range for group "
+                    f"{row['k']!r} (cnt={row['cnt']})"
+                )
             if row["lo"] == row["hi"]:
                 result[(row["k"], lbl)] = row["lo"]
             else:
@@ -405,9 +435,18 @@ def rank_select(
             )
             lo_c = F.element_at(lo_map, F.col("k"))
             hi_c = F.element_at(hi_map, F.col("k"))
-            width = (hi_c - lo_c) / F.lit(float(n_buckets))
+            # Half-scaled bucket arithmetic: (hi - lo) overflows to +inf
+            # when the range spans ~±1.7e308, collapsing every row into
+            # bucket 0 forever. hi/2 - lo/2 is always finite for finite
+            # doubles (each half ≤ DBL_MAX/2), and dividing both the
+            # offset and the width by 2 leaves the bucket index
+            # unchanged for non-overflowing ranges.
+            half = F.lit(2.0)
+            width_h = (hi_c / half - lo_c / half) / F.lit(float(n_buckets))
             bucket = F.least(
-                F.floor((F.col("v") - lo_c) / width).cast("bigint"),
+                F.floor(
+                    (F.col("v") / half - lo_c / half) / width_h
+                ).cast("bigint"),
                 F.lit(n_buckets - 1),
             )
             stats = (
@@ -434,6 +473,17 @@ def rank_select(
                         if row["bmin"] == row["bmax"]:
                             result[(k, lbl)] = row["bmin"]
                             del state[(k, lbl)]
+                        elif row["bmin"] == lo and row["bmax"] == hi:
+                            # Range did not shrink — with half-scaled
+                            # buckets this means degenerate geometry
+                            # (e.g. lo/hi denormals whose halves
+                            # collide). Refuse; callers fall back to the
+                            # rank-window plan on ValueError.
+                            raise ValueError(
+                                "rank_select: non-shrinking range for "
+                                f"group {k!r} [{lo}, {hi}] — use the "
+                                "window plan"
+                            )
                         else:
                             state[(k, lbl)] = (
                                 row["bmin"], row["bmax"], r - cum
@@ -471,8 +521,9 @@ def _mad_outliers_select(df, key, val, id_col, n_mads):
     (one sort task per group). Identical rows to the window plan — the
     r-th-smallest VALUE is selection-order independent; property-tested
     equal. Returns None on empty input (the window plan keeps the
-    degenerate case)."""
-    base = df.select(id_col, key, val)
+    degenerate case). NULL ``val`` rows are excluded (same contract as
+    the window plan)."""
+    base = df.select(id_col, key, val).where(F.col(val).isNotNull())
     med = rank_select(base, key, val, {"m": lambda c: (c + 1) // 2})
     if not med:
         return None
@@ -504,7 +555,8 @@ def _winsorize_select(df, key, val, id_col, lower_pct, upper_pct):
     doubles), clamped to ≥ 1."""
     import math
 
-    base = df.select(id_col, key, val)
+    # Same NULL contract as the window plan: NULL ``val`` rows excluded.
+    base = df.select(id_col, key, val).where(F.col(val).isNotNull())
     sel = rank_select(
         base,
         key,

@@ -347,13 +347,23 @@ def ngram_jaccard_pairs(
 def _estimated_bytes(df: DataFrame) -> int:
     """Catalyst's estimated size of ``df``'s input (file-size based for
     parquet scans) — a planning-time statistic, no job runs. Falls back to
-    0 (→ the small-input plan) if the stats walk fails."""
+    0 (→ the small-input plan) if the stats walk fails, AND when Catalyst
+    reports its unknown-stats sentinel: LogicalRDD / createDataFrame-backed
+    plans have no file statistics and surface
+    ``spark.sql.defaultSizeInBytes`` (Long.MaxValue by default), which is
+    "size unknown", not "huge" — treating it as huge would route tiny
+    in-memory inputs onto the corpus-scale plans (and, pre-round-9, did)."""
     try:
-        return int(
+        size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:
         return 0
+    # Long.MaxValue sentinel (or any absurd >=2^62 estimate product of it
+    # propagating through multipliers): stats are unknown — plan small.
+    if size >= (1 << 62):
+        return 0
+    return size
 
 
 def _ngram_pairs_broadcast_sizes(

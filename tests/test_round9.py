@@ -1,0 +1,160 @@
+"""Round-9 regression tests: the advisor's findings on the robust-stats
+dispatch (unknown-stats sentinel, >10k-group fallback, NULL semantics,
+rank_select overflow geometry) and the dist_drift NULL-bin skew."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ _estimated_bytes sentinel
+
+
+def test_estimated_bytes_sentinel_is_unknown_not_huge(spark):
+    """createDataFrame-backed plans have no file stats; Catalyst surfaces
+    spark.sql.defaultSizeInBytes (Long.MaxValue). That must read as
+    "unknown" -> 0 -> the small-input plan, not as a genuine huge size."""
+    from data_lakehouse_hygiene_spark.operators.dedup import _estimated_bytes
+
+    df = spark.createDataFrame([(1, "a")], ["id", "s"])
+    assert _estimated_bytes(df) == 0
+
+
+def test_estimated_bytes_file_backed_is_real(spark):
+    from data_lakehouse_hygiene_spark.operators.dedup import _estimated_bytes
+    from .conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    est = _estimated_bytes(df)
+    assert 0 < est < (1 << 40)
+
+
+# ------------------------------------- >10k-group dispatch falls back cleanly
+
+
+def test_mad_outliers_high_cardinality_falls_back_to_window_plan(spark):
+    """Forcing the select path onto a >RANK_SELECT_MAX_GROUPS key must
+    fall back to the rank-window plan, not crash with the internal
+    helper's ValueError."""
+    from data_lakehouse_hygiene_spark.operators import aggregates as A
+
+    n_groups = A.RANK_SELECT_MAX_GROUPS + 5
+    df = spark.range(n_groups).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    old = A.ROBUST_SELECT_BYTES
+    A.ROBUST_SELECT_BYTES = 0  # force the select path's dispatch
+    try:
+        out = A.mad_outliers(df, "k", "v", "event_id")
+        # 1 row per group -> MAD 0, no row beats 3*0 deviation strictly
+        assert out.count() == 0
+        outw = A.winsorize(df, "k", "v", "event_id")
+        assert outw.count() == n_groups
+    finally:
+        A.ROBUST_SELECT_BYTES = old
+
+
+# --------------------------------------------------- NULL-value semantics
+
+
+def _mad_rows(A, df):
+    return sorted(
+        tuple(r) for r in A.mad_outliers(df, "k", "v", "event_id").collect()
+    )
+
+
+def test_robust_stats_null_values_excluded_and_plans_agree(spark):
+    from data_lakehouse_hygiene_spark.operators import aggregates as A
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+    rows += [(10 + i, "g", None) for i in range(4)]  # NULLs must not shift
+    rows += [(20, "allnull", None), (21, "allnull", None)]
+    df = spark.createDataFrame(rows, "event_id long, k string, v double")
+    clean = spark.createDataFrame(
+        rows[:5], "event_id long, k string, v double"
+    )
+
+    # window plan: NULLs excluded == same answer as the NULL-free frame
+    assert _mad_rows(A, df) == _mad_rows(A, clean)
+    med = {r["k"]: r["median"] for r in A.group_median(df, "k", "v").collect()}
+    assert med == {"g": 3.0}  # no "allnull" row, NULLs don't shift g
+
+    w = sorted(
+        tuple(r)
+        for r in A.winsorize(
+            df, "k", "v", "event_id", lower_pct=0.2, upper_pct=0.8
+        ).collect()
+    )
+    assert all(r[2] is not None for r in w)  # no NULL-val rows in output
+
+    # select plan agrees on the same NULL-bearing frame
+    old = A.ROBUST_SELECT_BYTES
+    A.ROBUST_SELECT_BYTES = 0
+    try:
+        assert _mad_rows(A, df) == _mad_rows(A, clean)
+        ws = sorted(
+            tuple(r)
+            for r in A.winsorize(
+                df, "k", "v", "event_id", lower_pct=0.2, upper_pct=0.8
+            ).collect()
+        )
+        assert ws == w
+    finally:
+        A.ROBUST_SELECT_BYTES = old
+
+
+# --------------------------------------------- rank_select overflow geometry
+
+
+def test_rank_select_survives_double_span_overflow(spark):
+    """A group spanning ~[-1.7e308, 1.7e308] makes hi-lo overflow to +inf;
+    the half-scaled bucket arithmetic must still converge exactly."""
+    from data_lakehouse_hygiene_spark.operators import aggregates as A
+
+    big = 1.7e308
+    rows = [
+        (0, "g", -big), (1, "g", -1.0), (2, "g", 0.0), (3, "g", 2.0),
+        (4, "g", big),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, v double")
+    sel = A.rank_select(
+        df, "k", "v", {"med": lambda c: (c + 1) // 2, "max": lambda c: c}
+    )
+    assert sel[("g", "med")] == 0.0
+    assert sel[("g", "max")] == big
+
+
+def test_rank_select_bad_rank_raises_valueerror(spark):
+    from data_lakehouse_hygiene_spark.operators import aggregates as A
+
+    df = spark.createDataFrame(
+        [(0, "g", 1.0), (1, "g", 2.0)], "event_id long, k string, v double"
+    )
+    with pytest.raises(ValueError):
+        A.rank_select(df, "k", "v", {"bad": lambda c: c + 1})
+
+
+# ----------------------------------------------------- dist_drift NULL bins
+
+
+def test_dist_drift_nulls_excluded(spark):
+    from data_lakehouse_hygiene_spark import maintenance
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 101, 102]]
+    rows += [("a", None)] * 10  # pre-fix: inflated n and missing-bin mass
+    rows += [("b", float(v)) for v in [1, 2, 3, 101, 102]]
+    rows += [("onlynull", None)] * 3
+    df = spark.createDataFrame(rows, "source string, n_chars double")
+    out = {
+        r["source"]: r
+        for r in maintenance.dist_drift(
+            df, "source", "n_chars", 100.0
+        ).collect()
+    }
+    # all-NULL group vanishes BY CONTRACT (it has no histogram mass)
+    assert set(out) == {"a", "b"}
+    # identical non-NULL distributions -> identical n and chi2 == 0
+    assert out["a"]["n"] == out["b"]["n"] == 5
+    assert out["a"]["chi2"] == out["b"]["chi2"] == 0.0
