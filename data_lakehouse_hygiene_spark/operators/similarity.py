@@ -66,6 +66,18 @@ def norms(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 N_BLOCKS = 16
 
+# Self-sizing targets for the cluster-blocked exact path (round 9): the
+# block count grows with the corpus (the resolve_planes occupancy rule)
+# and any cluster that still exceeds the per-block row target is
+# hash-split into sub-blocks, so per-task pair work stays bounded no
+# matter how the corpus clusters. A ~8k-row block is ~8k²/2·dim ≈ 2e9
+# flops of GEMM per self pair — a sub-second task.
+BLOCK_TARGET_ROWS = 8192
+KMEANS_MAX_BLOCKS = 256  # fit cost is sample·k·dim; beyond this the
+# sample (8192 rows) cannot resolve more clusters anyway
+SPLIT_MAX_BLOCKS = 1024  # expanded-block ceiling: bounds the pid-map
+# plan literals and the driver-side parent-pair pruning loop
+
 # Exact-path input ceiling: ~4 GiB of vector data ≈ 1e7 64-d float32
 # vectors ≈ 5e13 pair dot products — already multi-hour work on a large
 # cluster; anything bigger must use the sub-quadratic paths.
@@ -155,13 +167,21 @@ def _kmeans_fit_local(sx, k: int, n_iter: int):
     matches the engine's convention): init = first k rows, argmin ties to
     the lowest cluster, floor(sum/count) update, emptied clusters keep
     their centroid. All arithmetic is int64 (deterministic across
-    platforms); returns a (k', dim) int64 array with k' = min(k, rows)."""
+    platforms); returns a (k', dim) int64 array with k' = min(k, rows).
+
+    Distances use the ||a||² + ||c||² − 2a·c expansion (int64 matmul) so
+    memory is O(n·k), not the O(n·k·dim) broadcast temp — with the
+    round-9 self-sized k (up to 256) the broadcast form would be a
+    multi-GB allocation per iteration. Components are ≤ KMEANS_SCALE, so
+    every int64 term is ≤ dim·KMEANS_SCALE² ≈ 6.4e13 ≪ 2^63 — exact."""
     import numpy as np
 
     k = min(k, len(sx))
     cents = sx[:k].copy()
+    sn = (sx * sx).sum(axis=1)
     for _ in range(n_iter):
-        d = ((sx[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cn = (cents * cents).sum(axis=1)
+        d = sn[:, None] + cn[None, :] - 2 * (sx @ cents.T)
         cl = d.argmin(axis=1)  # first occurrence = lowest cluster index
         for ci in range(k):
             m = sx[cl == ci]
@@ -191,10 +211,12 @@ def _np_assign(base: DataFrame, cents_arr, kscale: float) -> DataFrame:
                 chunk = pdf.iloc[lo : lo + 2048]
                 V = np.vstack(chunk["v"].to_numpy()).astype(np.float64)
                 Q = np.floor(V * kscale + 0.5).astype(np.int64)
-                d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                na2 = (Q * Q).sum(axis=1)
+                # ||a||²+||c||²−2a·c expansion: O(chunk·k) int64 temp vs
+                # the O(chunk·k·dim) broadcast (matters at self-sized k)
+                d = na2[:, None] + nc2_all[None, :] - 2 * (Q @ C.T)
                 cl = d.argmin(axis=1)
                 dmin = d[np.arange(len(d)), cl]
-                na2 = (Q * Q).sum(axis=1)
                 nc2 = nc2_all[cl]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cm = np.where(
@@ -226,10 +248,11 @@ def cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_blocks: int = N_BLOCKS,
+    n_blocks: int | str = "auto",
     max_bytes: int = COSINE_PAIRS_MAX_BYTES,
     small_bytes: int = COSINE_SMALL_BYTES,
     fit_iters: int = 2,
+    block_rows: int = BLOCK_TARGET_ROWS,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (a<b) above a threshold:
     k-means cluster blocking with triangle-inequality block-pair pruning +
@@ -277,12 +300,27 @@ def cosine_pairs(
 
     Scale shape: shuffle volume ≤ O(n·P) vector rows; P(P+1)/2 tasks max,
     fewer after pruning; per-task memory is one block pair plus an m×n
-    chunked double matrix (rows chunked at 4096). Size ``n_blocks`` so a
-    block is ~500k vectors. The quadratic remains quadratic on spread-out
-    corpora, so inputs estimated above ``max_bytes`` (default 4 GiB ≈ 1e7
-    vectors) raise with a pointer to the sub-quadratic alternatives
-    (``lsh_near_dup``, ``semantic_dedup``, ``lsh_ann``) rather than
-    launching an infeasible job.
+    chunked double matrix (rows chunked at 4096).
+
+    Block-count self-sizing (round 9): ``n_blocks="auto"`` sizes the
+    k-means k as ceil(n / block_rows) clamped to [N_BLOCKS,
+    KMEANS_MAX_BLOCKS] — the resolve_planes occupancy rule — and, after
+    assignment, any cluster still holding > ``block_rows`` members is
+    hash-split (pmod(xxhash64(vec_id), s)) into s = ceil(m / block_rows)
+    sub-blocks that inherit the parent's centroid + radius, so the
+    triangle-inequality bound stays valid and the answer stays EXACT
+    while no single task ever owns a super-linear share of the pair
+    work. (Pre-round-9 the fixed 16-block grid let one filled cluster
+    serialize the whole compare on one core: measured 160 s at the
+    200k-vector rehearsal, 2.9 s at 20k — a 54× decade. Splitting
+    restores task-count ∝ work.) Total expanded blocks are capped at
+    SPLIT_MAX_BLOCKS by growing the effective block_rows — bounding the
+    pid-map plan literals and the O(P²) driver pruning loop. The
+    quadratic remains quadratic on spread-out corpora, so inputs
+    estimated above ``max_bytes`` (default 4 GiB ≈ 1e7 vectors) raise
+    with a pointer to the sub-quadratic alternatives (``lsh_near_dup``,
+    ``semantic_dedup``, ``lsh_ann``) rather than launching an infeasible
+    job.
     """
     import numpy as np
     import pandas as pd
@@ -314,17 +352,27 @@ def cosine_pairs(
         # small input: hash blocks, full (i ≤ j) grid, zero fixed jobs.
         # No spread() either — the cogroup shuffle on pid is what fans the
         # kernel tasks out, so pre-repartitioning only adds an exchange.
-        p = max(1, n_blocks)
+        p = max(1, N_BLOCKS if n_blocks == "auto" else int(n_blocks))
         assign = df.select(
             "vec_id", F.col(vec_col).alias("v")
         ).withColumn(
-            "cluster", F.pmod(F.col("vec_id"), F.lit(p)).cast("int")
+            "block", F.pmod(F.col("vec_id"), F.lit(p)).cast("int")
         )
         kept = [(i, j) for i in range(p) for j in range(i, p)]
     else:
         base = spread(df, key="vec_id").select(
             "vec_id", F.col(vec_col).alias("v")
         )
+        if n_blocks == "auto":
+            # occupancy-sized k (one count() job — trivial next to the
+            # pair stage it sizes; the resolve_planes rule)
+            n_rows = int(base.count())
+            k_fit = max(
+                N_BLOCKS,
+                min(KMEANS_MAX_BLOCKS, -(-n_rows // max(block_rows, 1))),
+            )
+        else:
+            k_fit = int(n_blocks)
         # Blocking-quality fit runs DRIVER-LOCAL on a deterministic
         # hash-ordered sample (≤ 8192 × dim floats ≈ 2 MB driver traffic —
         # the dedup_clusters-style bounded collect); the numpy Lloyd loop
@@ -350,8 +398,8 @@ def cosine_pairs(
             * kscale
             + 0.5
         ).astype(np.int64)
-        cents_arr = _kmeans_fit_local(sx, n_blocks, fit_iters)
-        p = len(cents_arr)
+        cents_arr = _kmeans_fit_local(sx, k_fit, fit_iters)
+        kp = len(cents_arr)
         dim = sx.shape[1]
 
         # Lazy-checkpoint the assignment: it has THREE consumers (the
@@ -363,22 +411,85 @@ def cosine_pairs(
         )
 
         # Per-cluster angular radius: min member-centroid cosine + min
-        # quantized norm (for the rotation pad) — one column-pruned agg,
-        # ≤ p rows to the driver.
+        # quantized norm (for the rotation pad) + member count (for the
+        # oversized-cluster split) — one column-pruned agg, ≤ k rows.
         radii = {
-            r["cluster"]: (r["mc"], r["mn"])
+            r["cluster"]: (r["mc"], r["mn"], r["cnt"])
             for r in assign.groupBy("cluster")
-            .agg(F.min("cm").alias("mc"), F.min("na2").alias("mn"))
+            .agg(
+                F.min("cm").alias("mc"),
+                F.min("na2").alias("mn"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
             .collect()
         }
         # memberless clusters have empty blocks — radius 0 is harmless
-        min_cos = [radii.get(ci, (1.0, None))[0] for ci in range(p)]
+        min_cos = [radii.get(ci, (1.0, None, 0))[0] for ci in range(kp)]
         rot = [
             _quant_rotation(radii[ci][1], dim) if ci in radii else 0.0
-            for ci in range(p)
+            for ci in range(kp)
         ]
         cents = [list(map(int, c)) for c in cents_arr]
-        kept = _prune_block_pairs(cents, min_cos, threshold, rot=rot)
+        # Pruning runs on PARENT clusters (the geometry lives there);
+        # kept parent pairs then expand into sub-block pairs below.
+        kept_parent = _prune_block_pairs(cents, min_cos, threshold, rot=rot)
+
+        # Oversized-cluster split: s_i = ceil(m_i / block_rows) hash
+        # sub-blocks per cluster, inheriting the parent's geometry. If
+        # the expanded total would blow past SPLIT_MAX_BLOCKS, grow the
+        # effective block_rows instead (the compare work per task grows,
+        # the plan stays bounded).
+        import math as _math
+
+        counts = [radii.get(ci, (None, None, 0))[2] for ci in range(kp)]
+        eff_rows = max(block_rows, 1)
+        splits = [max(1, _math.ceil(c / eff_rows)) for c in counts]
+        if sum(splits) > SPLIT_MAX_BLOCKS:
+            scale_up = sum(splits) / float(SPLIT_MAX_BLOCKS)
+            eff_rows = int(_math.ceil(eff_rows * scale_up))
+            splits = [max(1, _math.ceil(c / eff_rows)) for c in counts]
+        offsets = [0] * kp
+        acc = 0
+        for ci in range(kp):
+            offsets[ci] = acc
+            acc += splits[ci]
+        p = acc  # total expanded blocks
+
+        if p == kp:
+            # no cluster overflowed: blocks ARE clusters, zero extra ops
+            assign = assign.withColumnRenamed("cluster", "block")
+            kept = kept_parent
+        else:
+            off_map = F.create_map(
+                *[F.lit(x) for ci in range(kp) for x in (ci, offsets[ci])]
+            )
+            spl_map = F.create_map(
+                *[F.lit(x) for ci in range(kp) for x in (ci, splits[ci])]
+            )
+            assign = assign.withColumn(
+                "block",
+                (
+                    F.element_at(off_map, F.col("cluster"))
+                    + F.pmod(
+                        F.xxhash64("vec_id"),
+                        F.element_at(spl_map, F.col("cluster")),
+                    )
+                ).cast("int"),
+            )
+            kept = []
+            for pi, pj in kept_parent:
+                if pi == pj:
+                    for si in range(splits[pi]):
+                        for sj in range(si, splits[pi]):
+                            kept.append(
+                                (offsets[pi] + si, offsets[pi] + sj)
+                            )
+                else:
+                    for si in range(splits[pi]):
+                        for sj in range(splits[pj]):
+                            kept.append(
+                                (offsets[pi] + si, offsets[pj] + sj)
+                            )
     a_pids: dict[int, list[int]] = {}
     b_pids: dict[int, list[int]] = {}
     for i, j in kept:
@@ -404,14 +515,14 @@ def cosine_pairs(
     a = assign.select(
         "vec_id",
         "v",
-        F.explode(F.element_at(_pid_map(a_pids), F.col("cluster"))).alias(
+        F.explode(F.element_at(_pid_map(a_pids), F.col("block"))).alias(
             "pid"
         ),
     )
     b = assign.select(
         F.col("vec_id").alias("vec_id_b"),
         F.col("v").alias("v_b"),
-        F.explode(F.element_at(_pid_map(b_pids), F.col("cluster"))).alias(
+        F.explode(F.element_at(_pid_map(b_pids), F.col("block"))).alias(
             "pid"
         ),
     )
@@ -446,36 +557,57 @@ def cosine_pairs(
         )
         na[na == 0.0] = np.nan
         nb[nb == 0.0] = np.nan
+        # The screen GEMM runs on FLOAT32 NORMALIZED copies: the m×n
+        # score matrix is the bandwidth bottleneck of the whole operator
+        # (measured round 9: f64 full-grid screen 90.6 s → f32 26.4 s at
+        # the 200k-vector rehearsal — the compare is memory-bound, not
+        # flop-bound). Normalizing rows up front turns the screen into a
+        # plain dot compare (no per-pair division, no outer-product
+        # denominator temp). Degenerate (NaN) norms poison their rows:
+        # every cosf involving them is NaN and compares False.
+        with np.errstate(invalid="ignore"):
+            An = (A * (1.0 / na)[:, None]).astype(np.float32)
+            Bn = (B * (1.0 / nb)[:, None]).astype(np.float32)
+        Bt = np.ascontiguousarray(Bn.T)
         out = [empty]
-        # Per-pair quantization error bound: |GEMM dot − dotq/S| ≤
-        # d·0.6/S absolute (0.5 floor + rounding slack per component) and
-        # the GEMM's own rounding is relative (Cauchy–Schwarz bounds
-        # Σ|a_i b_i| by na·nb), so in COSINE space the screen margin must
-        # scale with 1/(na·nb): a fixed 1e-4 silently dropped qualifying
-        # small-norm pairs (review-found: two [7.8e-7,...] vectors have
-        # exact cosq = 1.0 but GEMM cosf ≈ 0.61). The extra margin is
-        # ~3e-13 for unit-norm embeddings — the screen stays tight where
-        # it matters and only loosens where the arithmetic is genuinely
-        # fuzzy.
+        # Screen error budget, all in absolute cosine units:
+        # - f32 normalize + accumulate: ≤ (d + 4)·2⁻²⁴ on unit rows
+        #   (normalization u each side + γ_d dot accumulation, |cos| ≤ 1)
+        # - quantization: |GEMM dot − dotq/S| ≤ d·0.6/S absolute, so in
+        #   cosine space it scales with 1/(na·nb) — a fixed pad silently
+        #   dropped qualifying small-norm pairs (review-found: two
+        #   [7.8e-7,...] vectors have exact cosq = 1.0 but float cosf ≈
+        #   0.61). Bounded per row-chunk via the chunk-min right norm
+        #   (larger slack = safe over-approximation).
+        # _SCREEN_MARGIN (1e-4) dominates both on unit-norm embeddings.
         qerr = A.shape[1] * 0.6 / scale
-        # BOTH matrix dimensions are chunked: a single chunked dimension
-        # leaves a 4096·|B| float64 temp — ~16 GB at the documented
-        # ~500k-vector block sizing — so the column side chunks too
-        # (4096×4096 ≈ 134 MB ceiling per temp).
+        f32err = (A.shape[1] + 4) * 2.0**-24
+        # BOTH matrix dimensions are chunked: rows at 4096, columns at
+        # 1024 so the f32 score chunk (16 MB) stays cache-friendly — the
+        # 4096×4096 f64 form wrote 134 MB per chunk and was the measured
+        # bottleneck.
         for lo in range(0, len(A), 4096):
-            Ac = A[lo : lo + 4096]
             iac = ia[lo : lo + 4096]
             nac = na[lo : lo + 4096]
-            for co in range(0, len(B), 4096):
-                Bc = B[co : co + 4096]
-                ibc = ib[co : co + 4096]
-                nbc = nb[co : co + 4096]
-                denom = np.outer(nac, nbc)
+            Anc = An[lo : lo + 4096]
+            Ac = A[lo : lo + 4096]  # f64 view for the exact recompute
+            for co in range(0, len(B), 1024):
+                Bc = B[co : co + 1024]
+                ibc = ib[co : co + 1024]
+                nbc = nb[co : co + 1024]
+                nbc_fin = nbc[~np.isnan(nbc)]
+                nb_min = float(nbc_fin.min()) if len(nbc_fin) else 1.0
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    cosf = (Ac @ Bc.T) / denom
-                    m = cosf >= (
-                        threshold - _SCREEN_MARGIN - qerr / denom
-                    )  # NaN (zero-norm) compares False
+                    cosf = Anc @ Bt[:, co : co + 1024]
+                    # per-ROW screen threshold: (m,1) broadcast, no m×n
+                    # denominator temp; NaN rows compare False
+                    thr = (
+                        threshold
+                        - _SCREEN_MARGIN
+                        - f32err
+                        - qerr / (nac * nb_min)
+                    )[:, None]
+                    m = cosf >= thr
                 if bi == bj:
                     # self block pair: same vector set on both sides —
                     # keep one orientation and drop the diagonal

@@ -158,3 +158,41 @@ def test_dist_drift_nulls_excluded(spark):
     # identical non-NULL distributions -> identical n and chi2 == 0
     assert out["a"]["n"] == out["b"]["n"] == 5
     assert out["a"]["chi2"] == out["b"]["chi2"] == 0.0
+
+
+# ------------------------------------- cosine_pairs oversized-cluster split
+
+
+def test_cosine_pairs_split_path_matches_catalyst(spark):
+    """Forcing tiny block_rows makes every cluster oversize and exercises
+    the hash-split sub-block expansion; the pair set must still equal the
+    pure-Catalyst witness bit-for-bit (splitting is plan shape only)."""
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in similarity.cosine_pairs(
+            df, small_bytes=0, n_blocks=4, block_rows=16
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.cosine_pairs_catalyst(df).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cosine_pairs_auto_blocks_matches_catalyst(spark):
+    """The default auto-sized block count on the forced cluster path must
+    reproduce the witness (self-sizing is plan shape only)."""
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in similarity.cosine_pairs(df, small_bytes=0).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.cosine_pairs_catalyst(df).collect()
+    )
+    assert got == want and len(got) > 0
