@@ -3051,6 +3051,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.pq_ann(emb).select(
             F.lit("pq").alias("method"), "query_id", "vec_id"
         )
+    ).unionByName(
+        similarity.ivfpq_ann(emb).select(
+            F.lit("ivfpq").alias("method"), "query_id", "vec_id"
+        )
     )
     rec = (
         ann.join(F.broadcast(truth), ["query_id", "vec_id"], "left")
@@ -4268,7 +4272,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_pq(
     m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64,
-    ann_topk: int = 0,
+    ann_topk: int = 0, ivf: bool = False,
 ) -> str:
     """DuckDB replay of the product quantizer: per subspace, the same
     id-ordered init / exact-integer assignment / floor(sum/count)
@@ -4349,8 +4353,15 @@ def _sql_pq(
         )
     # ADC search replay: per-query / per-subspace lookup tables against
     # the FINAL centroids, summed via the per-vector codes, ranked.
+    # ``ivf=True`` adds the coarse probe: candidates must share the
+    # query's precomputed cell label (ivfpq_ann).
     parts.append(
-        "qq AS (SELECT vec_id AS query_id, qv FROM qall WHERE vec_id < 3)"
+        "qq AS (SELECT q.vec_id AS query_id, q.qv, e.label"
+        " FROM qall q JOIN embeddings e ON e.vec_id = q.vec_id"
+        " WHERE q.vec_id < 3)"
+        if ivf
+        else "qq AS (SELECT vec_id AS query_id, qv FROM qall"
+        " WHERE vec_id < 3)"
     )
     tbls = []
     for s in range(m):
@@ -4368,13 +4379,19 @@ def _sql_pq(
             f" AND t{s}.cluster = f{s}.code"
         )
     adc = " + ".join(f"t{s}.d" for s in range(m))
+    probe = (
+        "\n  JOIN embeddings ec ON ec.vec_id = f0.vec_id"
+        "\n  JOIN qq ON qq.query_id = t0.query_id AND qq.label = ec.label"
+        if ivf
+        else ""
+    )
     return (
         "WITH " + ",\n".join(parts) + "\n"
         "SELECT query_id, vec_id, adc, CAST(rn AS INT) AS rank FROM (\n"
         f"  SELECT t0.query_id, f0.vec_id, CAST({adc} AS BIGINT) AS adc,\n"
         "         row_number() OVER (PARTITION BY t0.query_id"
         f" ORDER BY {adc}, f0.vec_id) AS rn\n"
-        f"  FROM {joins}\n  {tjoin}\n"
+        f"  FROM {joins}\n  {tjoin}{probe}\n"
         "  WHERE f0.vec_id <> t0.query_id) z\n"
         f"WHERE rn <= {ann_topk}"
     )
@@ -4382,6 +4399,7 @@ def _sql_pq(
 
 SQL_PQ_ENCODE = _sql_pq()
 SQL_PQ_ANN = _sql_pq(ann_topk=5)
+SQL_IVFPQ_ANN = _sql_pq(ann_topk=5, ivf=True)
 
 
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4392,6 +4410,15 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_ann(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed: coarse cell probe (the precomputed ``label``
+    assignment) + ADC over PQ codes within the probed cell — the
+    canonical RAM-resident 100 TB ANN shape. See
+    ``similarity.ivfpq_ann`` for why the broadcast equi-join on the
+    cell label IS the inverted-file probe."""
+    return similarity.ivfpq_ann(_t(spark, sf_dir, "embeddings"))
+
+
 SQL_ANN_RECALL = f"""
 WITH truth AS (
   SELECT query_id, vec_id FROM ({SQL_COSINE_TOPK}) t WHERE rank <= 5),
@@ -4400,7 +4427,9 @@ ann AS (
   UNION ALL
   SELECT 'lsh' AS method, query_id, vec_id FROM ({SQL_LSH_ANN}) l
   UNION ALL
-  SELECT 'pq' AS method, query_id, vec_id FROM ({SQL_PQ_ANN}) p)
+  SELECT 'pq' AS method, query_id, vec_id FROM ({SQL_PQ_ANN}) p
+  UNION ALL
+  SELECT 'ivfpq' AS method, query_id, vec_id FROM ({SQL_IVFPQ_ANN}) c)
 SELECT a.method, a.query_id,
        CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_hits,
@@ -4531,6 +4560,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "rolling_agg": (q_rolling_agg, SQL_ROLLING_AGG),
     "pq_ann": (q_pq_ann, SQL_PQ_ANN),
+    "ivfpq_ann": (q_ivfpq_ann, SQL_IVFPQ_ANN),
     "char_stats": (q_char_stats, SQL_CHAR_STATS),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),

@@ -1330,11 +1330,14 @@ def _pq_fit_books(
 
 
 def _pq_encode_frame(
-    q: DataFrame, books: list[list[list[int]]], sub: int
+    q: DataFrame, books: list[list[list[int]]], sub: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode pass over already-fitted codebooks: one scan-shaped
-    projection, codebooks as plan literals."""
-    cols = [F.col("vec_id")]
+    projection, codebooks as plan literals. ``carry`` names extra input
+    columns passed through unchanged (ivfpq_ann carries the coarse
+    cell label)."""
+    cols = [F.col("vec_id"), *[F.col(c) for c in carry]]
     code_cols = []
     for s, cents in enumerate(books):
         sq = F.slice("qv", s * sub + 1, sub)
@@ -1369,6 +1372,7 @@ def _pq_encode_frame(
         err = err + e
     return withd.select(
         "vec_id",
+        *carry,
         F.array(*codes).alias("codes"),
         err.cast("bigint").alias("err"),
     )
@@ -1456,6 +1460,123 @@ def pq_ann(
         codes.select("vec_id", F.explode(F.array(*structs)).alias("p"))
         .select(F.col("p.query_id"), "vec_id", F.col("p.adc"))
         .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc", "rank")
+    )
+
+
+def ivfpq_ann(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    query_pred: Column | None = None,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iter: int = 1,
+) -> DataFrame:
+    """IVF×PQ composed — the canonical 100 TB ANN shape (Jégou et al.
+    2011): a coarse inverted-file stage prunes the corpus to the
+    query's cell (the precomputed ``cluster_col`` assignment, same
+    coarse quantizer ``ivf_ann`` consumes), and within the probed cell
+    candidates are scored by ADC over PQ codes — so the corpus side
+    touches only (cell label, m code bytes) per vector, never the raw
+    floats, AND only ~n/n_cells of those rows reach the scorer. The two
+    existing arms each did half: ``ivf_ann`` pruned cells but scored
+    raw vectors; ``pq_ann`` scored codes but scanned every vector.
+
+    Codebooks are GLOBAL (fitted on the whole corpus, not per-cell
+    residuals — the simpler published variant), so fit/encode reuse
+    ``_pq_fit_books`` / ``_pq_encode_frame`` verbatim and the encode
+    stays one scan-shaped projection with the books as plan literals.
+
+    Scale shape: the per-query ADC lookup tables (m·k small ints each)
+    ride in a BROADCAST query table keyed by cell label; candidates
+    meet via the broadcast equi-join on the label — the IVF probe IS
+    the join pruning, no explode of the query set over corpus rows —
+    then one k-bounded per-query rank window. Deterministic end-to-end
+    (integer fit, integer tables, ties to lowest vec_id); the SQL
+    oracle replays fit, encode, tables, probe, and ranking exactly.
+
+    Returns (query_id, vec_id, adc, rank) — rank 1..k within the probed
+    cell, self-matches excluded.
+    """
+    from pyspark.sql.window import Window
+
+    from .cleaning import spread
+
+    if query_pred is None:
+        query_pred = F.col("vec_id") < 3
+    q = spread(df, key="vec_id").select(
+        "vec_id", _kq(F.col(vec_col)).alias("qv"), F.col(cluster_col)
+    )
+    first = q.select(F.size("qv").alias("d")).limit(1).collect()
+    out_schema = "query_id bigint, vec_id bigint, adc bigint, rank int"
+    if not first:
+        return df.sparkSession.createDataFrame([], out_schema)
+    dim = first[0]["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books = _pq_fit_books(q, m, sub, n_codes, n_iter)
+    codes = _pq_encode_frame(q, books, sub, carry=(cluster_col,)).select(
+        "vec_id", cluster_col, "codes"
+    )
+    queries = (
+        q.where(query_pred)
+        .select("vec_id", "qv", cluster_col)
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not queries:
+        return df.sparkSession.createDataFrame([], out_schema)
+    # Per-query ADC tables as a broadcast DataFrame row (query_id, cell
+    # label, m lookup arrays) — n_queries · m · n_codes small ints.
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    cell_field = next(
+        f for f in df.schema.fields if f.name == cluster_col
+    )
+    qrows = []
+    for row in queries:
+        qv = list(row["qv"])
+        tbls = []
+        for s, cents in enumerate(books):
+            qs = qv[s * sub:(s + 1) * sub]
+            tbls.append(
+                [
+                    int(sum((a - b) * (a - b) for a, b in zip(qs, c)))
+                    for c in cents
+                ]
+            )
+        qrows.append((int(row["vec_id"]), row[cluster_col], *tbls))
+    qschema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(cluster_col, cell_field.dataType),
+        ]
+        + [
+            StructField(f"__tbl{s}", ArrayType(LongType()))
+            for s in range(m)
+        ]
+    )
+    qdf = df.sparkSession.createDataFrame(qrows, qschema)
+    adc = None
+    for s in range(m):
+        lookup = F.element_at(
+            F.col(f"__tbl{s}"), F.col("codes")[s] + F.lit(1)
+        )
+        adc = lookup if adc is None else adc + lookup
+    scored = (
+        codes.join(F.broadcast(qdf), on=cluster_col)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.cast("bigint").alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (

@@ -364,13 +364,15 @@ def test_ann_recall_deterministic_and_pinned(spark):
         (r["method"], r["query_id"]): (r["n_hits"], r["recall_at_5"])
         for r in entrymod.queries()["ann_recall"](spark, SF_ORACLE).collect()
     }
-    assert len(rows) == 9  # 3 methods x 3 query vectors
+    assert len(rows) == 12  # 4 methods x 3 query vectors
     by_method = {}
     for (meth, _), (h, _) in rows.items():
         by_method[meth] = by_method.get(meth, 0) + h
     # pq out-recalls the bucketed paths here: ADC scans every code, so
-    # only quantization (not bucketing) loses neighbors
-    assert by_method == {"ivf": 2, "lsh": 1, "pq": 4}
+    # only quantization (not bucketing) loses neighbors; ivfpq's probe
+    # keeps exactly ivf's cell-local hits (same coarse cells, and the
+    # ADC ranking recovers the same in-cell true neighbors here)
+    assert by_method == {"ivf": 2, "lsh": 1, "pq": 4, "ivfpq": 2}
     for (_, _), (h, rec) in rows.items():
         assert rec == h / 5.0
 

@@ -196,3 +196,48 @@ def test_cosine_pairs_auto_blocks_matches_catalyst(spark):
         tuple(r) for r in similarity.cosine_pairs_catalyst(df).collect()
     )
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------- IVF x PQ
+
+
+def test_ivfpq_ann_is_pq_restricted_to_probed_cell(spark):
+    """ivfpq == pq_ann candidates filtered to the query's coarse cell:
+    for each query, the ivfpq result must equal re-ranking the pq ADC
+    scores of same-label vectors only."""
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    # unranked ADC scores from the full-scan path (big k to keep all)
+    allscores = {
+        (r["query_id"], r["vec_id"]): r["adc"]
+        for r in similarity.pq_ann(emb, k=1 << 30).collect()
+    }
+    want = {}
+    for qid in (0, 1, 2):
+        cell = labels[qid]
+        cand = sorted(
+            (adc, vid)
+            for (q, vid), adc in allscores.items()
+            if q == qid and labels[vid] == cell
+        )
+        for rank, (adc, vid) in enumerate(cand[:5], start=1):
+            want[(qid, vid)] = (adc, rank)
+    got = {
+        (r["query_id"], r["vec_id"]): (r["adc"], r["rank"])
+        for r in similarity.ivfpq_ann(emb).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_ann_probe_is_broadcast_join(spark):
+    """The IVF probe must be a broadcast equi-join on the cell label —
+    no SortMergeJoin, no Cartesian."""
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = similarity.ivfpq_ann(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
