@@ -797,36 +797,69 @@ def _np_pop64(x):
     return (x * h) >> np.uint64(56)
 
 
-def _simhash_mih_pairs(agg: DataFrame, max_hamming: int) -> DataFrame:
+def mih_bands(max_hamming: int) -> int:
+    """Band count for the MIH geometry: the WIDEST single-flip-feasible
+    bands. Pigeonhole over b bands: a pair at Hamming ≤ h has some band
+    at distance ≤ floor(h/b); the kernel matches band distance 0
+    (exact×exact) and 1 (exact×single-flip-variant), so feasibility
+    needs floor(h/b) ≤ 1, i.e. b ≥ floor(h/2)+1. Subject to that, WIDER
+    bands are strictly better at every corpus size: occupancy is
+    n/2^(64/b) (each halving of b squares the bucket count) while keys
+    per doc b·(1+64/b) = b+64 barely moves (66 at b=2 vs 68 at b=4).
+    So the width knob is RADIUS-bound, not corpus-bound — the widest
+    feasible geometry wins wherever the MIH plan is selected at all
+    (the corpus-size decision is the SIMHASH_MIH_BYTES gate upstream):
+
+    - h ≤ 3 → 2×32-bit bands, occupancy n/2^32: a TRILLION-doc corpus
+      averages < 1 doc per bucket — third-decade-safe outright.
+    - h 4..7 → 4×16-bit bands, occupancy n/65536: the h ≤ 7 contract's
+      widest single-flip geometry. Growing past ~10^8 docs means either
+      trading the radius down to ≤ 3 (the n_bands knob precedent) or
+      paying r = 2 variant enumeration (C(w,2) keys/doc) — documented
+      in SCALING.md, not silently attempted.
+    - h ≥ 8 never reaches MIH (the dispatch keeps the banded kernel).
+    """
+    for b in (2, 4):
+        if max_hamming // b <= 1:
+            return b
+    raise ValueError(
+        f"max_hamming={max_hamming} exceeds the single-flip MIH radius"
+    )
+
+
+def _simhash_mih_pairs(
+    agg: DataFrame, max_hamming: int, n_docs: int | None = None
+) -> DataFrame:
     """Multi-index-hashing pair stage (Norouzi/Punjani/Fleet, CVPR'12):
     the corpus-scale plan shape for simhash_near_dup_pairs, value-equal
     to the banded plans.
 
-    Geometry: the 64-bit signature splits into 4 disjoint 16-bit bands
-    with per-band search radius r = max_hamming // 4 (0 or 1 — callers
-    with max_hamming > 7 stay on the banded kernel). Pigeonhole: if every
-    band differed in ≥ r+1 bits the total distance would be ≥ 4(r+1) >
-    max_hamming, so every qualifying pair agrees with some band to within
-    r bits. For r = 1 each doc emits, per band, its exact 16-bit value
-    plus the 16 single-bit-flip variants (68 keys/doc total); a pair at
-    band distance 1 collides exact×variant in BOTH orientations, a pair
-    at band distance 0 collides exact×exact. The final pair set is
-    exactly {a<b : hamming ≤ max_hamming} — identical to the other two
-    plan shapes (asserted in tests/test_properties.py).
+    Geometry: the 64-bit signature splits into ``mih_bands(max_hamming)``
+    disjoint w-bit bands (w = 64/b) with per-band search radius
+    r = max_hamming // b (0 or 1 — callers with max_hamming > 7 stay on
+    the banded kernel). Pigeonhole: if every band differed in ≥ r+1 bits
+    the total distance would be ≥ b(r+1) > max_hamming, so every
+    qualifying pair agrees with some band to within r bits. For r = 1
+    each doc emits, per band, its exact w-bit value plus the w
+    single-bit-flip variants (b·(1+w) keys/doc); a pair at band distance
+    1 collides exact×variant in BOTH orientations, a pair at band
+    distance 0 collides exact×exact. The final pair set is exactly
+    {a<b : hamming ≤ max_hamming} — identical to the other two plan
+    shapes (asserted in tests/test_properties.py for both geometries).
 
-    Scale shape: occupancy per (band, value) bucket is n/65536 exact
-    rows + 16n/65536 variant rows vs n/256 for 8-bit bands, so the
-    occupancy² kernel term drops ~100× at 500k docs (measured 487 s →
-    see SCALING.md second decade) for an 8.5× emit-volume increase —
-    narrow int64 rows, an equi-shuffle Spark absorbs. At even larger
-    corpora the same rule applies as for the banded geometry: occupancy
-    n/2^w is the contract, so w must grow with the corpus (r=1 variants
-    cap w growth at the point where w flips/doc dominate; past ~10^9
-    docs, route through exact_dedup first and shard by source).
+    Scale shape: occupancy per (band, value) bucket is n/2^w exact rows
+    + w·n/2^w variant rows vs n/256 for 8-bit bands, so the occupancy²
+    kernel term drops ~100× at 500k docs (measured 487 s → see
+    SCALING.md second decade) for an ~8.5× emit-volume increase —
+    narrow int64 rows, an equi-shuffle Spark absorbs. The Arrow
+    transport granularity self-sizes from ``n_docs`` (the dispatcher's
+    one count() job): sub-group count targets ~500k exploded rows per
+    task, so task parallelism grows with the corpus instead of pinning
+    at the 256 sub-buckets that fit the second decade.
 
     The repartition between signature assembly and key emit is a
     deliberate exchange barrier: without it CollapseProject inlines the
-    full SWAR majority-vote expression into all 68 variant-key
+    full SWAR majority-vote expression into all b·(1+w) variant-key
     expressions and Catalyst planning alone costs seconds
     (data-size-independent; same pathology as deriving band keys from
     sh_lo/sh_hi in the banded plan, see simhash_near_dup_pairs).
@@ -834,14 +867,20 @@ def _simhash_mih_pairs(agg: DataFrame, max_hamming: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    r = max_hamming // 4
+    b = mih_bands(max_hamming)
+    w = 64 // b
+    mask = (1 << w) - 1
+    r = max_hamming // b
     sigs = agg.select(
         "doc_id", _swar_half(0, "sh_lo"), _swar_half(32, "sh_hi")
     ).repartition("doc_id")
     structs = []
-    for k in range(4):
-        src = "sh_lo" if k < 2 else "sh_hi"
-        bv = f"(shiftrightunsigned({src}, {16 * (k % 2)}) & 65535)"
+    for k in range(b):
+        # band k covers signature bits [k·w, (k+1)·w); sh_lo holds bits
+        # 0..31, sh_hi bits 32..63 (w ∈ {16, 32} always nests in one half)
+        src = "sh_lo" if (k + 1) * w <= 32 else "sh_hi"
+        shift = (k * w) % 32
+        bv = f"(shiftrightunsigned({src}, {shift}) & {mask})"
         structs.append(
             f"struct({k} AS band, cast({bv} as bigint) AS band_val,"
             " 0 AS kind)"
@@ -850,7 +889,7 @@ def _simhash_mih_pairs(agg: DataFrame, max_hamming: int) -> DataFrame:
             structs.extend(
                 f"struct({k} AS band, cast({bv} ^ {1 << i} as bigint)"
                 " AS band_val, 1 AS kind)"
-                for i in range(16)
+                for i in range(w)
             )
     ex = (
         sigs.select(
@@ -918,10 +957,18 @@ def _simhash_mih_pairs(agg: DataFrame, max_hamming: int) -> DataFrame:
                     )
         return pd.concat(outs, ignore_index=True)
 
-    # Coarse Arrow transport, same rationale as the banded kernel: 4·256
-    # shuffle keys of ~17n/1024 rows each, exact-value sub-grouping at
-    # C speed inside pandas.
-    coarse = ex.withColumn("__sub", F.pmod("band_val", F.lit(256)))
+    # Coarse Arrow transport, same rationale as the banded kernel:
+    # b·n_sub shuffle keys, exact-value sub-grouping at C speed inside
+    # pandas. n_sub self-sizes from the doc count (~500k exploded rows
+    # per task) so parallelism grows with the corpus; 256 remains the
+    # floor (the second-decade-tuned value), 65536 the ceiling (more
+    # tasks than that and the per-group Python round-trip cost returns).
+    keys_per_doc = 1 + (w if r >= 1 else 0)
+    n_sub = 256
+    if n_docs:
+        target = (n_docs * keys_per_doc) // 500_000
+        n_sub = max(256, min(min(1 << w, 65536), target))
+    coarse = ex.withColumn("__sub", F.pmod("band_val", F.lit(n_sub)))
     return (
         coarse.groupBy("band", "__sub")
         .applyInPandas(_mih_kernel, "doc_a long, doc_b long, hamming long")
@@ -984,13 +1031,17 @@ def simhash_near_dup_pairs(
     assert max_hamming < n_bands, "recall guarantee needs h < n_bands"
     width = 64 // n_bands
     agg = _simhash_agg(df, text_col)
-    # CORPUS-SCALE plan: multi-index hashing (4×16-bit bands + 1-bit-flip
-    # variant keys). The pair set is the same {hamming ≤ max_hamming}
-    # regardless of geometry — every plan shape has full recall — so the
-    # switch is purely a cost decision; see _simhash_mih_pairs. Only
-    # radii ≤ 7 keep the variant enumeration at one flip per band.
+    # CORPUS-SCALE plan: multi-index hashing (b wide bands + 1-bit-flip
+    # variant keys; ``mih_bands`` picks the widest single-flip-feasible
+    # geometry from the radius — 2×32-bit at h ≤ 3, 4×16-bit at h ≤ 7).
+    # The pair set is the same {hamming ≤ max_hamming} regardless of
+    # geometry — every plan shape has full recall — so the switch is
+    # purely a cost decision; see _simhash_mih_pairs. Only radii ≤ 7
+    # keep the variant enumeration at one flip per band. The count()
+    # job sizes the Arrow transport granularity (trivial next to the
+    # pair stage it sizes — the resolve_planes convention).
     if max_hamming <= 7 and _estimated_bytes(df) >= SIMHASH_MIH_BYTES:
-        return _simhash_mih_pairs(agg, max_hamming)
+        return _simhash_mih_pairs(agg, max_hamming, n_docs=df.count())
     bands = F.expr(
         "array("
         + ",".join(

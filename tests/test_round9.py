@@ -241,3 +241,37 @@ def test_ivfpq_ann_probe_is_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------- simhash MIH auto geometry
+
+
+def test_simhash_mih_auto_width_preserves_pair_set(spark):
+    """mih_bands picks the widest single-flip-feasible geometry from the
+    radius (2x32-bit at h<=3, 4x16-bit at h<=7); both must emit exactly
+    the banded plan's pair set on the fixture corpus."""
+    from data_lakehouse_hygiene_spark.operators import dedup as D
+
+    assert D.mih_bands(3) == 2
+    assert D.mih_bands(7) == 4
+    with pytest.raises(ValueError):
+        D.mih_bands(8)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for h in (3, 7):
+        banded = sorted(
+            tuple(r)
+            for r in D.simhash_near_dup_pairs(docs, max_hamming=h).collect()
+        )
+        old = D.SIMHASH_MIH_BYTES
+        D.SIMHASH_MIH_BYTES = 0
+        try:
+            mih = sorted(
+                tuple(r)
+                for r in D.simhash_near_dup_pairs(
+                    docs, max_hamming=h
+                ).collect()
+            )
+        finally:
+            D.SIMHASH_MIH_BYTES = old
+        assert mih == banded and len(mih) > 0
