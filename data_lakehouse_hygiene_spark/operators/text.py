@@ -709,9 +709,18 @@ def ccnet_buckets(
     # A/B: D-checkpoint 24.6 s, no checkpoint 36.9 s, labeled-level
     # checkpoint 30.2 s — checkpointing D (above the broadcast join, so
     # the rescued lineage is maximal per byte materialized) wins.
-    labeled = _bigram_scored(
-        df, text_col, carry=(lang_col,), materialize=True
-    ).withColumnRenamed(lang_col, "lang")
+    # The scored output itself ALSO has two consumers (the tercile
+    # election and the final join) — without its own barrier each one
+    # re-runs the LM broadcast join + per-doc aggregate from the D
+    # checkpoint. labeled is one narrow row per doc, so materializing it
+    # is cheap and deletes a whole D→lm→per_doc re-execution (round-9
+    # A/B at 500k docs: D-only 24.6 s → D+labeled ~19 s; sf0.1
+    # 1.8 → ~1.2 s warm).
+    labeled = (
+        _bigram_scored(df, text_col, carry=(lang_col,), materialize=True)
+        .withColumnRenamed(lang_col, "lang")
+        .localCheckpoint(eager=False)
+    )
     dist = labeled.groupBy("lang", "lm_score").agg(
         F.count(F.lit(1)).alias("cnt")
     )
