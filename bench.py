@@ -15,14 +15,22 @@ BENCH_DETAIL_sf{sf}.json next to this script (sf in the name so runs at
 different scale factors don't clobber each other; the default-sf run also
 refreshes BENCH_DETAIL.json, the canonical latest).
 
-Timing protocol (round 5 — built to separate drift from regression):
+Timing protocol (round 9 — built to separate drift from regression):
 - Spark: one warmup pass over the whole headline list (codegen/JIT), then
-  N_PASSES=3 timed passes over the list IN ORDER, per-query time = min
-  across passes. Interleaving the passes (q1..qn, q1..qn, ...) instead of
+  N_PASSES=5 timed passes over the list IN ORDER, per-query time = MEDIAN
+  across passes (round 8 postmortem: min-of-3 still drifted +22% across
+  rounds on unchanged plans under ambient load; the median of 5 warm
+  interleaved passes is the reproducible location estimate, and the
+  recorded spread envelope bounds what a cross-round delta can mean).
+  Interleaving the passes (q1..qn, q1..qn, ...) instead of
   back-to-back repeats (q1,q1,q1, q2,q2,q2) decorrelates a transient
   co-load (driver activity, page-cache eviction) from any single query —
   round 4 saw 2.5x single-query swings with zero code delta, which
   back-to-back min-of-2 failed to absorb.
+- The stdout line carries ratio_vs_duckdb measured in the SAME run, so
+  ambient load cancels out of the headline comparison: both engines see
+  the same machine state, and the ratio — not the absolute seconds — is
+  the cross-round number of record.
 - Per-query spread (max/min across timed runs) is recorded in the detail
   file as the measured variance envelope; a "regression" within the
   envelope is noise, not a finding.
@@ -113,10 +121,10 @@ HEADLINE = [
 ]
 
 
-# Timed interleaved passes; per-query time = min across passes.
+# Timed interleaved passes; per-query time = MEDIAN across passes.
 # SPARK_GRAFT_PASSES overrides (scale rehearsals at sf>=1 use 2: a pass
 # costs ~10x sf0.1, and the interleaving already decorrelates co-load).
-N_PASSES = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
+N_PASSES = int(os.environ.get("SPARK_GRAFT_PASSES", "5"))
 
 # Oracles exempt from the warmup+min-of-2 protocol: deliberately
 # brute-force quadratic baselines whose single run already dominates the
@@ -201,7 +209,9 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             runs[name].append(round(time.perf_counter() - t0, 3))
-    timings = {n: min(r) for n, r in runs.items()}
+    from statistics import median
+
+    timings = {n: round(median(r), 3) for n, r in runs.items()}
     # Measured variance envelope: max/min across the timed runs of one
     # query. Cross-round deltas inside this envelope are noise.
     # Guard min(r) at 1 ms: per-run values are rounded to 3 decimals, so a
@@ -298,12 +308,18 @@ def main() -> None:
     # stdout tail window is 2000 chars. Emit queries inline while the line
     # fits comfortably, else fall back to the detail-file pointer only
     # (every number is in BENCH_DETAIL*.json either way).
+    duck_total = round(sum(duck.values()), 3)
     line_obj = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "duckdb_total": round(sum(duck.values()), 3),
+        "duckdb_total": duck_total,
+        # same-run ratio: both engines measured under the same ambient
+        # load, so THIS is the cross-round number of record
+        "ratio_vs_duckdb": (
+            round(total / duck_total, 3) if duck_total else None
+        ),
         "sf": sf,
         "detail": detail_name,
     }
