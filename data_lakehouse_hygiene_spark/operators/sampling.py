@@ -222,3 +222,90 @@ def mixture_resample(
         .where(u.cast("double") < F.col("__r") * F.lit(float(resolution)))
         .select(key, *group_cols)
     )
+
+
+def global_rank(
+    df: DataFrame, order: list[Column], n_parts: int = 32
+) -> DataFrame:
+    """Distributed dense global 1-based rank by ``order`` (must be a
+    TOTAL order — include a unique tiebreak column) — the scale-safe
+    replacement for ``row_number() OVER (ORDER BY ...)``'s single-task
+    global window: range-partition on the sort key, rank WITHIN each
+    partition, then add each partition's start offset (one
+    #partitions-row collect — bounded driver traffic, the
+    kmeans-centroid convention).
+
+    The rank VALUES are a pure function of the data (the total order
+    fixes them), so the result is identical under any partition layout;
+    only the work distribution depends on ``n_parts``. Size it to the
+    cluster — each range partition sorts independently.
+    """
+    from pyspark.sql.window import Window
+
+    part = df.repartitionByRange(n_parts, *order)
+    pid = F.spark_partition_id()
+    w = Window.partitionBy("__pid").orderBy(*order)
+    ranked = part.withColumn("__pid", pid).withColumn(
+        "__local", F.row_number().over(w)
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranked.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if not offsets:
+        return df.withColumn("rank", F.lit(None).cast("bigint")).where(
+            F.lit(False)
+        )
+    off_map = F.create_map(
+        *[F.lit(x) for p in sorted(offsets) for x in (p, offsets[p])]
+    )
+    return ranked.select(
+        *df.columns,
+        (
+            F.col("__local").cast("bigint")
+            + F.element_at(off_map, F.col("__pid"))
+        ).alias("rank"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Size-balanced output sharding: assign every document to one of
+    ``n_shards`` shards so per-shard total size stays near-equal — the
+    layout step before a training run writes its N input files, where
+    unbalanced shards become stragglers for every epoch that follows.
+
+    Assignment = sorted round-robin: rank all docs by (size DESC, id)
+    and take rank-1 mod n_shards. Round-robin over the size-sorted
+    order is the classic streaming bin-packing heuristic — consecutive
+    docs (nearest in size) land in different shards, so shard totals
+    differ by at most the largest single document across any window of
+    n_shards ranks; on realistic size distributions the imbalance is
+    per-mille (test-pinned ≤ 5% on the fixture). Deterministic, no RNG:
+    the assignment is a pure function of (size, id).
+
+    Scale shape: one ``global_rank`` (range-partitioned distributed
+    sort + a #partitions-row offset collect) and a projection — no
+    global single-task window anywhere. Returns
+    (id, size, rank, shard).
+    """
+    ranked = global_rank(
+        df.select(id_col, size_col),
+        [F.col(size_col).desc(), F.col(id_col).asc()],
+    )
+    return ranked.select(
+        id_col,
+        size_col,
+        "rank",
+        ((F.col("rank") - 1) % F.lit(n_shards)).cast("int").alias("shard"),
+    )

@@ -275,3 +275,61 @@ def test_simhash_mih_auto_width_preserves_pair_set(spark):
         finally:
             D.SIMHASH_MIH_BYTES = old
         assert mih == banded and len(mih) > 0
+
+
+# ------------------------------------------------- shard_assign / global_rank
+
+
+def test_global_rank_matches_single_window_and_is_layout_invariant(spark):
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in sampling.global_rank(
+            docs.select("doc_id", "n_chars"), order
+        ).collect()
+    }
+    rows = sorted(
+        ((r["n_chars"], r["doc_id"]) for r in docs.select("doc_id", "n_chars").collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = {doc: i + 1 for i, (_, doc) in enumerate(rows)}
+    assert got == want
+    # layout-invariant: a different n_parts produces identical ranks
+    got3 = {
+        r["doc_id"]: r["rank"]
+        for r in sampling.global_rank(
+            docs.select("doc_id", "n_chars"), order, n_parts=3
+        ).collect()
+    }
+    assert got3 == want
+
+
+def test_shard_assign_balances_sizes(spark):
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = sampling.shard_assign(docs, 8).collect()
+    assert len(out) == docs.count()
+    totals = {}
+    for r in out:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_chars"]
+    assert set(totals) == set(range(8))
+    assert max(totals.values()) / min(totals.values()) < 1.05
+
+
+def test_shard_assign_has_no_single_task_global_window(spark):
+    """The plan must not contain a global (empty-partition-spec) window —
+    the whole point of the two-phase rank."""
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        sampling.shard_assign(docs, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    for mline in re.finditer(r"Window \[.*", plan):
+        assert "__pid" in mline.group(0)  # every window is pid-partitioned
