@@ -118,6 +118,8 @@ HEADLINE = [
     "boilerplate_ngrams",
     "mad_outliers",
     "winsorize",
+    "ivfpq_ann",
+    "shard_assign",
 ]
 
 

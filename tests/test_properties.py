@@ -214,6 +214,16 @@ def test_cosine_pairs_matches_numpy_replay(spark, vecs, threshold):
         ).collect()
     }
     assert got_kmeans == want
+    # block_rows=1 makes EVERY cluster oversize — the round-9 hash-split
+    # sub-block expansion must stay a pure plan-shape change
+    got_split = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in cosine_pairs(
+            df, threshold=threshold, n_blocks=2, small_bytes=0,
+            block_rows=1,
+        ).collect()
+    }
+    assert got_split == want
 
 
 def _lev(a: str, b: str) -> int:

@@ -31,6 +31,7 @@ SKIP = {"streaming_time_bucket", "streaming_sliding_window",
         # show the final round's join, not the algorithm
         "dedup_clusters", "dedup_clusters_star", "dedup_keep_best",
         "kmeans_assign", "kcenter_sample", "pq_encode", "pq_ann",
+        "ivfpq_ann",
         "streaming_join", "streaming_enrich"}  # streaming plans finalize per micro-batch
 
 
