@@ -328,13 +328,11 @@ def cosine_pairs(
     from .cleaning import spread
     from .dedup import _estimated_bytes
 
+    # _estimated_bytes maps Catalyst's unknown-stats sentinel to 0
+    # (round 9): stat-less in-memory plans take the small-input path;
+    # the gate protects against pointing the exact path at a
+    # corpus-scale TABLE, and tables carry file-size stats.
     est = _estimated_bytes(df)
-    # Catalyst reports Long.MaxValue when it cannot estimate (e.g. local
-    # relations): treat as "unknown, assume small" — the gate protects
-    # against accidentally pointing the exact path at a corpus-scale TABLE,
-    # and tables carry file-size stats; stat-less plans are in-memory.
-    if est >= (1 << 63) - 1:
-        est = 0
     if est > max_bytes:
         raise ValueError(
             f"cosine_pairs is the EXACT quadratic path: estimated input "

@@ -25,8 +25,12 @@ different workload, not a bigger one):
   positions — norm-preserving, so within-replica cosine structure is
   exact; cross-replica cosines decorrelate to ~random.
 
-Usage: python tools/gen_scale.py [factor] [out_dir]
-Defaults: factor=10, out_dir=/root/repo/.scale/sf1 (gitignored).
+Usage: python tools/gen_scale.py [factor] [out_dir] [tables]
+Defaults: factor=10, out_dir=/root/repo/.scale/sf1 (gitignored);
+``tables`` is an optional comma list (e.g. ``documents,embeddings``) for
+third-decade rehearsals where only the content families are needed —
+replicating 60M-row lineitem 1000x would be disk/time spent on tables
+no scale-sensitive query reads.
 """
 
 from __future__ import annotations
@@ -63,6 +67,7 @@ FOREIGN = {
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -84,6 +89,8 @@ def main() -> None:
     )
 
     for t in ("region", "nation"):
+        if only is not None and t not in only:
+            continue
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet'"
             " (FORMAT PARQUET)"
@@ -91,6 +98,8 @@ def main() -> None:
         print(t, "copied")
 
     for t in STRIDED:
+        if only is not None and t not in only:
+            continue
         cols = [
             c[0]
             for c in con.execute(
