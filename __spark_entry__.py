@@ -3265,6 +3265,43 @@ FROM top, tot t
 """
 
 
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned corpus trigram occurrence counts (min_count=5) — the n-gram
+    LM / contamination-index primitive. See ``text.ngram_counts``."""
+    return text_ops.ngram_counts(
+        _t(spark, sf_dir, "documents"), n=3, min_count=5
+    )
+
+
+SQL_NGRAM_COUNTS = """
+WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+g AS (
+  SELECT t.ts[g.i] || ' ' || t.ts[g.i+1] || ' ' || t.ts[g.i+2] AS ngram
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts) - 1)) AS i) g
+  WHERE len(t.ts) >= 3)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY 1 HAVING count(*) >= 5
+"""
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training on the corpus (40 merges). Iterative
+    merge election is not SQL-expressible — no oracle row (rows-only
+    driver check); the merge table is value-pinned in
+    ``tests/test_round9.py`` instead. See ``text.bpe_train``."""
+    return text_ops.bpe_train(_t(spark, sf_dir, "documents"), n_merges=40)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-encoded with the corpus-trained BPE merge table.
+    Train + apply are iterative — no oracle row (rows-only driver
+    check); encode semantics are pinned against hand-computed merges in
+    ``tests/test_round9.py``. See ``text.bpe_encode``."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text_ops.bpe_train(docs, n_merges=40)
+    return text_ops.bpe_encode(docs, merges)
+
+
 def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML strip + entity decode + whitespace collapse. The corpus is
     plain text, so the registry query first WRAPS it in deterministic
@@ -4634,6 +4671,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- identifier quoting feeding the minhash/simhash/contamination
     # -- family) — re-verify before anything else ---------------------------
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # -- NEW this round (r09): corpus n-gram counts + BPE tokenizer
+    # -- training/encode. Added AFTER the r9 50-row prefix was frozen, so
+    # -- they are local-only this round — rotate into the r10 prefix.
+    "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
+    "bpe_train": (q_bpe_train, None),
+    "bpe_encode": (q_bpe_encode, None),
     "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),

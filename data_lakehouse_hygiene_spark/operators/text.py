@@ -1079,3 +1079,202 @@ def vocab_encode(
         )
         .select("doc_id", "ids", "n_tokens", "n_unk")
     )
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 3, min_count: int = 2
+) -> DataFrame:
+    """Pruned corpus n-gram frequency table — the raw-count primitive an
+    n-gram LM / contamination index / boilerplate miner is built from
+    (counts every OCCURRENCE, unlike ``boilerplate_ngrams`` which counts
+    per-document presence). Documents shorter than ``n`` tokens contribute
+    nothing (standard LM-count convention). Returns ``(ngram, cnt)`` with
+    ``cnt >= min_count``.
+
+    Scale shape: positional n-gram construction is an in-row transform
+    over the ONCE-split token array (``project_tokens`` pins the split
+    behind a projection boundary), then ONE map-side-combined hash
+    aggregate to the n-gram grain. The explode is wide (≈ one row per
+    corpus token) but never shuffles at that grain: partial aggregation
+    collapses each partition to its distinct-ngram table before the
+    exchange, so the shuffle carries vocabulary-bounded partials, not
+    10¹⁴ token rows. The ``min_count`` prune runs post-aggregate (a
+    count cannot be pruned before it exists) but pre-materialization, so
+    the singleton tail — the vast majority of distinct n-grams by
+    Zipf — never reaches the consumer.
+    """
+    from .cleaning import spread
+
+    elems = ", ".join(f"__toks[i + {j}]" for j in range(n))
+    grams = F.expr(
+        f"if(size(__toks) >= {n}, "
+        f"transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', {elems})), "
+        f"array())"
+    )
+    return (
+        spread(project_tokens(df, text_col))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+
+
+def _bpe_merge_word(word: str, ranks: dict) -> tuple:
+    """Reference BPE apply for one word: repeatedly merge the
+    lowest-rank adjacent symbol pair (all its occurrences, leftmost
+    first) until no learnable pair remains. Pure function of
+    (word, ranks) — shared by the trainer's bookkeeping and the
+    encoder kernel so train/encode can never drift."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, a, b)
+        if best is None:
+            break
+        _, a, b = best
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return tuple(syms)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    max_types: int = 50_000,
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016,
+    without the end-of-word marker): returns ``(rank, left, right,
+    pair_count)`` — ``rank`` is merge order (0 = first), ``pair_count``
+    the frequency mass the pair had when elected.
+
+    Scale shape — the corpus is touched ONCE, distributed: a map-side-
+    combined aggregate to the word-TYPE grain (Heaps-law sublinear in
+    corpus size), capped to the ``max_types`` most frequent types
+    (freq desc, word asc — deterministic; frequency-capped type tables
+    are how production tokenizer trainers bound memory, and the dropped
+    tail holds negligible pair mass by Zipf). The merge election loop
+    then runs driver-side over that BOUNDED table — ≤ ``max_types``
+    rows collected, corpus-size-independent — because each merge
+    depends on the previous one (inherently sequential; distributing it
+    would be ``n_merges`` full jobs for work a single core finishes in
+    seconds on a capped table). Election tie-break: (count desc, left
+    asc, right asc), engine-portable.
+    """
+    from .cleaning import spread
+
+    cap = (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(int(max_types))
+    )
+    types = [(r["w"], int(r["freq"])) for r in cap.collect()]
+    word_syms = {w: tuple(w) for w, _ in types}
+    merges = []
+    for rank in range(int(n_merges)):
+        counts: dict = {}
+        for w, freq in types:
+            syms = word_syms[w]
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        for w in word_syms:
+            syms = word_syms[w]
+            if left not in syms or right not in syms:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            word_syms[w] = tuple(out)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame, merges: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus: returns
+    ``(doc_id, bpe_tokens array<string>, n_bpe_tokens)``.
+
+    Scale shape: the merge table is ≤ ``n_merges`` rows — collected once
+    on the driver (bounded by construction) and shipped to every task in
+    the kernel's closure, never joined. The apply itself is an Arrow
+    ``mapInPandas`` kernel (merge application is an inherently iterative
+    per-word loop — no leftmost-greedy-correct expression form exists in
+    portable column algebra; a chained ``replace`` mis-merges across
+    symbol boundaries, and a fold-per-merge is CodegenFallback-
+    interpreted at the same cost with none of the clarity): per batch a
+    word→tokens memo collapses the Zipf head, so each distinct word in a
+    batch pays the merge loop once regardless of its token frequency.
+    Shuffle-free; scan throughput at 100 TB.
+    """
+    import pandas as pd
+
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
+    }
+
+    def gen(it):
+        memo: dict = {}
+        for pdf in it:
+            toks_out, counts = [], []
+            for s in pdf[text_col]:
+                if s is None:
+                    toks_out.append(None)
+                    counts.append(None)
+                    continue
+                enc = []
+                for w in s.split(" "):
+                    if not w:
+                        continue
+                    got = memo.get(w)
+                    if got is None:
+                        got = _bpe_merge_word(w, ranks)
+                        memo[w] = got
+                    enc.extend(got)
+                toks_out.append(enc)
+                counts.append(len(enc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bpe_tokens": toks_out,
+                    "n_bpe_tokens": pd.array(counts, dtype="Int64"),
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        gen, "doc_id bigint, bpe_tokens array<string>, n_bpe_tokens bigint"
+    )

@@ -333,3 +333,100 @@ def test_shard_assign_has_no_single_task_global_window(spark):
     import re
     for mline in re.finditer(r"Window \[.*", plan):
         assert "__pid" in mline.group(0)  # every window is pid-partitioned
+
+
+# --------------------------------------------- ngram_counts / BPE (r9 adds)
+
+
+def test_ngram_counts_matches_manual(spark):
+    from collections import Counter
+
+    from data_lakehouse_hygiene_spark.operators import text as T
+
+    rows = [
+        (1, "a b c a b c a b"),
+        (2, "a b c"),
+        (3, "x y"),          # < 3 tokens: contributes nothing
+        (4, "a b c d"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["ngram"]: r["cnt"]
+        for r in T.ngram_counts(docs, n=3, min_count=2).collect()
+    }
+    want = Counter()
+    for _, t in rows:
+        ts = t.split(" ")
+        for i in range(len(ts) - 2):
+            want[" ".join(ts[i : i + 3])] += 1
+    want = {g: c for g, c in want.items() if c >= 2}
+    assert got == want
+    assert "x y" not in got  # short doc contributed no (whole-text) gram
+
+
+def test_bpe_merge_word_leftmost_overlap(spark):
+    from data_lakehouse_hygiene_spark.operators.text import _bpe_merge_word
+
+    ranks = {("a", "a"): 0}
+    assert _bpe_merge_word("aaa", ranks) == ("aa", "a")
+    assert _bpe_merge_word("aaaa", ranks) == ("aa", "aa")
+    # rank order wins over position: (b,c) elected before (a,b)
+    ranks2 = {("a", "b"): 1, ("b", "c"): 0}
+    assert _bpe_merge_word("abc", ranks2) == ("a", "bc")
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    from data_lakehouse_hygiene_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ac")], ["doc_id", "text"]
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in T.bpe_train(docs, n_merges=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    # (a,b) carries mass 3, elected first; then (a,c) with 1; then no
+    # pairs remain so training stops early despite n_merges=5.
+    assert got == [(0, "a", "b", 3), (1, "a", "c", 1)]
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from data_lakehouse_hygiene_spark.operators import text as T
+
+    merges = spark.createDataFrame(
+        [(0, "l", "o", 9), (1, "lo", "w", 5)],
+        "rank int, left string, right string, pair_count bigint",
+    )
+    docs = spark.createDataFrame(
+        [(1, "lowest low"), (2, None)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in T.bpe_encode(docs, merges).collect()}
+    assert out[1]["bpe_tokens"] == ["low", "e", "s", "t", "low"]
+    assert out[1]["n_bpe_tokens"] == 5
+    assert out[2]["bpe_tokens"] is None
+    assert out[2]["n_bpe_tokens"] is None
+
+
+def test_bpe_train_encode_roundtrip_on_corpus(spark):
+    """Corpus-trained merges, applied: per-doc BPE tokens concatenate
+    back to the document with spaces removed (merges never cross word
+    boundaries), token count never exceeds char count, and training is
+    deterministic (two runs elect identical merge tables)."""
+    from data_lakehouse_hygiene_spark.operators import text as T
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    merges = T.bpe_train(docs, n_merges=30)
+    m1 = [tuple(r) for r in merges.orderBy("rank").collect()]
+    m2 = [
+        tuple(r)
+        for r in T.bpe_train(docs, n_merges=30).orderBy("rank").collect()
+    ]
+    assert m1 == m2 and len(m1) == 30
+    enc = T.bpe_encode(docs, merges)
+    joined = enc.join(docs.select("doc_id", "text"), "doc_id")
+    for r in joined.collect():
+        assert "".join(r["bpe_tokens"]) == r["text"].replace(" ", "")
+        assert r["n_bpe_tokens"] <= len(r["text"])
