@@ -4904,14 +4904,18 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 17 rows that have NEVER had an official driver check — all 16
+# (a) the 21 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
-#     plus this round's new ivfpq_ann;
-# (b) the 27 rows whose latest official check is still r04;
-# (c) 6 rows whose code paths changed this round (ann_recall gained the
+#     plus this round's new ivfpq_ann, shard_assign, ngram_counts, and
+#     the two BPE rows (rows-only checks — no oracle SQL by design);
+# (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
-#     NULL-contract fix; the simhash MIH geometry self-sizing).
-# 17 + 27 + 6 = 50. Everything else re-verifies locally every run via
+#     NULL-contract fix; the simhash MIH geometry self-sizing);
+# (c) 24 of the 27 rows whose latest official check is still r04. The
+#     three left out (regex_funcs, set_ops, cube_counts) are pure
+#     column-algebra rows untouched since r04 — stale-but-once-green
+#     beats never-checked for the three slots that don't fit.
+# 21 + 5 + 24 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -4920,14 +4924,15 @@ _R9_NEVER = [
     "mixture_resample", "kcenter_sample", "streaming_join",
     "streaming_enrich", "vocab_encode", "dist_drift", "pq_encode",
     "dedup_clusters_star", "rolling_agg", "pq_ann", "shard_assign",
+    "ngram_counts", "bpe_train", "bpe_encode",
 ]
 _R9_STALE_R4 = [
-    "anti_semi_join", "chunk_documents", "cube_counts", "dq_check",
+    "anti_semi_join", "chunk_documents", "dq_check",
     "dq_unique", "embedding_near_dup", "incremental_agg",
     "incremental_dedup", "lag_diff", "media_decode", "ntile_quartiles",
-    "orphan_counts", "pivot_counts", "price_qty_corr", "regex_funcs",
+    "orphan_counts", "pivot_counts", "price_qty_corr",
     "repetition_metrics", "rollup_counts", "running_total",
-    "salted_group_count", "salted_join", "set_ops", "streaming_dedup",
+    "salted_group_count", "salted_join", "streaming_dedup",
     "streaming_session_window", "streaming_sliding_window",
     "tfidf_top_terms", "topk_per_group", "unpivot_metrics",
 ]
@@ -4938,7 +4943,7 @@ _R9_MODIFIED = [
     "ann_recall", "ccnet_bucket", "mad_outliers", "winsorize",
     "simhash_near_dup",
 ]
-_R9_PREFIX = _R9_NEVER + _R9_STALE_R4 + _R9_MODIFIED
+_R9_PREFIX = _R9_NEVER + _R9_MODIFIED + _R9_STALE_R4
 _REGISTRY = {
     n: _REGISTRY[n]
     for n in _R9_PREFIX + [n for n in _REGISTRY if n not in _R9_PREFIX]
