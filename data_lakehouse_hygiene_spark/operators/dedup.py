@@ -839,27 +839,36 @@ def _simhash_mih_pairs(
     r = max_hamming // b (0 or 1 — callers with max_hamming > 7 stay on
     the banded kernel). Pigeonhole: if every band differed in ≥ r+1 bits
     the total distance would be ≥ b(r+1) > max_hamming, so every
-    qualifying pair agrees with some band to within r bits. For r = 1
-    each doc emits, per band, its exact w-bit value plus the w
-    single-bit-flip variants (b·(1+w) keys/doc); a pair at band distance
-    1 collides exact×variant in BOTH orientations, a pair at band
-    distance 0 collides exact×exact. The final pair set is exactly
-    {a<b : hamming ≤ max_hamming} — identical to the other two plan
-    shapes (asserted in tests/test_properties.py for both geometries).
+    qualifying pair agrees with some band to within r bits. The final
+    pair set is exactly {a<b : hamming ≤ max_hamming} — identical to the
+    other two plan shapes (asserted in tests/test_properties.py).
 
-    Scale shape: occupancy per (band, value) bucket is n/2^w exact rows
-    + w·n/2^w variant rows vs n/256 for 8-bit bands, so the occupancy²
-    kernel term drops ~100× at 500k docs (measured 487 s → see
-    SCALING.md second decade) for an ~8.5× emit-volume increase —
-    narrow int64 rows, an equi-shuffle Spark absorbs. The Arrow
-    transport granularity self-sizes from ``n_docs`` (the dispatcher's
-    one count() job): sub-group count targets ~500k exploded rows per
-    task, so task parallelism grows with the corpus instead of pinning
-    at the 256 sub-buckets that fit the second decade.
+    Transport shape (the third-decade rebuild): the Arrow task key is
+    (band, __sub) where __sub is the TOP s bits of the band value, so a
+    task owns a contiguous 2^(w-s)-value slice of one band's bucket
+    space. Band-distance-1 pairs whose differing bit is one of the LOW
+    w-s bits live in the SAME task already — the kernel finds them by
+    comparing bucket v with bucket v^bit in-memory, no variant row
+    needed. Only the s TOP-bit flips cross task boundaries, so each doc
+    emits 1+s keys per band instead of 1+w: at w=16/s=8 the exploded
+    row volume drops 17→9 per doc-band (47%), at w=32/s=8 33→9 (73%),
+    and each low-bit neighbor compare runs ONCE (v < v^bit ordering)
+    instead of twice (both variant orientations) — the quadratic
+    kernel term roughly halves on top of the transport saving
+    (measured at sf30/1.5M docs: 114 s → see SCALING.md third decade).
+
+    The kernel sorts its slice by (band_val, kind) and walks buckets
+    via np.unique boundaries — no per-bucket pandas groupby. For each
+    bucket v with exact rows E(v) and cross-sub variant rows V(v):
+    E(v)×E(v) upper triangle (band distance 0), E(v)×V(v) (top-bit
+    distance 1; found in both orientations across the two subs, deduped
+    by the final pair groupBy), and E(v)×E(v^bit) for each low bit with
+    v < v^bit (low-bit distance 1, found once). Verification is always
+    the full 64-bit SWAR popcount, so over-generation is impossible.
 
     The repartition between signature assembly and key emit is a
     deliberate exchange barrier: without it CollapseProject inlines the
-    full SWAR majority-vote expression into all b·(1+w) variant-key
+    full SWAR majority-vote expression into all b·(1+s) variant-key
     expressions and Catalyst planning alone costs seconds
     (data-size-independent; same pathology as deriving band keys from
     sh_lo/sh_hi in the banded plan, see simhash_near_dup_pairs).
@@ -871,6 +880,16 @@ def _simhash_mih_pairs(
     w = 64 // b
     mask = (1 << w) - 1
     r = max_hamming // b
+    # Sub-bit count s: tasks = b·2^s; 2^s = 256 is the parallelism floor
+    # (1024 tasks at b=4 — the second-decade-tuned value); above
+    # ~14M docs the ~500k-rows-per-task target grows s (resolve_planes
+    # convention, sized by the dispatcher's one count() job). s ≤ w-1
+    # keeps at least one low bit in-task.
+    s = 8
+    if n_docs:
+        while s < min(w - 1, 16) and n_docs * (1 + s) * b > 500_000 * b * (1 << s):
+            s += 1
+    low = w - s
     sigs = agg.select(
         "doc_id", _swar_half(0, "sh_lo"), _swar_half(32, "sh_hi")
     ).repartition("doc_id")
@@ -889,7 +908,7 @@ def _simhash_mih_pairs(
             structs.extend(
                 f"struct({k} AS band, cast({bv} ^ {1 << i} as bigint)"
                 " AS band_val, 1 AS kind)"
-                for i in range(w)
+                for i in range(low, w)
             )
     ex = (
         sigs.select(
@@ -908,67 +927,93 @@ def _simhash_mih_pairs(
         "doc_b": pd.Series(dtype="int64"),
         "hamming": pd.Series(dtype="int64"),
     }
+    in_task_bits = low if r >= 1 else 0
 
     def _mih_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["band_val"].to_numpy()
+        kind = pdf["kind"].to_numpy()
+        order = np.lexsort((kind, vals))
+        vals = vals[order]
+        kind = kind[order]
+        ids = pdf["doc_id"].to_numpy()[order]
+        lo_v = pdf["sh_lo"].to_numpy()[order].astype(np.uint64)
+        hi_v = pdf["sh_hi"].to_numpy()[order].astype(np.uint64)
+        uvals, starts = np.unique(vals, return_index=True)
+        bounds = np.append(starts, len(vals))
+        # exacts sort before variants inside each bucket (kind is the
+        # lexsort minor key), so the exact segment is a prefix
+        n_exact = np.searchsorted(
+            vals * 2 + kind, uvals * 2 + 1, side="left"
+        ) - starts
+        idx = {int(v): i for i, v in enumerate(uvals)}
         outs = [pd.DataFrame(_EMPTY)]
-        for _, g in pdf.groupby("band_val", sort=False):
-            if len(g) < 2:
-                continue
-            e = g[g["kind"] == 0]
-            n_e = len(e)
+
+        def emit(ham, mask_m, ids_r, ids_c):
+            rr, cc = np.nonzero(mask_m)
+            if len(rr):
+                a = ids_r[rr]
+                bb = ids_c[cc]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": np.minimum(a, bb),
+                            "doc_b": np.maximum(a, bb),
+                            "hamming": ham[rr, cc],
+                        }
+                    )
+                )
+
+        for i in range(len(uvals)):
+            s0, s1 = bounds[i], bounds[i + 1]
+            n_e = int(n_exact[i])
             if n_e == 0:
                 continue
-            v = g[g["kind"] == 1]
-            ids_e = e["doc_id"].to_numpy()
-            ids_a = np.concatenate([ids_e, v["doc_id"].to_numpy()])
-            lo_a = np.concatenate(
-                [e["sh_lo"].to_numpy(), v["sh_lo"].to_numpy()]
-            ).astype(np.uint64)
-            hi_a = np.concatenate(
-                [e["sh_hi"].to_numpy(), v["sh_hi"].to_numpy()]
-            ).astype(np.uint64)
-            cols = np.arange(len(ids_a))[None, :]
-            for c0 in range(0, n_e, 4096):
-                c1 = min(c0 + 4096, n_e)
-                ham = (
-                    _np_pop64(lo_a[c0:c1, None] ^ lo_a[None, :])
-                    + _np_pop64(hi_a[c0:c1, None] ^ hi_a[None, :])
-                ).astype(np.int64)
-                rows = np.arange(c0, c1)[:, None]
-                # exact×exact upper triangle + exact×variant (distinct
-                # docs); variant×variant is never needed — those pairs
-                # are ≥2 apart in THIS band and collide elsewhere.
-                m = (
-                    ((cols < n_e) & (rows < cols))
-                    | ((cols >= n_e) & (ids_e[c0:c1, None] != ids_a[None, :]))
-                ) & (ham <= max_hamming)
-                rr, cc = np.nonzero(m)
-                if len(rr):
-                    a = ids_e[rr + c0]
-                    b = ids_a[cc]
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "doc_a": np.minimum(a, b),
-                                "doc_b": np.maximum(a, b),
-                                "hamming": ham[rr, cc],
-                            }
+            # (1) bucket-local: exact×exact triangle + exact×variant
+            if s1 - s0 >= 2:
+                cols = np.arange(s1 - s0)[None, :]
+                for c0 in range(0, n_e, 4096):
+                    c1 = min(c0 + 4096, n_e)
+                    ham = (
+                        _np_pop64(lo_v[s0 + c0 : s0 + c1, None] ^ lo_v[None, s0:s1])
+                        + _np_pop64(hi_v[s0 + c0 : s0 + c1, None] ^ hi_v[None, s0:s1])
+                    ).astype(np.int64)
+                    rows = np.arange(c0, c1)[:, None]
+                    m = (
+                        ((cols < n_e) & (rows < cols)) | (cols >= n_e)
+                    ) & (ham <= max_hamming)
+                    emit(ham, m, ids[s0 + c0 : s0 + c1], ids[s0:s1])
+            # (2) low-bit neighbor buckets, each unordered pair once
+            v = int(uvals[i])
+            for t in range(in_task_bits):
+                u = v ^ (1 << t)
+                if u < v:
+                    continue
+                j = idx.get(u)
+                if j is None:
+                    continue
+                t0 = bounds[j]
+                n_e2 = int(n_exact[j])
+                if n_e2 == 0:
+                    continue
+                for c0 in range(0, n_e, 4096):
+                    c1 = min(c0 + 4096, n_e)
+                    ham = (
+                        _np_pop64(
+                            lo_v[s0 + c0 : s0 + c1, None]
+                            ^ lo_v[None, t0 : t0 + n_e2]
                         )
-                    )
+                        + _np_pop64(
+                            hi_v[s0 + c0 : s0 + c1, None]
+                            ^ hi_v[None, t0 : t0 + n_e2]
+                        )
+                    ).astype(np.int64)
+                    m = ham <= max_hamming
+                    emit(ham, m, ids[s0 + c0 : s0 + c1], ids[t0 : t0 + n_e2])
         return pd.concat(outs, ignore_index=True)
 
-    # Coarse Arrow transport, same rationale as the banded kernel:
-    # b·n_sub shuffle keys, exact-value sub-grouping at C speed inside
-    # pandas. n_sub self-sizes from the doc count (~500k exploded rows
-    # per task) so parallelism grows with the corpus; 256 remains the
-    # floor (the second-decade-tuned value), 65536 the ceiling (more
-    # tasks than that and the per-group Python round-trip cost returns).
-    keys_per_doc = 1 + (w if r >= 1 else 0)
-    n_sub = 256
-    if n_docs:
-        target = (n_docs * keys_per_doc) // 500_000
-        n_sub = max(256, min(min(1 << w, 65536), target))
-    coarse = ex.withColumn("__sub", F.pmod("band_val", F.lit(n_sub)))
+    coarse = ex.withColumn(
+        "__sub", F.expr(f"shiftrightunsigned(band_val, {low})")
+    )
     return (
         coarse.groupBy("band", "__sub")
         .applyInPandas(_mih_kernel, "doc_a long, doc_b long, hamming long")
