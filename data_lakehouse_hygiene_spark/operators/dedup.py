@@ -254,6 +254,10 @@ DF_CAP = 100
 # single-scan form (scan I/O is real and 3x scan + 3x shingle exchange
 # costs more than 1x scan + 2 exchanges).
 NGRAM_SINGLE_SCAN_BYTES = 8 * 1024**3
+# Above this input estimate, the broadcast-path candidate explode gets an
+# explicit-width redistribution (one tiny extra exchange); below it, the
+# whole candidate set fits a task or two and the exchange is pure latency.
+NGRAM_SPREAD_EXPLODE_BYTES = 64 * 1024**2
 
 
 def ngram_jaccard_pairs(
@@ -303,14 +307,17 @@ def ngram_jaccard_pairs(
       3·(scan + shingle-exchange) > 1·scan + 2 exchanges, so the linear
       chain wins; a localCheckpoint hybrid measured slower still (it
       materializes the full shingle stream)."""
+    est = _estimated_bytes(df)
     if single_scan is None:
-        single_scan = _estimated_bytes(df) > NGRAM_SINGLE_SCAN_BYTES
+        single_scan = est > NGRAM_SINGLE_SCAN_BYTES
     df = spread(df)
     sh = shingle_rows(df, text_col)
     wdf = F.count(F.lit(1)).over(Window.partitionBy("s"))
     sh_ok = sh.withColumn("df", wdf).where(F.col("df") <= df_cap)
     if not single_scan:
-        return _ngram_pairs_broadcast_sizes(sh_ok, threshold)
+        return _ngram_pairs_broadcast_sizes(
+            sh_ok, threshold, spread_explode=est > NGRAM_SPREAD_EXPLODE_BYTES
+        )
     sh_n = sh_ok.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
@@ -321,6 +328,16 @@ def ngram_jaccard_pairs(
             F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
         )
         .where(F.size("ds") >= 2)
+    )
+    # Explicit-width exchange before the pair explode. The capped lists are
+    # tiny (≤ df_cap structs each), so AQE coalesces the groupBy output to a
+    # handful of partitions — and the ~df_cap²/2-per-list explode below then
+    # runs on that handful of cores (measured at sf30: 13.3M candidate rows
+    # on 5 partitions, max 4.1M on one). Redistributing the LISTS costs one
+    # tiny narrow-row shuffle; an explicit numPartitions is exempt from AQE
+    # coalescing, so the explode's fan-out lands evenly across the cluster.
+    pair_lists = pair_lists.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "s"
     )
     combos = F.expr(
         "flatten(transform(ds, (x, i) -> "
@@ -367,11 +384,17 @@ def _estimated_bytes(df: DataFrame) -> int:
 
 
 def _ngram_pairs_broadcast_sizes(
-    sh_ok: DataFrame, threshold: float
+    sh_ok: DataFrame, threshold: float, spread_explode: bool = False
 ) -> DataFrame:
     """Small-input ngram_jaccard tail: per-doc sizes as a broadcast size
     table (see ngram_jaccard_pairs docstring for the crossover analysis).
-    ``sh_ok`` is the capped (doc_id, s, df) shingle stream."""
+    ``sh_ok`` is the capped (doc_id, s, df) shingle stream.
+
+    ``spread_explode``: redistribute the pair lists before the candidate
+    explode (same AQE-coalesce rationale as the single-scan path). Gated
+    because the extra exchange is pure fixed latency at bench scale where
+    the whole candidate set fits one task anyway; the caller turns it on
+    from the same size estimate that picks the plan shape."""
     sizes = sh_ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ds = F.array_sort(F.collect_list("doc_id"))
     pair_lists = (
@@ -380,6 +403,10 @@ def _ngram_pairs_broadcast_sizes(
         .agg(ds.alias("ds"))
         .where(F.size("ds") >= 2)
     )
+    if spread_explode:
+        pair_lists = pair_lists.repartition(
+            sh_ok.sparkSession.sparkContext.defaultParallelism, "s"
+        )
     combos = F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), y -> "
