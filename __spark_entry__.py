@@ -3340,6 +3340,60 @@ FROM stripped
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (fold typographic chars, drop zero-widths +
+    control chars, collapse whitespace). The corpus is clean ASCII, so
+    the registry query first PLANTS deterministic mess in both engines
+    (NBSP/zero-width inside ' the ', a curly-quoted ellipsis prefix, an
+    em-dash + control-char suffix) -- the comparison then proves the
+    normalizer recovers the canonical text. Planted codepoints are
+    explicit escapes here and chr() calls in the oracle so the two
+    sides can be eyeball-diffed. See ``text.normalize_text``."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("\u00a0\u201cIntro\u201d\u2026 "),
+            F.replace(
+                F.col("text"),
+                F.lit(" the "),
+                F.lit("\u00a0the\u200b "),
+            ),
+            F.lit(" \u2014\x07end\x1f"),
+        ),
+    )
+    return text_ops.normalize_text(docs)
+
+
+SQL_NORMALIZE_TEXT = r"""
+WITH messy AS (
+  SELECT doc_id,
+         chr(160) || chr(8220) || 'Intro' || chr(8221) || chr(8230) || ' '
+           || replace(text, ' the ', chr(160) || 'the' || chr(8203) || ' ')
+           || ' ' || chr(8212) || chr(7) || 'end' || chr(31) AS text
+  FROM documents),
+folded AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_raw,
+         replace(replace(replace(replace(replace(replace(replace(replace(
+         replace(replace(replace(replace(replace(replace(replace(text,
+           chr(160), ' '), chr(8194), ' '), chr(8195), ' '),
+           chr(8201), ' '), chr(8203), ''), chr(8204), ''),
+           chr(8205), ''), chr(65279), ''), chr(8216), ''''),
+           chr(8217), ''''), chr(8220), '"'), chr(8221), '"'),
+           chr(8211), '-'), chr(8212), '-'), chr(8230), '...') AS t1
+  FROM messy)
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(t1, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+         '[ \t\r\n]+', ' ', 'g')) AS norm_text,
+       n_chars_raw,
+       CAST(length(trim(regexp_replace(
+         regexp_replace(t1, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+         '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM folded
+"""
+
+
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup screening of the 'src0' batch against the rest of the
     corpus via the MinHash band INDEX join — the per-batch form of
@@ -4660,6 +4714,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SQL_INCREMENTAL_NEAR_DUP,
     ),
     "strip_html": (q_strip_html, SQL_STRIP_HTML),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "source_dup_stats": (q_source_dup_stats, SQL_SOURCE_DUP_STATS),
@@ -4904,18 +4959,20 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 21 rows that have NEVER had an official driver check — all 16
+# (a) the 22 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
-#     plus this round's new ivfpq_ann, shard_assign, ngram_counts, and
-#     the two BPE rows (rows-only checks — no oracle SQL by design);
+#     plus this round's new ivfpq_ann, shard_assign, ngram_counts,
+#     normalize_text, and the two BPE rows (rows-only checks — no oracle
+#     SQL by design);
 # (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
 #     NULL-contract fix; the simhash MIH geometry self-sizing);
-# (c) 24 of the 27 rows whose latest official check is still r04. The
-#     three left out (regex_funcs, set_ops, cube_counts) are pure
-#     column-algebra rows untouched since r04 — stale-but-once-green
-#     beats never-checked for the three slots that don't fit.
-# 21 + 5 + 24 = 50. Everything else re-verifies locally every run via
+# (c) 23 of the 27 rows whose latest official check is still r04. The
+#     four left out (regex_funcs, set_ops, cube_counts, rollup_counts)
+#     are pure column-algebra rows untouched since r04 —
+#     stale-but-once-green beats never-checked for the slots that don't
+#     fit.
+# 22 + 5 + 23 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -4924,14 +4981,14 @@ _R9_NEVER = [
     "mixture_resample", "kcenter_sample", "streaming_join",
     "streaming_enrich", "vocab_encode", "dist_drift", "pq_encode",
     "dedup_clusters_star", "rolling_agg", "pq_ann", "shard_assign",
-    "ngram_counts", "bpe_train", "bpe_encode",
+    "ngram_counts", "bpe_train", "bpe_encode", "normalize_text",
 ]
 _R9_STALE_R4 = [
     "anti_semi_join", "chunk_documents", "dq_check",
     "dq_unique", "embedding_near_dup", "incremental_agg",
     "incremental_dedup", "lag_diff", "media_decode", "ntile_quartiles",
     "orphan_counts", "pivot_counts", "price_qty_corr",
-    "repetition_metrics", "rollup_counts", "running_total",
+    "repetition_metrics", "running_total",
     "salted_group_count", "salted_join", "streaming_dedup",
     "streaming_session_window", "streaming_sliding_window",
     "tfidf_top_terms", "topk_per_group", "unpivot_metrics",

@@ -745,6 +745,73 @@ def ccnet_buckets(
     ).select("doc_id", "lang", "lm_score", "ppl_bucket")
 
 
+# Unicode mess folded by normalize_text: exotic spaces and typographic
+# punctuation to their ASCII equivalents, zero-widths/BOM dropped. Literal
+# replacements (never regex character classes) so the identical table
+# replays byte-for-byte through any engine's replace(); order within the
+# table is irrelevant (sources are disjoint single codepoints), but the
+# whole table must run BEFORE whitespace collapse so folded NBSPs join
+# adjacent space runs.
+UNICODE_FOLDS: tuple[tuple[str, str], ...] = (
+    (" ", " "),            # no-break space
+    (" ", " "),            # en space
+    (" ", " "),            # em space
+    (" ", " "),            # thin space
+    ("​", ""),             # zero-width space
+    ("‌", ""),             # zero-width non-joiner
+    ("‍", ""),             # zero-width joiner
+    ("﻿", ""),             # BOM / zero-width no-break
+    ("‘", "'"),            # left single curly quote
+    ("’", "'"),            # right single curly quote
+    ("“", '"'),            # left double curly quote
+    ("”", '"'),            # right double curly quote
+    ("–", "-"),            # en dash
+    ("—", "-"),            # em dash
+    ("…", "..."),          # horizontal ellipsis
+)
+
+# C0 control characters minus \t \n \r (those are whitespace, handled by
+# the collapse), plus DEL. RE2-compatible hex-escape class — replays in
+# both Java regex and DuckDB RE2.
+CONTROL_CHARS_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-dedup text normalization — the canonical first transform of a
+    crawl→training-text pipeline (CCNet/RefinedWeb both normalize before
+    hashing): fold typographic Unicode (curly quotes, dashes, ellipsis,
+    exotic spaces) to ASCII, drop zero-widths and C0/DEL control
+    characters, collapse whitespace runs, trim. Returns
+    (doc_id, norm_text, n_chars_raw, n_chars_norm) — the length delta is
+    the cheap "how dirty was this source" signal a pipeline aggregates
+    per source before deciding what to recrawl.
+
+    Without this step, exact/near-dup hashing misses byte-level variants
+    of the same page (NBSP vs space, curly vs straight quotes are
+    different shingles), deflating dedup recall corpus-wide.
+
+    Scale shape: ZERO shuffles — a fixed chain of literal replaces plus
+    two regexp passes, whole-stage-codegen per-row work at scan speed.
+    Every fold is a single-codepoint literal replace that replays
+    identically in the DuckDB oracle; no locale-dependent case mapping,
+    no libicu normalization forms (NFC/NFKC are a codec-class dependency
+    deliberately out of contract — the fold table is the deterministic,
+    engine-portable subset).
+    """
+    t = F.col(text_col)
+    n_raw = F.length(t).cast("bigint")
+    for src, dst in UNICODE_FOLDS:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    t = F.regexp_replace(t, CONTROL_CHARS_RE, "")
+    t = F.trim(F.regexp_replace(t, "[ \\t\\r\\n]+", " "))
+    return df.select(
+        "doc_id",
+        t.alias("norm_text"),
+        n_raw.alias("n_chars_raw"),
+        F.length(t).cast("bigint").alias("n_chars_norm"),
+    )
+
+
 # HTML entities decoded by strip_html, applied IN ORDER: &amp; must decode
 # LAST or "&amp;lt;" would double-decode to "<" (the standard single-pass
 # pitfall); the oracle replays the same sequence.

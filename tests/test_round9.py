@@ -430,3 +430,34 @@ def test_bpe_train_encode_roundtrip_on_corpus(spark):
     for r in joined.collect():
         assert "".join(r["bpe_tokens"]) == r["text"].replace(" ", "")
         assert r["n_bpe_tokens"] <= len(r["text"])
+
+
+def test_normalize_text_folds_and_strips(spark):
+    """Hand-planted mess → exact expected normalization: NBSP/thin-space
+    fold to space, zero-widths vanish, curly quotes/dashes/ellipsis fold
+    to ASCII, C0 controls are dropped, runs collapse, ends trim."""
+    from data_lakehouse_hygiene_spark.operators.text import normalize_text
+
+    raw = (
+        " “Hi”… a​b"
+        "‘x’ – y—z \x07\x1fq\x7f\t\n "
+    )
+    df = spark.createDataFrame([(1, raw), (2, "already clean"), (3, "")],
+                               ["doc_id", "text"])
+    rows = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert rows[1].norm_text == '"Hi"... ab\'x\' - y-z q'
+    assert rows[1].n_chars_raw == len(raw)
+    assert rows[1].n_chars_norm == len(rows[1].norm_text)
+    assert rows[2].norm_text == "already clean"
+    assert rows[3].norm_text == ""
+    assert rows[3].n_chars_norm == 0
+
+
+def test_normalize_text_is_shuffle_free(spark):
+    """The normalization chain must stay per-row column algebra — no
+    Exchange anywhere in the physical plan."""
+    from data_lakehouse_hygiene_spark.operators.text import normalize_text
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = normalize_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
