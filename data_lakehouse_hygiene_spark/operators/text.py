@@ -461,27 +461,34 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     libm log is not bit-stable across implementations, so the score is an
     avg probability, monotone-equivalent to perplexity for filtering.
 
-    Scale shape (4 shuffles): one explode of bigram instances feeds one
-    map-side-combined hash aggregate to the per-document bigram-count
-    table D = (doc_id, bg, cnt). D has two consumers (the model build
-    and the scoring aggregate) whose diverging column prunings defeat
-    ReuseExchange, so the corpus scan+explode runs once per consumer —
-    and that is the FAST plan: an A/B at 5k/50k/500k docs measured the
-    ``localCheckpoint``-materialized D consistently ~2× slower than the
-    double scan (32.0 s vs 16.9 s at 500k docs), because the
-    materialization barrier serializes the DAG and pays a full
-    write+read of D while the redundant explode pipelines freely across
-    all cores. ``ccnet_buckets`` is the exception — it re-consumes the
-    whole scored output a second time, where the same A/B shows the
-    checkpoint winning — so the knob lives on ``_bigram_scored``. From
-    D: the corpus bigram count c2 is one skew-safe partial-agg rollup,
-    its a-marginal c1 rides a window PARTITIONED BY the first token over
-    c2 (one row per distinct bigram, so the partition is
+    Scale shape (2 corpus-bounded exchanges deleted in round 9): the
+    exploded bigram-instance stream has two consumers — the model build
+    and the scoring aggregate — and BOTH aggregate it directly, with no
+    intermediate per-document count table. Map-side partial aggregation
+    makes that free: each document's instances are task-local (narrow
+    lineage from one input row), so the model-build exchange carries
+    distinct-bigrams-per-partition (vocabulary-bounded) and the scoring
+    exchange carries one partial row per document — the round-8 plan's
+    (doc_id, bg) hash aggregate shuffled ~0.9 rows per bigram instance
+    per consumer, the largest exchange in the text family (interleaved
+    warm A/B at 1.5M docs: 18.5–24 s → 13–16 s, identical output).
+    The two consumers' diverging column prunings defeat ReuseExchange,
+    so the corpus scan+explode runs once per consumer — and that is the
+    FAST plan: an A/B at 5k/50k/500k docs measured a
+    ``localCheckpoint``-materialized intermediate consistently slower
+    for single consumption, because the materialization barrier
+    serializes the DAG while the redundant explode pipelines freely
+    across all cores. ``ccnet_buckets`` is the exception — it
+    re-consumes the whole scored output a second time, where the same
+    A/B shows checkpointing a per-doc count table D winning — so the
+    knob lives on ``_bigram_scored``. The corpus bigram count c2's
+    a-marginal c1 rides a window PARTITIONED BY the first token over c2
+    (one row per distinct bigram, so the partition is
     vocabulary-bounded — never corpus-bounded), and the finished LM
-    table — tiny relative to the corpus — BROADCASTS back onto D (the
-    "ship the model to every worker" pattern) for one per-doc weighted
-    hash aggregate. No global windows, no self-joins, no driver-side
-    model collect.
+    table — tiny relative to the corpus — BROADCASTS back onto the
+    instance stream (the "ship the model to every worker" pattern) for
+    one per-doc weighted hash aggregate. No global windows, no
+    self-joins, no driver-side model collect.
     """
     return _bigram_scored(df, text_col, carry=(), materialize=False)
 
@@ -517,28 +524,54 @@ def _bigram_scored(
         F.array().cast("array<struct<a:string,b:string>>")
     )
     inst = df.select("doc_id", *carry, F.explode(safe).alias("bg"))
-    d = inst.groupBy("doc_id", *carry, "bg").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
     if materialize:
-        # Deferred (lazy) checkpoint — eager=True would run a full Spark
-        # job at DataFrame-CONSTRUCTION time (even a bare .explain()
-        # triggered it). Caveat at cluster scale: localCheckpoint blocks
-        # live on executors with no lineage to recompute them, so an
-        # executor loss mid-query fails the query; for a 100 TB run swap
-        # this for a reliable checkpoint dir or accept the rescans.
-        d = d.localCheckpoint(eager=False)
-    c2 = d.groupBy("bg").agg(F.sum("cnt").alias("c2"))
+        # The per-doc count table D = (doc_id, bg, cnt) exists ONLY on
+        # this branch: a checkpointable artifact smaller than the
+        # instance stream, shared by both consumers below so the
+        # scan+explode runs once. Deferred (lazy) checkpoint —
+        # eager=True would run a full Spark job at DataFrame-
+        # CONSTRUCTION time (even a bare .explain() triggered it).
+        # Caveat at cluster scale: localCheckpoint blocks live on
+        # executors with no lineage to recompute them, so an executor
+        # loss mid-query fails the query; for a 100 TB run swap this
+        # for a reliable checkpoint dir or accept the rescans.
+        d = inst.groupBy("doc_id", *carry, "bg").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).localCheckpoint(eager=False)
+        c2 = d.groupBy("bg").agg(F.sum("cnt").alias("c2"))
+    else:
+        # No D table: both consumers aggregate the narrow exploded
+        # instance stream DIRECTLY, deleting the corpus-scale
+        # (doc_id, bg) exchange the round-8 plan paid once per
+        # consumer (~0.9 rows per bigram instance — the largest
+        # shuffle in the whole text family). Map-side partial
+        # aggregation does the same collapse for free: each doc's
+        # instances are task-local (narrow lineage from one row), so
+        # the c2 exchange carries distinct-bigrams-per-partition and
+        # the per-doc exchange carries one partial row per doc.
+        # Identical output (Σ units over instances ≡ Σ cnt·units over
+        # D); interleaved warm A/B at 1.5M docs: 18.5–24 s → 13–16 s.
+        c2 = inst.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = F.sum("c2").over(Window.partitionBy(F.col("bg.a")))
     units = F.floor(
         F.col("c2").cast("double") / c1.cast("double")
         * F.lit(1e12) + F.lit(0.5)
     ).cast("bigint")
     lm = c2.select("bg", units.alias("__units"))
-    per_doc = d.join(F.broadcast(lm), "bg").groupBy("doc_id", *carry).agg(
-        F.sum("cnt").alias("n_bigrams"),
-        F.sum(F.col("cnt") * F.col("__units")).alias("__su"),
-    )
+    if materialize:
+        per_doc = d.join(F.broadcast(lm), "bg").groupBy(
+            "doc_id", *carry
+        ).agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("__units")).alias("__su"),
+        )
+    else:
+        per_doc = inst.join(F.broadcast(lm), "bg").groupBy(
+            "doc_id", *carry
+        ).agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__units").alias("__su"),
+        )
     score = (
         F.col("__su").cast("double") / F.lit(1e12)
     ) / F.col("n_bigrams").cast("double")
@@ -679,7 +712,8 @@ def vocab_topk(
 
 
 def ccnet_buckets(
-    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text",
+    materialize: bool = False,
 ) -> DataFrame:
     """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
     score every document with the corpus-trained bigram LM
@@ -703,21 +737,21 @@ def ccnet_buckets(
     # lang rides the LM aggregates as an extra group key (functionally
     # dependent on doc_id — same groups, zero extra rows), which deletes
     # the corpus-sized scored⋈lang join the round-6 plan paid twice (once
-    # per consumer of the labeled corpus). materialize=True: labeled has
-    # two consumers here (the tercile election and the final join), so
-    # without the D checkpoint the scan+explode runs 4×. The 500k-doc
-    # A/B: D-checkpoint 24.6 s, no checkpoint 36.9 s, labeled-level
-    # checkpoint 30.2 s — checkpointing D (above the broadcast join, so
-    # the rescued lineage is maximal per byte materialized) wins.
-    # The scored output itself ALSO has two consumers (the tercile
-    # election and the final join) — without its own barrier each one
-    # re-runs the LM broadcast join + per-doc aggregate from the D
-    # checkpoint. labeled is one narrow row per doc, so materializing it
-    # is cheap and deletes a whole D→lm→per_doc re-execution (round-9
-    # A/B at 500k docs: D-only 24.6 s → D+labeled ~19 s; sf0.1
-    # 1.8 → ~1.2 s warm).
+    # per consumer of the labeled corpus). The labeled output has two
+    # consumers (the tercile election and the final join); it is one
+    # narrow row per doc, so ITS checkpoint is cheap and deletes a whole
+    # LM re-execution — that barrier is unconditional. The D-table
+    # checkpoint (materialize=True) became a LOSS once the no-D
+    # direct-instance aggregation landed: with the labeled barrier in
+    # place the LM pipeline runs exactly once either way, so D's
+    # write+read + its (doc_id, bg) exchange buys nothing the deleted
+    # exchange didn't already pay for (500k-doc interleaved A/B:
+    # D-checkpoint 19.5–28.7 s median ~22, no-D 13.0–19.9 s median
+    # ~17.4; earlier rounds' "checkpoint wins" A/Bs predate the no-D
+    # shape). Kept as a caller knob for corpora where the scan itself —
+    # not the exchange — dominates and a shared D beats two scans.
     labeled = (
-        _bigram_scored(df, text_col, carry=(lang_col,), materialize=True)
+        _bigram_scored(df, text_col, carry=(lang_col,), materialize=materialize)
         .withColumnRenamed(lang_col, "lang")
         .localCheckpoint(eager=False)
     )
