@@ -3284,6 +3284,32 @@ FROM g GROUP BY 1 HAVING count(*) >= 5
 """
 
 
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-3 unordered token co-occurrence counts (min_count=5) —
+    the word2vec/PMI collocation primitive. See
+    ``text.cooccurrence_counts``."""
+    return text_ops.cooccurrence_counts(
+        _t(spark, sf_dir, "documents"), window=3, min_count=5
+    )
+
+
+SQL_COOCCURRENCE = """
+WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+p AS (
+  SELECT least(t.ts[ij.i], t.ts[ij.j]) AS tok_a,
+         greatest(t.ts[ij.i], t.ts[ij.j]) AS tok_b
+  FROM tok t, LATERAL (
+    SELECT i.i AS i, j.j AS j
+    FROM (SELECT unnest(range(1, len(t.ts))) AS i) i,
+         LATERAL (SELECT unnest(range(i.i + 1,
+                     least(i.i + 3, len(t.ts)) + 1)) AS j) j
+  ) ij
+  WHERE len(t.ts) >= 2)
+SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training on the corpus (40 merges). Iterative
     merge election is not SQL-expressible — no oracle row (rows-only
@@ -4730,6 +4756,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- training/encode. Added AFTER the r9 50-row prefix was frozen, so
     # -- they are local-only this round — rotate into the r10 prefix.
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
+    "cooccurrence_counts": (q_cooccurrence, SQL_COOCCURRENCE),
     "bpe_train": (q_bpe_train, None),
     "bpe_encode": (q_bpe_encode, None),
     "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
@@ -4959,20 +4986,20 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 22 rows that have NEVER had an official driver check — all 16
+# (a) the 23 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
 #     plus this round's new ivfpq_ann, shard_assign, ngram_counts,
-#     normalize_text, and the two BPE rows (rows-only checks — no oracle
-#     SQL by design);
+#     normalize_text, cooccurrence_counts, and the two BPE rows
+#     (rows-only checks — no oracle SQL by design);
 # (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
 #     NULL-contract fix; the simhash MIH geometry self-sizing);
-# (c) 23 of the 27 rows whose latest official check is still r04. The
-#     four left out (regex_funcs, set_ops, cube_counts, rollup_counts)
-#     are pure column-algebra rows untouched since r04 —
-#     stale-but-once-green beats never-checked for the slots that don't
-#     fit.
-# 22 + 5 + 23 = 50. Everything else re-verifies locally every run via
+# (c) 22 of the 27 rows whose latest official check is still r04. The
+#     five left out (regex_funcs, set_ops, cube_counts, rollup_counts,
+#     unpivot_metrics) are pure column-algebra rows untouched since
+#     r04 — stale-but-once-green beats never-checked for the slots
+#     that don't fit.
+# 23 + 5 + 22 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -4982,6 +5009,7 @@ _R9_NEVER = [
     "streaming_enrich", "vocab_encode", "dist_drift", "pq_encode",
     "dedup_clusters_star", "rolling_agg", "pq_ann", "shard_assign",
     "ngram_counts", "bpe_train", "bpe_encode", "normalize_text",
+    "cooccurrence_counts",
 ]
 _R9_STALE_R4 = [
     "anti_semi_join", "chunk_documents", "dq_check",
@@ -4991,7 +5019,7 @@ _R9_STALE_R4 = [
     "repetition_metrics", "running_total",
     "salted_group_count", "salted_join", "streaming_dedup",
     "streaming_session_window", "streaming_sliding_window",
-    "tfidf_top_terms", "topk_per_group", "unpivot_metrics",
+    "tfidf_top_terms", "topk_per_group",
 ]
 _R9_MODIFIED = [
     # group_median's NULL fix shares its code path with mad_outliers /

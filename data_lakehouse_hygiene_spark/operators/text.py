@@ -1222,6 +1222,52 @@ def ngram_counts(
     )
 
 
+def cooccurrence_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus within-window token co-occurrence counts — the primitive
+    under word2vec/GloVe-style embedding training and PMI collocation
+    mining: for every token position i, count each unordered pair
+    {tok[i], tok[j]} with i < j ≤ i+window, summed over the corpus.
+    Returns ``(tok_a, tok_b, cnt)`` with ``tok_a <= tok_b``
+    (lexicographic member order makes the pair key deterministic and
+    engine-portable) and ``cnt >= min_count``.
+
+    Scale shape — same as ``ngram_counts``, one map-side-combined hash
+    aggregate: the pair list is built IN-ROW over the once-split token
+    array (~``window`` structs per corpus token), the explode is narrow
+    (no exchange), and partial aggregation collapses each partition to
+    its distinct-pair table before the one shuffle — so the exchange
+    carries pair-vocabulary partials, never the 10¹⁴-row token stream.
+    Zipf's singleton tail dies at the ``min_count`` filter
+    post-aggregate, pre-materialization. No self-join on positions: the
+    positional join a word2vec data-prep usually writes (tokens ⋈
+    tokens ON |i−j| ≤ w) is quadratic-prone and shuffles twice; in-row
+    generation is one narrow pass.
+    """
+    from .cleaning import spread
+
+    w = int(window)
+    pairs = F.expr(
+        "if(size(__toks) >= 2, "
+        "flatten(transform(sequence(0, size(__toks) - 2), i -> "
+        f"transform(sequence(i + 1, least(i + {w}, size(__toks) - 1)), "
+        "j -> struct(least(__toks[i], __toks[j]) AS tok_a, "
+        "greatest(__toks[i], __toks[j]) AS tok_b)))), "
+        "array())"
+    )
+    return (
+        spread(project_tokens(df, text_col))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.tok_a", "p.tok_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+
+
 def _bpe_merge_word(word: str, ranks: dict) -> tuple:
     """Reference BPE apply for one word: repeatedly merge the
     lowest-rank adjacent symbol pair (all its occurrences, leftmost

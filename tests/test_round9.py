@@ -461,3 +461,70 @@ def test_normalize_text_is_shuffle_free(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = normalize_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cooccurrence_counts_hand_computed(spark):
+    """window=2 over a tiny corpus, every pair hand-counted; unordered
+    pair key is lexicographic (least/greatest)."""
+    from data_lakehouse_hygiene_spark.operators.text import (
+        cooccurrence_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a"), (3, "z")], ["doc_id", "text"]
+    )
+    # doc1 pairs (i<j<=i+2): (a,b),(a,a),(b,a),(b,c),(a,c)
+    #   -> keys: a|b, a|a, a|b, b|c, a|c
+    # doc2: (b,a) -> a|b ; doc3: none
+    got = {
+        (r.tok_a, r.tok_b): r.cnt
+        for r in cooccurrence_counts(df, window=2, min_count=1).collect()
+    }
+    assert got == {
+        ("a", "b"): 3,
+        ("a", "a"): 1,
+        ("b", "c"): 1,
+        ("a", "c"): 1,
+    }
+    # min_count prunes the singletons
+    got2 = {
+        (r.tok_a, r.tok_b): r.cnt
+        for r in cooccurrence_counts(df, window=2, min_count=2).collect()
+    }
+    assert got2 == {("a", "b"): 3}
+
+
+def test_cooccurrence_single_agg_exchange(spark):
+    """In-row pair generation + ONE map-side-combined aggregate
+    exchange (the other Exchange is spread()'s deliberate scan
+    repartition) — the positional self-join shape is banned."""
+    from data_lakehouse_hygiene_spark.operators.text import (
+        cooccurrence_counts,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = cooccurrence_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    assert "partial_count" in plan  # map-side combine before the exchange
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_normalize_text_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) on corpus + planted mess
+    — the contract that makes re-running a cleanup stage safe."""
+    from data_lakehouse_hygiene_spark.operators.text import normalize_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    messy = docs.selectExpr(
+        "doc_id",
+        "concat(' “x”… ', text, ' —\x07 ') AS text",
+    )
+    once = normalize_text(messy).selectExpr("doc_id", "norm_text AS text")
+    twice = normalize_text(once)
+    diff = (
+        once.select("doc_id", F.col("text").alias("norm_text"))
+        .exceptAll(twice.select("doc_id", "norm_text"))
+        .count()
+    )
+    assert diff == 0
