@@ -625,3 +625,43 @@ def test_connected_components_star_equals_propagate(spark, raw_edges):
         tuple(r) for r in connected_components(df, algorithm="star").collect()
     )
     assert a == b and len(a) > 0
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_cooccurrence_matches_bruteforce(spark, docs, window):
+    """In-row pair generation == the naive positional double loop, for
+    random small corpora and window sizes (incl. repeated tokens and
+    empty/one-token docs)."""
+    from collections import Counter
+
+    from data_lakehouse_hygiene_spark.operators.text import (
+        cooccurrence_counts,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.tok_a, r.tok_b): r.cnt
+        for r in cooccurrence_counts(
+            df, window=window, min_count=1
+        ).collect()
+    }
+    want: Counter = Counter()
+    for _, text in rows:
+        # split(' ') on an empty string yields [""] in both engines —
+        # mirror that, not python's str.split() which yields [].
+        toks = text.split(" ")
+        for i in range(len(toks) - 1):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                want[tuple(sorted((toks[i], toks[j])))] += 1
+    assert got == dict(want)
