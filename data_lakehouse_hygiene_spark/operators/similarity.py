@@ -1317,14 +1317,32 @@ def _pq_fit_books(
     q: DataFrame, m: int, sub: int, k: int, n_iter: int
 ) -> list[list[list[int]]]:
     """One independent integer-kmeans codebook per contiguous subspace
-    (the shared fit stage of ``pq_encode`` / ``pq_ann``)."""
-    books: list[list[list[int]]] = []
-    for s in range(m):
+    (the shared fit stage of ``pq_encode`` / ``pq_ann`` / ``ivfpq_ann``).
+
+    The m fits are submitted from CONCURRENT driver threads (Spark job
+    submission is thread-safe; each fit's own iterations stay
+    sequential). The whole PQ family is driver-JOB-bound at moderate
+    scale — m·(init + n_iter·stats) short collects back to back — so
+    overlapping the m independent job chains divides that latency by up
+    to m while leaving every job, every result, and the oracle replay
+    bit-identical (fits share nothing; ``ex.map`` preserves subspace
+    order). The round-9 alternative of fusing all m fits into ONE
+    stacked projection was measured 2.4× SLOWER at sf10 (the m·k
+    distance lambdas leave whole-stage codegen) and rejected; thread
+    overlap keeps each scan inside codegen.
+    """
+    def fit(s: int) -> list[list[int]]:
         qs = q.select(
             "vec_id", F.slice("qv", s * sub + 1, sub).alias("qv")
         )
-        books.append(_kmeans_fit(qs, k, n_iter))
-    return books
+        return _kmeans_fit(qs, k, n_iter)
+
+    if m == 1:
+        return [fit(0)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        return list(ex.map(fit, range(m)))
 
 
 def _pq_encode_frame(
