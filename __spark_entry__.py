@@ -3310,6 +3310,44 @@ FROM p GROUP BY 1, 2 HAVING count(*) >= 5
 """
 
 
+def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-3 collocations with lift ≥ 2 (PMI-monotone, log-free) over
+    corpus unigram counts. See ``text.collocation_lift``."""
+    return text_ops.collocation_lift(
+        _t(spark, sf_dir, "documents"), window=3, min_count=5, min_lift=2.0
+    )
+
+
+SQL_COLLOCATION_LIFT = """
+WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+uni AS (
+  SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS ucnt
+  FROM tok, unnest(ts) AS t(tok) GROUP BY 1),
+n AS (SELECT CAST(SUM(ucnt) AS BIGINT) AS nn FROM uni),
+p AS (
+  SELECT least(t.ts[ij.i], t.ts[ij.j]) AS tok_a,
+         greatest(t.ts[ij.i], t.ts[ij.j]) AS tok_b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok t, LATERAL (
+    SELECT i.i AS i, j.j AS j
+    FROM (SELECT unnest(range(1, len(t.ts))) AS i) i,
+         LATERAL (SELECT unnest(range(i.i + 1,
+                     least(i.i + 3, len(t.ts)) + 1)) AS j) j
+  ) ij
+  WHERE len(t.ts) >= 2
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+scored AS (
+  SELECT p.tok_a, p.tok_b, p.cnt AS cnt_ab,
+         floor((CAST(p.cnt AS DOUBLE) * CAST(n.nn AS DOUBLE))
+               / (CAST(ua.ucnt AS DOUBLE) * CAST(ub.ucnt AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS lift
+  FROM p
+  JOIN uni ua ON ua.token = p.tok_a
+  JOIN uni ub ON ub.token = p.tok_b, n)
+SELECT tok_a, tok_b, cnt_ab, lift FROM scored WHERE lift >= 2.0
+"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training on the corpus (40 merges). Iterative
     merge election is not SQL-expressible — no oracle row (rows-only
@@ -4757,6 +4795,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- they are local-only this round — rotate into the r10 prefix.
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "cooccurrence_counts": (q_cooccurrence, SQL_COOCCURRENCE),
+    "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
     "bpe_train": (q_bpe_train, None),
     "bpe_encode": (q_bpe_encode, None),
     "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
@@ -4986,20 +5025,20 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 23 rows that have NEVER had an official driver check — all 16
+# (a) the 24 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
 #     plus this round's new ivfpq_ann, shard_assign, ngram_counts,
-#     normalize_text, cooccurrence_counts, and the two BPE rows
-#     (rows-only checks — no oracle SQL by design);
+#     normalize_text, cooccurrence_counts, collocation_lift, and the
+#     two BPE rows (rows-only checks — no oracle SQL by design);
 # (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
 #     NULL-contract fix; the simhash MIH geometry self-sizing);
-# (c) 22 of the 27 rows whose latest official check is still r04. The
-#     five left out (regex_funcs, set_ops, cube_counts, rollup_counts,
-#     unpivot_metrics) are pure column-algebra rows untouched since
-#     r04 — stale-but-once-green beats never-checked for the slots
-#     that don't fit.
-# 23 + 5 + 22 = 50. Everything else re-verifies locally every run via
+# (c) 21 of the 27 rows whose latest official check is still r04. The
+#     six left out (regex_funcs, set_ops, cube_counts, rollup_counts,
+#     unpivot_metrics, running_total) are pure column-algebra/window
+#     rows untouched since r04 — stale-but-once-green beats
+#     never-checked for the slots that don't fit.
+# 24 + 5 + 21 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -5009,14 +5048,14 @@ _R9_NEVER = [
     "streaming_enrich", "vocab_encode", "dist_drift", "pq_encode",
     "dedup_clusters_star", "rolling_agg", "pq_ann", "shard_assign",
     "ngram_counts", "bpe_train", "bpe_encode", "normalize_text",
-    "cooccurrence_counts",
+    "cooccurrence_counts", "collocation_lift",
 ]
 _R9_STALE_R4 = [
     "anti_semi_join", "chunk_documents", "dq_check",
     "dq_unique", "embedding_near_dup", "incremental_agg",
     "incremental_dedup", "lag_diff", "media_decode", "ntile_quartiles",
     "orphan_counts", "pivot_counts", "price_qty_corr",
-    "repetition_metrics", "running_total",
+    "repetition_metrics",
     "salted_group_count", "salted_join", "streaming_dedup",
     "streaming_session_window", "streaming_sliding_window",
     "tfidf_top_terms", "topk_per_group",

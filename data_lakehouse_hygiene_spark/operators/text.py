@@ -1268,6 +1268,71 @@ def cooccurrence_counts(
     )
 
 
+def collocation_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    min_lift: float = 2.0,
+) -> DataFrame:
+    """Collocation mining on top of ``cooccurrence_counts``: score each
+    co-occurring pair by LIFT = p(a,b) / (p(a)·p(b)) — computed as
+    (cnt_ab·N) / (cnt_a·cnt_b) over corpus unigram counts — and keep
+    pairs with ``lift >= min_lift``. Lift is strictly monotone in PMI
+    (PMI = log lift) without the libm ``log`` this engine bans for
+    cross-engine bit-parity; the phrase-induction use (word2vec phrase
+    merging, tokenizer multi-word vocab candidates) only ranks, so the
+    monotone surrogate carries the full signal. Returns
+    (tok_a, tok_b, cnt_ab, lift) with lift 6-decimal floor-quantized.
+
+    N is the corpus TOKEN count (unigram normalization); a pair can
+    co-occur with up to ``window`` partners per position, so lift here
+    is calibrated per-window-slot — consistent across the corpus, which
+    is all ranking needs.
+
+    Scale shape: the pair table comes from ``cooccurrence_counts`` (one
+    map-side-combined aggregate); the unigram table is
+    vocabulary-bounded and BROADCASTS onto the pair table twice (tok_a,
+    tok_b legs); N is a 1-row aggregate of the unigram table (never a
+    second corpus scan) attached by broadcast cross join. All arithmetic
+    is exact BIGINT counts plus one double expression evaluated with the
+    identical tree in the oracle.
+    """
+    from .cleaning import spread
+
+    co = cooccurrence_counts(df, text_col, window, min_count)
+    uni = (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    total = uni.agg(F.sum("ucnt").alias("__n"))
+    lift = (
+        F.col("cnt").cast("double") * F.col("__n").cast("double")
+    ) / (
+        F.col("__ua").cast("double") * F.col("__ub").cast("double")
+    )
+    return (
+        co.join(
+            F.broadcast(uni.select(F.col("token").alias("tok_a"),
+                                   F.col("ucnt").alias("__ua"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("tok_b"),
+                                   F.col("ucnt").alias("__ub"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a", "tok_b", F.col("cnt").alias("cnt_ab"),
+            quantize(lift, 6).alias("lift"),
+        )
+        .where(F.col("lift") >= float(min_lift))
+    )
+
+
 def _bpe_merge_word(word: str, ranks: dict) -> tuple:
     """Reference BPE apply for one word: repeatedly merge the
     lowest-rank adjacent symbol pair (all its occurrences, leftmost

@@ -528,3 +528,35 @@ def test_normalize_text_idempotent(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_collocation_lift_hand_computed(spark):
+    """lift = cnt_ab*N / (cnt_a*cnt_b) on a corpus where 'x y' is a
+    strong collocation and 'a b' is background."""
+    from data_lakehouse_hygiene_spark.operators.text import collocation_lift
+
+    df = spark.createDataFrame(
+        [(1, "x y a"), (2, "x y b"), (3, "a b x"), (4, "b a y")],
+        ["doc_id", "text"],
+    )
+    # N = 12 tokens. ucnt: x=3, y=3, a=3, b=3.
+    # window=1 adjacent pairs: doc1 (x,y),(a,y); doc2 (x,y),(b,y);
+    # doc3 (a,b),(b,x); doc4 (a,b),(a,y)
+    # cnt: x|y=2, a|y=2, b|y=1, a|b=2, b|x=1
+    # lift(x,y) = 2*12/(3*3) = 2.666667 ; same for a|y and a|b.
+    rows = {
+        (r.tok_a, r.tok_b): (r.cnt_ab, r.lift)
+        for r in collocation_lift(
+            df, window=1, min_count=2, min_lift=0.0
+        ).collect()
+    }
+    assert rows == {
+        ("x", "y"): (2, 2.666667),
+        ("a", "y"): (2, 2.666667),
+        ("a", "b"): (2, 2.666667),
+    }
+    # min_lift filters: threshold above 2.67 leaves nothing
+    assert (
+        collocation_lift(df, window=1, min_count=2, min_lift=3.0).count()
+        == 0
+    )
