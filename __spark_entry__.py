@@ -2657,6 +2657,17 @@ FROM part
 """
 
 
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprints (image pHash / audio energy-delta) over
+    the synthesized BMP/WAV payloads — the multimodal near-dup
+    primitive. A 2D DCT is not SQL: rows-only driver check; the
+    robustness property (fingerprint survives resize/decimation) and
+    exact fixture hashes are pinned in ``tests/test_round9.py``. See
+    ``multimodal.media_phash``."""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    return multimodal.media_phash(media)
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode round-trip: deterministic BMP/WAV payloads
     synthesized executor-side from the documents table, then header-parsed
@@ -4766,6 +4777,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "ccnet_bucket": (q_ccnet_bucket, SQL_CCNET_BUCKET),
     "media_transform": (q_media_transform, SQL_MEDIA_TRANSFORM),
+    "media_phash": (q_media_phash, None),
     "quality_weighted_sample": (
         q_quality_weighted_sample,
         SQL_QUALITY_WEIGHTED_SAMPLE,
@@ -5025,20 +5037,22 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 24 rows that have NEVER had an official driver check — all 16
+# (a) the 25 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
 #     plus this round's new ivfpq_ann, shard_assign, ngram_counts,
 #     normalize_text, cooccurrence_counts, collocation_lift, and the
-#     two BPE rows (rows-only checks — no oracle SQL by design);
+#     rows-only media_phash/bpe_train/bpe_encode (no oracle SQL by
+#     design: DCT / iterative merge election are not SQL);
 # (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
 #     NULL-contract fix; the simhash MIH geometry self-sizing);
-# (c) 21 of the 27 rows whose latest official check is still r04. The
-#     six left out (regex_funcs, set_ops, cube_counts, rollup_counts,
-#     unpivot_metrics, running_total) are pure column-algebra/window
-#     rows untouched since r04 — stale-but-once-green beats
-#     never-checked for the slots that don't fit.
-# 24 + 5 + 21 = 50. Everything else re-verifies locally every run via
+# (c) 20 of the 27 rows whose latest official check is still r04. The
+#     seven left out (regex_funcs, set_ops, cube_counts, rollup_counts,
+#     unpivot_metrics, running_total, pivot_counts) are pure
+#     column-algebra/window rows untouched since r04 —
+#     stale-but-once-green beats never-checked for the slots that
+#     don't fit.
+# 25 + 5 + 20 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -5048,13 +5062,13 @@ _R9_NEVER = [
     "streaming_enrich", "vocab_encode", "dist_drift", "pq_encode",
     "dedup_clusters_star", "rolling_agg", "pq_ann", "shard_assign",
     "ngram_counts", "bpe_train", "bpe_encode", "normalize_text",
-    "cooccurrence_counts", "collocation_lift",
+    "cooccurrence_counts", "collocation_lift", "media_phash",
 ]
 _R9_STALE_R4 = [
     "anti_semi_join", "chunk_documents", "dq_check",
     "dq_unique", "embedding_near_dup", "incremental_agg",
     "incremental_dedup", "lag_diff", "media_decode", "ntile_quartiles",
-    "orphan_counts", "pivot_counts", "price_qty_corr",
+    "orphan_counts", "price_qty_corr",
     "repetition_metrics",
     "salted_group_count", "salted_join", "streaming_dedup",
     "streaming_session_window", "streaming_sliding_window",

@@ -363,3 +363,135 @@ def transform_media(
             )
 
     return media.mapInPandas(_tx, schema=MEDIA_SCHEMA)
+
+
+def _phash_bmp(p: bytes, grid: int = 8) -> int:
+    """Perceptual hash of a 24-bit BMP: luma plane → bilinear-ish mean
+    pooling to a 16×16 grid → 2D DCT-II → top-left ``grid``×``grid``
+    low-frequency block (DC dropped) → one bit per coefficient,
+    above/below the block median. Pure numpy (explicit cosine-basis
+    matmul, no scipy); the classic pHash construction, so the hash is
+    stable under resizing/re-encoding — the property the near-dup test
+    asserts via ``_resize_bmp``."""
+    import numpy as np
+
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h = int.from_bytes(p[22:26], "little", signed=True)
+    off = int.from_bytes(p[10:14], "little")
+    stride = (3 * w + 3) // 4 * 4
+    img = np.zeros((h, w), dtype=np.float64)
+    buf = np.frombuffer(p, dtype=np.uint8)
+    for y in range(h):
+        row = buf[off + y * stride : off + y * stride + 3 * w].astype(
+            np.float64
+        )
+        # BGR -> integer-weighted luma (ITU-R 601 ratios over 256)
+        img[y] = (
+            29 * row[0::3] + 150 * row[1::3] + 77 * row[2::3]
+        ) / 256.0
+    # mean-pool to 16x16 (nearest-bin pooling; handles any input size)
+    n = 16
+    ys = (np.arange(n + 1) * h) // n
+    xs = (np.arange(n + 1) * w) // n
+    pooled = np.zeros((n, n))
+    for i in range(n):
+        y0, y1 = ys[i], max(ys[i] + 1, ys[i + 1])
+        for j in range(n):
+            x0, x1 = xs[j], max(xs[j] + 1, xs[j + 1])
+            pooled[i, j] = img[y0:min(y1, h), x0:min(x1, w)].mean()
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct = basis @ pooled @ basis.T
+    block = dct[:grid, :grid].flatten()[1:]  # drop DC
+    med = float(np.median(block))
+    bits = 0
+    for b in block > med:
+        bits = (bits << 1) | int(b)
+    return bits
+
+
+def _phash_wav(p: bytes, n_frames: int = 64) -> int:
+    """Energy-delta fingerprint of an 8-bit mono PCM WAV: split samples
+    into ``n_frames`` equal frames, per-frame mean absolute deviation
+    from 128 (unsigned PCM midpoint), one bit per adjacent frame pair
+    (energy rising = 1) — the Shazam-lite shape that survives
+    decimation, which is what the near-dup test asserts via
+    ``_decimate_wav``."""
+    import numpy as np
+
+    # walk RIFF chunks to the data payload (decode_media validates the
+    # container but does not expose the chunk offset)
+    pos, off, nb = 12, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        clen = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        if cid == b"data":
+            off, nb = pos + 8, clen
+            break
+        pos += 8 + clen + (clen % 2)
+    if off is None:
+        raise ValueError("WAV missing data chunk")
+    nb = min(nb, len(p) - off)
+    s = np.frombuffer(p, dtype=np.uint8, count=nb, offset=off).astype(
+        np.float64
+    )
+    if len(s) == 0:
+        return 0
+    e = np.zeros(n_frames)
+    bounds = (np.arange(n_frames + 1) * len(s)) // n_frames
+    for i in range(n_frames):
+        a, b = bounds[i], max(bounds[i] + 1, bounds[i + 1])
+        e[i] = np.abs(s[a:min(b, len(s))] - 128.0).mean()
+    bits = 0
+    for i in range(n_frames - 1):
+        bits = (bits << 1) | int(e[i + 1] > e[i])
+    return bits
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Perceptual fingerprints over binary media payloads — the
+    multimodal near-dup primitive (image pHash / audio energy-delta):
+    re-encoded, resized, or decimated variants of the same asset land
+    within a few Hamming bits of each other, so the SAME banded/MIH
+    pair-mining machinery the text SimHash family uses
+    (``dedup.simhash_near_dup``) applies to media columns unchanged —
+    fingerprints here, band join there, no new shuffle shape.
+
+    Arrow-batched ``mapInPandas``, embarrassingly parallel, payloads
+    never touch the driver. Formats needing codec libraries (JPEG/MP4)
+    raise through ``decode_media``'s documented contract. Rows-only
+    driver check (a DCT is not SQL) — the robustness PROPERTY
+    (phash(resize(x)) ≈ phash(x), phash(decimate(x)) ≈ phash(x)) is
+    what the test suite pins instead, plus exact hash values on fixed
+    fixtures for regression.
+    """
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                if p[:2] == b"BM":
+                    ph = _phash_bmp(p)
+                else:
+                    ph = _phash_wav(p)
+                # top bit could set the sign; store as signed 64-bit
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+                rows.append((int(doc_id), mt, ph))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "phash"]
+            )
+
+    return media.mapInPandas(_ph, schema=PHASH_SCHEMA)

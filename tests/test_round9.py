@@ -560,3 +560,80 @@ def test_collocation_lift_hand_computed(spark):
         collocation_lift(df, window=1, min_count=2, min_lift=3.0).count()
         == 0
     )
+
+
+# ----------------------------------------------------------- media phash
+
+
+def _build_bmp(w, h, pix):
+    stride = (3 * w + 3) // 4 * 4
+    out = bytearray(stride * h)
+    for y in range(h):
+        for x in range(w):
+            b, g, r = pix(x, y)
+            i = y * stride + 3 * x
+            out[i : i + 3] = bytes((b, g, r))
+    size = 54 + len(out)
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(out).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return bytes(hdr) + bytes(out)
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_survives_resize_and_decimation():
+    """The whole point of a perceptual hash: a resized image / decimated
+    audio clip stays within a few Hamming bits of the original, while a
+    different asset lands far away."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _decimate_wav, _phash_bmp, _phash_wav, _resize_bmp, make_wav,
+    )
+
+    grad = _build_bmp(64, 48, lambda x, y: ((x * 4) % 256, (y * 5) % 256,
+                                            ((x + y) * 3) % 256))
+    checker = _build_bmp(
+        64, 48, lambda x, y: (255 if (x // 16 + y // 12) % 2 else 0,) * 3
+    )
+    hg, hc = _phash_bmp(grad), _phash_bmp(checker)
+    assert _ham(hg, _phash_bmp(_resize_bmp(grad, 2))) <= 8
+    assert _ham(hc, _phash_bmp(_resize_bmp(checker, 2))) <= 8
+    assert _ham(hg, hc) >= 15
+
+    wav = make_wav(8000, 4000, seed=7)
+    other = make_wav(8000, 4000, seed=99)
+    hw = _phash_wav(wav)
+    assert _ham(hw, _phash_wav(_decimate_wav(wav, 4))) <= 6
+    assert _ham(hw, _phash_wav(other)) >= 20
+
+
+def test_phash_fixture_values_pinned():
+    """Exact fingerprints on fixed fixtures — regression pin so a kernel
+    change that silently shifts every hash is caught."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _phash_bmp, _phash_wav, make_bmp, make_wav,
+    )
+
+    assert _phash_bmp(make_bmp(64, 48, seed=7)) == 0x29225D227F327B32
+    assert _phash_wav(make_wav(8000, 4000, seed=7)) == 0x319999999998CCCC
+
+
+def test_media_phash_frame(spark):
+    """End-to-end over the Arrow mapInPandas path: one signed 64-bit
+    fingerprint per payload, both modalities."""
+    from data_lakehouse_hygiene_spark.operators import multimodal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.synthesize_media(docs.limit(40))
+    out = multimodal.media_phash(media).collect()
+    assert len(out) == 40
+    assert {r.media_type for r in out} == {"image/bmp", "audio/wav"}
+    assert all(isinstance(r.phash, int) for r in out)
