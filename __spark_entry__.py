@@ -2668,6 +2668,28 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_phash(media)
 
 
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup mining end-to-end: structured BMP/WAV payloads
+    from the documents table, planted resized/decimated variants (doc_ids
+    ending in 0/1, re-labeled +10^9, run through the REAL
+    ``transform_media`` resize/decimation), perceptual fingerprints
+    (``media_phash``), then banded Hamming pair mining
+    (``media_near_dup`` — the SimHash pigeonhole blocking applied to
+    media). Expected output: exactly one pair (i, i+10^9) per planted
+    variant at Hamming ≤ 7, nothing across distinct assets. Rows-only
+    driver check (DCT fingerprints are not SQL); the recall/precision
+    property is pinned in ``tests/test_round9.py``."""
+    base = multimodal.synthesize_structured_media(
+        _t(spark, sf_dir, "documents")
+    )
+    planted = base.where(F.col("doc_id") % 10 < 2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    variants = multimodal.transform_media(planted, scale_div=2, sample_every=4)
+    fp = multimodal.media_phash(base.unionByName(variants))
+    return multimodal.media_near_dup(fp, max_hamming=7)
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode round-trip: deterministic BMP/WAV payloads
     synthesized executor-side from the documents table, then header-parsed
@@ -4778,6 +4800,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ccnet_bucket": (q_ccnet_bucket, SQL_CCNET_BUCKET),
     "media_transform": (q_media_transform, SQL_MEDIA_TRANSFORM),
     "media_phash": (q_media_phash, None),
+    "media_near_dup": (q_media_near_dup, None),
     "quality_weighted_sample": (
         q_quality_weighted_sample,
         SQL_QUALITY_WEIGHTED_SAMPLE,
@@ -5037,22 +5060,22 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 25 rows that have NEVER had an official driver check — all 16
+# (a) the 26 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
 #     plus this round's new ivfpq_ann, shard_assign, ngram_counts,
 #     normalize_text, cooccurrence_counts, collocation_lift, and the
-#     rows-only media_phash/bpe_train/bpe_encode (no oracle SQL by
-#     design: DCT / iterative merge election are not SQL);
+#     rows-only media_phash/media_near_dup/bpe_train/bpe_encode (no
+#     oracle SQL by design: DCT / iterative merge election are not SQL);
 # (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
 #     NULL-contract fix; the simhash MIH geometry self-sizing);
-# (c) 20 of the 27 rows whose latest official check is still r04. The
-#     seven left out (regex_funcs, set_ops, cube_counts, rollup_counts,
-#     unpivot_metrics, running_total, pivot_counts) are pure
-#     column-algebra/window rows untouched since r04 —
+# (c) 19 of the 27 rows whose latest official check is still r04. The
+#     eight left out (regex_funcs, set_ops, cube_counts, rollup_counts,
+#     unpivot_metrics, running_total, pivot_counts, topk_per_group) are
+#     pure column-algebra/window rows untouched since r04 —
 #     stale-but-once-green beats never-checked for the slots that
 #     don't fit.
-# 25 + 5 + 20 = 50. Everything else re-verifies locally every run via
+# 26 + 5 + 19 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -5063,6 +5086,7 @@ _R9_NEVER = [
     "dedup_clusters_star", "rolling_agg", "pq_ann", "shard_assign",
     "ngram_counts", "bpe_train", "bpe_encode", "normalize_text",
     "cooccurrence_counts", "collocation_lift", "media_phash",
+    "media_near_dup",
 ]
 _R9_STALE_R4 = [
     "anti_semi_join", "chunk_documents", "dq_check",
@@ -5072,7 +5096,7 @@ _R9_STALE_R4 = [
     "repetition_metrics",
     "salted_group_count", "salted_join", "streaming_dedup",
     "streaming_session_window", "streaming_sliding_window",
-    "tfidf_top_terms", "topk_per_group",
+    "tfidf_top_terms",
 ]
 _R9_MODIFIED = [
     # group_median's NULL fix shares its code path with mad_outliers /

@@ -495,3 +495,169 @@ def media_phash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_ph, schema=PHASH_SCHEMA)
+
+
+def _hash_grid(doc_id: int, rows: int, cols: int):
+    """Deterministic pseudo-random byte grid from a doc id — the content
+    seed for structured payloads. Murmur3-style avalanche finalizer: an
+    affine-in-doc_id mix is NOT enough here (adding a constant to every
+    cell mostly preserves adjacent-cell ORDER, which is exactly what the
+    audio energy-delta fingerprint reads — measured cross-doc Hamming
+    collapsed to ~8/63 bits), so each cell must avalanche independently."""
+    import numpy as np
+
+    i = np.arange(rows, dtype=np.uint32)[:, None]
+    j = np.arange(cols, dtype=np.uint32)[None, :]
+    with np.errstate(over="ignore"):
+        x = (
+            i * np.uint32(8191) + j * np.uint32(131) + np.uint32(0x9E3779B9)
+        ) ^ np.uint32((doc_id * 0x85EBCA6B) & 0xFFFFFFFF)
+        x ^= x >> np.uint32(16)
+        x = x * np.uint32(0x85EBCA6B)
+        x ^= x >> np.uint32(13)
+        x = x * np.uint32(0xC2B2AE35)
+        x ^= x >> np.uint32(16)
+    return (x >> np.uint32(24)).astype(np.uint8)
+
+
+def synthesize_structured_media(
+    df: DataFrame,
+) -> DataFrame:
+    """Media payloads whose content lives at the PERCEPTUAL scale —
+    what real photos/audio have and ``synthesize_media``'s per-pixel
+    noise does not. Even doc_ids become 64×64 grayscale BMPs: a
+    deterministic 16×16 byte grid (pure function of doc_id) upscaled
+    4×4, so the structure sits exactly at pHash's pooling grid and a
+    power-of-two resize keeps the pooling cell-aligned — the
+    fingerprint survives exactly (measured: resize ÷2 and ÷4 both
+    Hamming 0) while distinct doc_ids land ~32 bits apart (min 22
+    over a cross matrix). A 64×48 variant broke that alignment
+    (24 resized rows / 16 pooling cells straddle grid blocks;
+    resize distance ballooned to ~14 bits) — keep dimensions a
+    power-of-two multiple of the 16-cell grid. Odd doc_ids become 4096-sample 8-bit WAVs
+    with 64 constant-energy frames (per-frame amplitude from the same
+    hash grid), so decimation preserves the energy-delta fingerprint
+    exactly. The perceptual-fingerprint test corpus for
+    ``media_near_dup``; ``synthesize_media`` remains the decode-path
+    corpus. Arrow ``mapInPandas``, payloads built executor-side."""
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    g = _hash_grid(i, 16, 16)
+                    img = np.kron(g, np.ones((4, 4), dtype=np.uint8))
+                    data = (
+                        np.repeat(img, 3, axis=1).astype(np.uint8).tobytes()
+                    )  # 64px × 3 bytes = 192 = stride (no pad needed)
+                    size = 54 + len(data)
+                    hdr = (
+                        b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+                        + (54).to_bytes(4, "little")
+                        + (40).to_bytes(4, "little")
+                        + (64).to_bytes(4, "little", signed=True)
+                        + (64).to_bytes(4, "little", signed=True)
+                        + (1).to_bytes(2, "little")
+                        + (24).to_bytes(2, "little")
+                        + (0).to_bytes(4, "little")
+                        + len(data).to_bytes(4, "little")
+                        + b"\0" * 16
+                    )
+                    rows.append((i, "image/bmp", hdr + data))
+                else:
+                    amp = 10.0 + _hash_grid(i, 8, 8).reshape(64) * (100 / 255)
+                    frames = np.repeat(amp, 64)  # 64 frames × 64 samples
+                    sgn = np.tile([1.0, -1.0], 2048)
+                    s = np.clip(128.0 + frames * sgn, 0, 255).astype(np.uint8)
+                    data = s.tobytes()
+                    fmt = (
+                        b"fmt " + (16).to_bytes(4, "little")
+                        + (1).to_bytes(2, "little")
+                        + (1).to_bytes(2, "little")
+                        + (8000).to_bytes(4, "little")
+                        + (8000).to_bytes(4, "little")
+                        + (1).to_bytes(2, "little")
+                        + (8).to_bytes(2, "little")
+                    )
+                    chunks = (
+                        fmt + b"data" + len(data).to_bytes(4, "little") + data
+                    )
+                    payload = (
+                        b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+                        + b"WAVE" + chunks
+                    )
+                    rows.append((i, "audio/wav", payload))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "payload"]
+            )
+
+    return df.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def media_near_dup(
+    fp: DataFrame, max_hamming: int = 7, n_bands: int = 8
+) -> DataFrame:
+    """Near-duplicate media pairs from perceptual fingerprints: Hamming
+    distance ≤ ``max_hamming`` over the 64-bit ``phash`` column, mined
+    with the SAME banded pigeonhole blocking the text SimHash family
+    uses (``dedup.simhash_near_dup_pairs``): split the signature into
+    ``n_bands`` disjoint bands — a pair at distance h ≤ n_bands−1 is
+    identical in ≥1 band, so blocking on (media_type, band, band_val)
+    has guaranteed full recall while pair work stays confined to
+    ~n/2^(64/n_bands) band buckets. Pairs never cross modalities (an
+    image pHash and an audio energy profile are different spaces).
+
+    Scale shape: one band explode (narrow), one groupBy with in-row
+    a<b pair generation — no self-join; `bit_count` on the XOR'd
+    64-bit values runs JVM-side. The corpus-size geometry contract is
+    the SimHash one: growing the corpus 2^k× at constant bucket
+    occupancy means widening bands by k bits and trading down the
+    guaranteed radius (SCALING.md's self-sizing rule applies
+    unchanged). Mass-duplicate fingerprints (exact same asset many
+    times) should be exact-deduped on phash first, as with SimHash.
+
+    Rows-only driver check: the fingerprints upstream are a DCT /
+    energy profile, not SQL. The recall property (planted
+    resized/decimated variants are recovered, distinct assets are
+    not) is pinned in tests instead."""
+    assert 64 % n_bands == 0, "band width must divide the 64-bit phash"
+    assert max_hamming < n_bands, "recall guarantee needs h < n_bands"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.expr(
+        "array("
+        + ",".join(
+            f"struct({k} AS band, (shiftrightunsigned(phash, {width * k})"
+            f" & {mask}) AS band_val)"
+            for k in range(n_bands)
+        )
+        + ")"
+    )
+    ex = fp.select(
+        "doc_id", "media_type", "phash", F.explode(bands).alias("bk")
+    ).select("doc_id", "media_type", "phash", "bk.band", "bk.band_val")
+    grp = (
+        ex.groupBy("media_type", "band", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "phash"))
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
+    )
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "cast(bit_count(x.phash ^ y.phash) as bigint) AS hamming))))"
+    )
+    return (
+        grp.select("media_type", F.explode(combos).alias("p"))
+        .select("media_type", "p.doc_a", "p.doc_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("media_type", "doc_a", "doc_b")
+        .agg(F.max("hamming").alias("hamming"))
+    )
