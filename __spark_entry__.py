@@ -4678,6 +4678,59 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot diff: two derived versions of the documents
+    table (v1 drops doc_id % 11 == 3 — later additions; v2 drops
+    doc_id % 13 == 5 — deletions — and revises text where
+    doc_id % 7 == 0), diffed by ``maintenance.snapshot_diff`` into
+    added/removed/changed rows. The digest-before-shuffle plan is the
+    100 TB point: only (key, md5) ever moves. Oracle recomputes the
+    diff with a FULL OUTER JOIN and direct IS DISTINCT FROM column
+    comparison — an independent formulation of the same contract."""
+    from data_lakehouse_hygiene_spark import maintenance
+
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 11 != 3).select(
+        "doc_id", "text", "lang", "source"
+    )
+    v2 = docs.where(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    return maintenance.snapshot_diff(
+        v1, v2, ["doc_id"], ["text", "lang", "source"]
+    )
+
+
+SQL_CORPUS_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 11 != 3),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END
+           AS text,
+         lang, source
+  FROM documents WHERE doc_id % 13 != 5),
+d AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS DISTINCT FROM n.text
+                OR o.lang IS DISTINCT FROM n.lang
+                OR o.source IS DISTINCT FROM n.source THEN 'changed'
+         END AS status
+  FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+SELECT doc_id, status FROM d WHERE status IS NOT NULL
+"""
+
+
 def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift of document length vs the pooled
     corpus: fixed-width (100-char) histogram Pearson chi-square per
@@ -4768,6 +4821,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_enrich": (q_streaming_enrich, SQL_STREAMING_ENRICH),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "dist_drift": (q_dist_drift, SQL_DIST_DRIFT),
+    "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "rolling_agg": (q_rolling_agg, SQL_ROLLING_AGG),
@@ -5060,7 +5114,7 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 26 rows that have NEVER had an official driver check — all 16
+# (a) the 27 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
 #     plus this round's new ivfpq_ann, shard_assign, ngram_counts,
 #     normalize_text, cooccurrence_counts, collocation_lift, and the
@@ -5069,13 +5123,13 @@ _REGISTRY = {
 # (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
 #     NULL-contract fix; the simhash MIH geometry self-sizing);
-# (c) 19 of the 27 rows whose latest official check is still r04. The
-#     eight left out (regex_funcs, set_ops, cube_counts, rollup_counts,
-#     unpivot_metrics, running_total, pivot_counts, topk_per_group) are
-#     pure column-algebra/window rows untouched since r04 —
-#     stale-but-once-green beats never-checked for the slots that
-#     don't fit.
-# 26 + 5 + 19 = 50. Everything else re-verifies locally every run via
+# (c) 18 of the 27 rows whose latest official check is still r04. The
+#     nine left out (regex_funcs, set_ops, cube_counts, rollup_counts,
+#     unpivot_metrics, running_total, pivot_counts, topk_per_group,
+#     tfidf_top_terms) are pure column-algebra/window rows untouched
+#     since r04 — stale-but-once-green beats never-checked for the
+#     slots that don't fit.
+# 27 + 5 + 18 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -5086,7 +5140,7 @@ _R9_NEVER = [
     "dedup_clusters_star", "rolling_agg", "pq_ann", "shard_assign",
     "ngram_counts", "bpe_train", "bpe_encode", "normalize_text",
     "cooccurrence_counts", "collocation_lift", "media_phash",
-    "media_near_dup",
+    "media_near_dup", "corpus_diff",
 ]
 _R9_STALE_R4 = [
     "anti_semi_join", "chunk_documents", "dq_check",
@@ -5096,7 +5150,6 @@ _R9_STALE_R4 = [
     "repetition_metrics",
     "salted_group_count", "salted_join", "streaming_dedup",
     "streaming_session_window", "streaming_sliding_window",
-    "tfidf_top_terms",
 ]
 _R9_MODIFIED = [
     # group_median's NULL fix shares its code path with mad_outliers /

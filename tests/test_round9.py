@@ -690,3 +690,27 @@ def test_media_near_dup_band_recall_guarantee(spark):
     fp = spark.createDataFrame(rows, "doc_id long, media_type string, phash long")
     got = media_near_dup(fp, max_hamming=7).collect()
     assert {(r.doc_a, r.doc_b, r.hamming) for r in got} == {(1, 2, 7)}
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    """added/removed/changed classification, and the NULL-sentinel
+    digest: NULL and '' must be DIFFERENT digests (a naive concat_ws
+    silently drops NULLs and conflates them)."""
+    from data_lakehouse_hygiene_spark.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", None), (5, "e", "z")],
+        "id long, t string, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "y"), (3, "c", ""), (4, "d", "w")],
+        "id long, t string, s string",
+    )
+    got = {
+        (r.id, r.status)
+        for r in snapshot_diff(old, new, ["id"], ["t", "s"]).collect()
+    }
+    # 1 unchanged (absent), 2 changed (case), 3 changed (NULL -> ''),
+    # 4 added, 5 removed
+    assert got == {(2, "changed"), (3, "changed"), (4, "added"),
+                   (5, "removed")}
