@@ -120,6 +120,8 @@ HEADLINE = [
     "winsorize",
     "ivfpq_ann",
     "shard_assign",
+    "media_near_dup",
+    "corpus_diff",
 ]
 
 

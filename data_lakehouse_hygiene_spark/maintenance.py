@@ -390,8 +390,15 @@ def snapshot_diff(
             ).alias(alias),
         )
 
+    # full outer can't broadcast; hint SHUFFLE_HASH so the plan is a
+    # ShuffledHashJoin on the digest projections (supported for full
+    # outer since Spark 3.1) instead of a SortMergeJoin — both sides
+    # are ~50-byte digest rows, so the hash build fits per-partition
+    # memory at any corpus size and we skip two corpus sorts
     j = dig(old, "__d_old").join(
-        dig(new, "__d_new"), on=list(key_cols), how="full_outer"
+        dig(new, "__d_new").hint("shuffle_hash"),
+        on=list(key_cols),
+        how="full_outer",
     )
     return j.select(
         *key_cols,

@@ -379,26 +379,41 @@ def _phash_bmp(p: bytes, grid: int = 8) -> int:
     h = int.from_bytes(p[22:26], "little", signed=True)
     off = int.from_bytes(p[10:14], "little")
     stride = (3 * w + 3) // 4 * 4
-    img = np.zeros((h, w), dtype=np.float64)
     buf = np.frombuffer(p, dtype=np.uint8)
-    for y in range(h):
-        row = buf[off + y * stride : off + y * stride + 3 * w].astype(
-            np.float64
-        )
-        # BGR -> integer-weighted luma (ITU-R 601 ratios over 256)
-        img[y] = (
-            29 * row[0::3] + 150 * row[1::3] + 77 * row[2::3]
-        ) / 256.0
+    # BGR -> integer-weighted luma (ITU-R 601 ratios over 256), fully
+    # vectorized: view the pixel array as (h, stride) and slice off the
+    # row padding — the per-row Python loop was ~10x the whole DCT cost
+    # at corpus scale
+    px = (
+        buf[off : off + stride * h]
+        .reshape(h, stride)[:, : 3 * w]
+        .reshape(h, w, 3)
+        .astype(np.float64)
+    )
+    img = (29 * px[:, :, 0] + 150 * px[:, :, 1] + 77 * px[:, :, 2]) / 256.0
     # mean-pool to 16x16 (nearest-bin pooling; handles any input size)
     n = 16
-    ys = (np.arange(n + 1) * h) // n
-    xs = (np.arange(n + 1) * w) // n
-    pooled = np.zeros((n, n))
-    for i in range(n):
-        y0, y1 = ys[i], max(ys[i] + 1, ys[i + 1])
-        for j in range(n):
-            x0, x1 = xs[j], max(xs[j] + 1, xs[j + 1])
-            pooled[i, j] = img[y0:min(y1, h), x0:min(x1, w)].mean()
+    if h % n == 0 and w % n == 0:
+        # divisible fast path: one reshape-mean, no Python loop. Same
+        # cells, same arithmetic mean — the pinned fixture hashes assert
+        # the two paths stay bit-compatible.
+        pooled = img.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
+    else:
+        # general path (any w, h — including tiny payloads smaller than
+        # the grid): same nearest-bin cells, but pooled via a 2D
+        # integral image instead of a 256-iteration Python slice loop —
+        # the loop dominated the whole fingerprint at corpus scale
+        ys = (np.arange(n + 1) * h) // n
+        xs = (np.arange(n + 1) * w) // n
+        y0, x0 = ys[:n], xs[:n]
+        y1 = np.minimum(np.maximum(y0 + 1, ys[1:]), h)
+        x1 = np.minimum(np.maximum(x0 + 1, xs[1:]), w)
+        S = np.zeros((h + 1, w + 1))
+        S[1:, 1:] = img.cumsum(axis=0).cumsum(axis=1)
+        sums = (
+            S[y1][:, x1] - S[y0][:, x1] - S[y1][:, x0] + S[y0][:, x0]
+        )
+        pooled = sums / ((y1 - y0)[:, None] * (x1 - x0)[None, :])
     k = np.arange(n)
     basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
     dct = basis @ pooled @ basis.T
@@ -437,14 +452,19 @@ def _phash_wav(p: bytes, n_frames: int = 64) -> int:
     )
     if len(s) == 0:
         return 0
-    e = np.zeros(n_frames)
-    bounds = (np.arange(n_frames + 1) * len(s)) // n_frames
-    for i in range(n_frames):
-        a, b = bounds[i], max(bounds[i] + 1, bounds[i + 1])
-        e[i] = np.abs(s[a:min(b, len(s))] - 128.0).mean()
+    if len(s) % n_frames == 0:
+        # divisible fast path: one reshape-mean (same frames, same mean)
+        e = np.abs(s.reshape(n_frames, -1) - 128.0).mean(axis=1)
+    else:
+        e = np.zeros(n_frames)
+        bounds = (np.arange(n_frames + 1) * len(s)) // n_frames
+        for i in range(n_frames):
+            a, b = bounds[i], max(bounds[i] + 1, bounds[i + 1])
+            e[i] = np.abs(s[a:min(b, len(s))] - 128.0).mean()
+    rising = e[1:] > e[:-1]
     bits = 0
-    for i in range(n_frames - 1):
-        bits = (bits << 1) | int(e[i + 1] > e[i])
+    for b in rising:
+        bits = (bits << 1) | int(b)
     return bits
 
 
