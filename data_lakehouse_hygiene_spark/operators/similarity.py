@@ -1494,6 +1494,7 @@ def ivfpq_ann(
     m: int = 4,
     n_codes: int = 8,
     n_iter: int = 1,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF×PQ composed — the canonical 100 TB ANN shape (Jégou et al.
     2011): a coarse inverted-file stage prunes the corpus to the
@@ -1518,8 +1519,23 @@ def ivfpq_ann(
     (integer fit, integer tables, ties to lowest vec_id); the SQL
     oracle replays fit, encode, tables, probe, and ranking exactly.
 
+    ``n_probe`` is the standard IVF recall lever: probe the query's own
+    cell plus its (n_probe−1) nearest OTHER cells by exact integer
+    distance to each cell's floor-mean centroid (the same floor(sum/
+    count) integer means the kmeans trainer uses, so the ranking is
+    deterministic and replayable; ties break on lowest cell label). The
+    probe set widens only the BROADCAST query table — one extra ~100-
+    byte row per extra probed cell — while the corpus-side plan shape
+    (one broadcast equi-join on the label, per-query rank window) is
+    unchanged; candidates stay disjoint because each corpus vector
+    carries exactly one label. Centroid means cost one k·dim-bounded
+    aggregate + collect (the kmeans driver-traffic convention).
+    Probing ALL cells makes the candidate set the whole corpus, so
+    ``n_probe = n_cells`` is EXACTLY ``pq_ann`` — the equivalence the
+    test suite pins as the multi-probe correctness anchor.
+
     Returns (query_id, vec_id, adc, rank) — rank 1..k within the probed
-    cell, self-matches excluded.
+    cell(s), self-matches excluded.
     """
     from pyspark.sql.window import Window
 
@@ -1559,6 +1575,22 @@ def ivfpq_ann(
     cell_field = next(
         f for f in df.schema.fields if f.name == cluster_col
     )
+    cent_vec: dict = {}
+    if n_probe > 1:
+        # k·dim-bounded centroid aggregate (the kmeans driver-traffic
+        # convention): per-cell floor-mean of each coordinate
+        cm = (
+            q.select(cluster_col, F.posexplode("qv").alias("pos", "x"))
+            .groupBy(cluster_col, "pos")
+            .agg(F.floor(F.sum("x") / F.count("x")).alias("mu"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in cm:
+            acc.setdefault(r[cluster_col], {})[r["pos"]] = int(r["mu"])
+        cent_vec = {
+            lab: [d[p] for p in range(dim)] for lab, d in acc.items()
+        }
     qrows = []
     for row in queries:
         qv = list(row["qv"])
@@ -1571,7 +1603,23 @@ def ivfpq_ann(
                     for c in cents
                 ]
             )
-        qrows.append((int(row["vec_id"]), row[cluster_col], *tbls))
+        own = row[cluster_col]
+        labels = [own]
+        if n_probe > 1:
+            others = sorted(
+                (
+                    sum(
+                        (a - b) * (a - b)
+                        for a, b in zip(qv, cvec)
+                    ),
+                    lab,
+                )
+                for lab, cvec in cent_vec.items()
+                if lab != own
+            )
+            labels += [lab for _, lab in others[: n_probe - 1]]
+        for lab in labels:
+            qrows.append((int(row["vec_id"]), lab, *tbls))
     qschema = StructType(
         [
             StructField("query_id", LongType()),

@@ -714,3 +714,39 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
     # 4 added, 5 removed
     assert got == {(2, "changed"), (3, "changed"), (4, "added"),
                    (5, "removed")}
+
+
+def test_ivfpq_multiprobe_all_cells_equals_pq_ann(spark):
+    """Probing every coarse cell makes the IVF stage a no-op: candidates
+    become the whole corpus, so ivfpq(n_probe=n_cells) must reproduce
+    pq_ann row-for-row (same codebooks, same ADC, same ties) — the
+    multi-probe correctness anchor."""
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n_cells = df.select("label").distinct().count()
+    full = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_ann(df, n_probe=n_cells).collect()
+    )
+    want = sorted(tuple(r) for r in similarity.pq_ann(df).collect())
+    assert full == want and len(full) > 0
+
+
+def test_ivfpq_multiprobe_default_unchanged_and_recall_monotone(spark):
+    """n_probe=1 must be byte-identical to the pre-knob behavior (own
+    cell only), and widening the probe set must never SHRINK the
+    candidate pool: every n_probe=1 result row survives or is displaced
+    only by a strictly better (lower-adc / lower-id) candidate."""
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    one = similarity.ivfpq_ann(df).collect()
+    two = similarity.ivfpq_ann(df, n_probe=2).collect()
+    best1 = {q: min(r.adc for r in one if r.query_id == q)
+             for q in {r.query_id for r in one}}
+    best2 = {q: min(r.adc for r in two if r.query_id == q)
+             for q in {r.query_id for r in two}}
+    assert set(best2) == set(best1)
+    for q in best1:
+        assert best2[q] <= best1[q]
