@@ -4731,6 +4731,34 @@ SELECT doc_id, status FROM d WHERE status IS NOT NULL
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (token frequency > 3% of all tokens)
+    via the Misra-Gries two-pass: per-partition bounded-memory candidate
+    sketches (pigeonhole guarantees no true heavy hitter is missed),
+    then a candidate-filtered exact recount — the 100 TB alternative to
+    a full-vocabulary aggregate when the distinct count is 10^10. The
+    output is EXACT, so the oracle is a plain GROUP BY ... HAVING."""
+    from data_lakehouse_hygiene_spark.operators.aggregates import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    return heavy_hitters(toks, "token", phi=0.03)
+
+
+SQL_HEAVY_HITTERS = """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT count(*) AS n FROM t WHERE token IS NOT NULL)
+SELECT token, count(*) AS cnt
+FROM t CROSS JOIN tot
+WHERE token IS NOT NULL
+GROUP BY token, tot.n
+HAVING count(*) > 0.03 * n
+ORDER BY cnt DESC, token
+"""
+
+
 def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift of document length vs the pooled
     corpus: fixed-width (100-char) histogram Pearson chi-square per
@@ -4822,6 +4850,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "dist_drift": (q_dist_drift, SQL_DIST_DRIFT),
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "rolling_agg": (q_rolling_agg, SQL_ROLLING_AGG),
@@ -5114,7 +5143,7 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 27 rows that have NEVER had an official driver check — all 16
+# (a) the 28 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
 #     plus this round's new ivfpq_ann, shard_assign, ngram_counts,
 #     normalize_text, cooccurrence_counts, collocation_lift, and the
@@ -5123,13 +5152,13 @@ _REGISTRY = {
 # (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
 #     NULL-contract fix; the simhash MIH geometry self-sizing);
-# (c) 18 of the 27 rows whose latest official check is still r04. The
-#     nine left out (regex_funcs, set_ops, cube_counts, rollup_counts,
+# (c) 17 of the 27 rows whose latest official check is still r04. The
+#     ten left out (regex_funcs, set_ops, cube_counts, rollup_counts,
 #     unpivot_metrics, running_total, pivot_counts, topk_per_group,
-#     tfidf_top_terms) are pure column-algebra/window rows untouched
-#     since r04 — stale-but-once-green beats never-checked for the
-#     slots that don't fit.
-# 27 + 5 + 18 = 50. Everything else re-verifies locally every run via
+#     tfidf_top_terms, lag_diff) are pure column-algebra/window rows
+#     untouched since r04 — stale-but-once-green beats never-checked
+#     for the slots that don't fit.
+# 28 + 5 + 17 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -5140,12 +5169,12 @@ _R9_NEVER = [
     "dedup_clusters_star", "rolling_agg", "pq_ann", "shard_assign",
     "ngram_counts", "bpe_train", "bpe_encode", "normalize_text",
     "cooccurrence_counts", "collocation_lift", "media_phash",
-    "media_near_dup", "corpus_diff",
+    "media_near_dup", "corpus_diff", "heavy_hitters",
 ]
 _R9_STALE_R4 = [
     "anti_semi_join", "chunk_documents", "dq_check",
     "dq_unique", "embedding_near_dup", "incremental_agg",
-    "incremental_dedup", "lag_diff", "media_decode", "ntile_quartiles",
+    "incremental_dedup", "media_decode", "ntile_quartiles",
     "orphan_counts", "price_qty_corr",
     "repetition_metrics",
     "salted_group_count", "salted_join", "streaming_dedup",

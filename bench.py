@@ -122,6 +122,7 @@ HEADLINE = [
     "shard_assign",
     "media_near_dup",
     "corpus_diff",
+    "heavy_hitters",
 ]
 
 

@@ -589,3 +589,75 @@ def _winsorize_select(df, key, val, id_col, lower_pct, upper_pct):
         "lo_bound",
         "hi_bound",
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, phi: float = 0.001
+) -> DataFrame:
+    """EXACT heavy hitters — every value with frequency > ``phi``·N —
+    computed with SKETCH-BOUNDED memory instead of a full-vocabulary
+    aggregate (the Misra-Gries two-pass construction):
+
+    1. CANDIDATE pass: each partition summarizes its rows with a
+       Misra-Gries sketch of c = ⌈1/phi⌉ counters (Arrow-batched:
+       pandas ``value_counts`` per batch merged into the counter dict,
+       then one decrement step caps it back to c). Pigeonhole
+       guarantee: if a value's GLOBAL count f > phi·N, then in at
+       least one partition f_p > phi·n_p (otherwise f = Σf_p ≤
+       phi·Σn_p = phi·N), and MG with c counters never evicts a value
+       whose partition count exceeds n_p/c — so every true heavy
+       hitter survives SOME partition's sketch. False candidates are
+       possible; misses are not.
+    2. EXACT pass: the candidate set (≤ c per partition, typically far
+       fewer) broadcast-semi-joins back onto the column and only those
+       rows aggregate; the global N comes from a 1-row count that
+       cross-joins on (the established broadcast-scalar pattern).
+       The final filter cnt > phi·N makes the output EXACT — the
+       oracle is a plain GROUP BY ... HAVING.
+
+    Why not ``groupBy(col).count()`` directly (``vocab_topk``): at
+    100 TB the full-vocabulary hash aggregate shuffles one record per
+    DISTINCT value — fine at 10⁶ vocab, ruinous at 10¹⁰ (URLs,
+    n-grams, user ids). Here the shuffle carries only candidates
+    (≤ c·P rows for P partitions); everything else is scan-shaped.
+    Deterministic output (exact counts, no sketch values exposed).
+
+    Returns (value, cnt), cnt > phi·N, descending by (cnt, value).
+    """
+    import math
+
+    import pandas as pd
+
+    c = max(1, math.ceil(1.0 / phi))
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for val, cnt in pdf[col].dropna().value_counts().items():
+                counters[val] = counters.get(val, 0) + int(cnt)
+            if len(counters) > c:
+                # decrement step: drop the (len-c) smallest counts from
+                # every counter (batched form of MG's per-item decrement;
+                # same survivor guarantee — a counter only dies if its
+                # count is among the len-c smallest)
+                d = sorted(counters.values())[len(counters) - c - 1]
+                counters = {
+                    v: n - d for v, n in counters.items() if n > d
+                }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    cand = df.select(col).mapInPandas(
+        _mg, schema=f"{col} {df.schema[col].dataType.simpleString()}"
+    ).distinct()
+    total = df.where(F.col(col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        df.join(F.broadcast(cand), on=col, how="left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.lit(phi) * F.col("__n"))
+        .select(col, "cnt")
+        .orderBy(F.desc("cnt"), F.asc(col))
+    )

@@ -37,6 +37,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Max payload rows per yielded pandas frame in payload-PRODUCING
+# mapInPandas kernels. Each yielded frame becomes one Arrow batch, so
+# this — not spark.sql.execution.arrow.maxRecordsPerBatch, which only
+# chunks the INPUT side — is what bounds executor memory when a kernel
+# fabricates multi-KB binary payloads from small input rows (measured:
+# 10k-row yields of 12 KB BMPs OOM'd a 24 GiB heap at 500k docs).
+_YIELD_ROWS = 512
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -212,6 +220,12 @@ def synthesize_media(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if len(rows) >= _YIELD_ROWS:
+                    # bounded-memory yield — see _YIELD_ROWS
+                    yield pd.DataFrame(
+                        rows, columns=["doc_id", "media_type", "payload"]
+                    )
+                    rows = []
                 i = int(doc_id)
                 if i % 2 == 0:
                     payload = make_bmp(1 + i % 16, 1 + i % 8, seed=i)
@@ -566,6 +580,16 @@ def synthesize_structured_media(
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
+                if len(rows) >= _YIELD_ROWS:
+                    # yield in small chunks: each yielded frame becomes
+                    # one Arrow batch, and 10k payload rows x 12 KB per
+                    # input batch OOM'd the 500k-doc rehearsal — payload
+                    # memory must be bounded per yield, not per input
+                    # batch
+                    yield pd.DataFrame(
+                        rows, columns=["doc_id", "media_type", "payload"]
+                    )
+                    rows = []
                 i = int(doc_id)
                 if i % 2 == 0:
                     g = _hash_grid(i, 16, 16)

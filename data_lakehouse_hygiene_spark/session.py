@@ -41,6 +41,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow transfer granularity for mapInPandas. The default 10k
+        # rows/batch is fine for scalar columns but fatal for binary
+        # payload columns: the JVM re-batches between CHAINED Python
+        # ops at this size, so 10k-row batches of 12 KB media payloads
+        # put ~120 MB per task in flight JVM-side (x32 tasks OOM'd a
+        # 24 GiB heap at the 500k-doc rehearsal) no matter how small
+        # the kernels' own yields are. 1k rows keeps payload batches
+        # ~12 MB; the extra per-batch round-trips are noise for scalar
+        # workloads (grouped applyInPandas is NOT affected — groups
+        # ship whole regardless of this conf).
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "1024"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         # Keep catalog artifacts (bucketed saveAsTable) out of the repo dir.
@@ -67,6 +81,12 @@ def pin_session(spark: SparkSession) -> SparkSession:
     # on a driver-owned session; pin to the local core count.
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    # Payload-column Arrow batches must stay small on ANY session that
+    # runs the multimodal queries — see the factory comment.
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        os.environ.get("SPARK_ARROW_BATCH", "1024"),
     )
     # Deliberate session-wide pin (not restored): schemas.load_table reads
     # TIMESTAMP(NANOS) parquet columns as raw longs under this flag, and the

@@ -750,3 +750,50 @@ def test_ivfpq_multiprobe_default_unchanged_and_recall_monotone(spark):
     assert set(best2) == set(best1)
     for q in best1:
         assert best2[q] <= best1[q]
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+def test_heavy_hitters_exact_vs_full_aggregate(spark):
+    """The sketch pass must never lose a true heavy hitter: output ==
+    the full-vocabulary GROUP BY ... HAVING answer, under several
+    partitionings (the MG guarantee is per-partition, so partitioning
+    is the adversarial axis)."""
+    from data_lakehouse_hygiene_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    # skewed synthetic stream: value i appears ~ 1000/(i+1) times
+    rows = [(f"v{i}",) for i in range(60) for _ in range(1000 // (i + 1))]
+    df0 = spark.createDataFrame(rows, "token string")
+    n = len(rows)
+    phi = 0.02
+    exact = (
+        df0.groupBy("token").count()
+        .where(F.col("count") > phi * n)
+        .orderBy(F.desc("count"), F.asc("token"))
+        .collect()
+    )
+    want = [(r["token"], r["count"]) for r in exact]
+    for parts in (1, 7, 32):
+        got = [
+            (r["token"], r["cnt"])
+            for r in heavy_hitters(
+                df0.repartition(parts), "token", phi=phi
+            ).collect()
+        ]
+        assert got == want, f"parts={parts}"
+    assert len(want) >= 5  # fixture exercises a non-trivial hitter set
+
+
+def test_heavy_hitters_nulls_excluded(spark):
+    from data_lakehouse_hygiene_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    rows = [("a",)] * 50 + [(None,)] * 200 + [("b",)] * 3
+    df0 = spark.createDataFrame(rows, "token string")
+    got = heavy_hitters(df0, "token", phi=0.5).collect()
+    # N = 53 non-null; only 'a' (50) exceeds 0.5*53
+    assert [(r["token"], r["cnt"]) for r in got] == [("a", 50)]
