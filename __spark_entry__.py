@@ -4759,6 +4759,32 @@ ORDER BY cnt DESC, token
 """
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the token stream maintains bounded
+    Misra-Gries GroupState per hash bucket
+    (``streaming.heavy_hitters_stream`` — n_buckets·⌈1/phi⌉ counters
+    total, stream-length-independent), the drained candidate set
+    recounts exactly against the landed table
+    (``aggregates.exact_recount``), so the output is EXACT and the
+    oracle is the same plain GROUP BY ... HAVING as the batch operator.
+    The streaming twin of ``heavy_hitters`` — pass 1 runs continuously
+    on the feed instead of per job."""
+    from data_lakehouse_hygiene_spark import streaming
+    from data_lakehouse_hygiene_spark.operators.aggregates import exact_recount
+
+    pin_session(spark)
+    s = streaming.load_stream_table(spark, sf_dir, "documents")
+    stoks = s.select(F.explode(F.split("text", " ")).alias("token"))
+    cand = streaming.run_to_memory(
+        streaming.heavy_hitters_stream(stoks, "token", phi=0.03),
+        output_mode="append",
+    )
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    return exact_recount(toks, "token", cand, phi=0.03)
+
+
 def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift of document length vs the pooled
     corpus: fixed-width (100-char) histogram Pearson chi-square per
@@ -4851,6 +4877,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dist_drift": (q_dist_drift, SQL_DIST_DRIFT),
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "streaming_heavy_hitters": (q_streaming_heavy_hitters, SQL_HEAVY_HITTERS),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "rolling_agg": (q_rolling_agg, SQL_ROLLING_AGG),
@@ -5143,7 +5170,7 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 28 rows that have NEVER had an official driver check — all 16
+# (a) the 29 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
 #     plus this round's new ivfpq_ann, shard_assign, ngram_counts,
 #     normalize_text, cooccurrence_counts, collocation_lift, and the
@@ -5152,13 +5179,14 @@ _REGISTRY = {
 # (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
 #     NULL-contract fix; the simhash MIH geometry self-sizing);
-# (c) 17 of the 27 rows whose latest official check is still r04. The
-#     ten left out (regex_funcs, set_ops, cube_counts, rollup_counts,
+# (c) 16 of the 27 rows whose latest official check is still r04. The
+#     eleven left out (regex_funcs, set_ops, cube_counts, rollup_counts,
 #     unpivot_metrics, running_total, pivot_counts, topk_per_group,
-#     tfidf_top_terms, lag_diff) are pure column-algebra/window rows
-#     untouched since r04 — stale-but-once-green beats never-checked
-#     for the slots that don't fit.
-# 28 + 5 + 17 = 50. Everything else re-verifies locally every run via
+#     tfidf_top_terms, lag_diff, ntile_quartiles) are pure
+#     column-algebra/window rows untouched since r04 —
+#     stale-but-once-green beats never-checked for the slots that
+#     don't fit.
+# 29 + 5 + 16 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -5170,11 +5198,12 @@ _R9_NEVER = [
     "ngram_counts", "bpe_train", "bpe_encode", "normalize_text",
     "cooccurrence_counts", "collocation_lift", "media_phash",
     "media_near_dup", "corpus_diff", "heavy_hitters",
+    "streaming_heavy_hitters",
 ]
 _R9_STALE_R4 = [
     "anti_semi_join", "chunk_documents", "dq_check",
     "dq_unique", "embedding_near_dup", "incremental_agg",
-    "incremental_dedup", "media_decode", "ntile_quartiles",
+    "incremental_dedup", "media_decode",
     "orphan_counts", "price_qty_corr",
     "repetition_metrics",
     "salted_group_count", "salted_join", "streaming_dedup",

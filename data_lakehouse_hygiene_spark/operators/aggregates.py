@@ -649,11 +649,24 @@ def heavy_hitters(
     cand = df.select(col).mapInPandas(
         _mg, schema=f"{col} {df.schema[col].dataType.simpleString()}"
     ).distinct()
+    return exact_recount(df, col, cand, phi)
+
+
+def exact_recount(
+    df: DataFrame, col: str, cand: DataFrame, phi: float
+) -> DataFrame:
+    """Shared EXACT pass of the heavy-hitter family (batch
+    ``heavy_hitters`` and the streaming candidate maintenance): recount
+    a candidate set against the full column and keep cnt > phi·N.
+    ``cand`` must be a SUPERSET of the true hitters (the MG guarantee);
+    the recount then makes the output exact regardless of how the
+    candidates were mined — false candidates fall to the HAVING filter,
+    misses are impossible by the superset contract."""
     total = df.where(F.col(col).isNotNull()).agg(
         F.count(F.lit(1)).alias("__n")
     )
     return (
-        df.join(F.broadcast(cand), on=col, how="left_semi")
+        df.join(F.broadcast(cand.select(col).distinct()), on=col, how="left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(total))

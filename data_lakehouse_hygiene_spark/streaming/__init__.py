@@ -432,6 +432,82 @@ def interval_join_stream(
     )
 
 
+def heavy_hitters_stream(
+    values: DataFrame,
+    col: str = "token",
+    phi: float = 0.01,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Streaming Misra-Gries candidate maintenance — the streaming half
+    of ``aggregates.heavy_hitters``: an unbounded value stream keeps, as
+    GroupState, one MG sketch of c = ⌈1/phi⌉ counters per hash bucket,
+    and each micro-batch emits every bucket's current survivors. State
+    is BOUNDED at n_buckets·c (value, count) pairs no matter the
+    stream's distinct-value count — the only aggregation shape that
+    survives a 10¹⁰-distinct key column on an unbounded feed (a
+    groupBy(col).count() stream keeps one state row per distinct value).
+
+    Survivor guarantee, cumulative across micro-batches: a value whose
+    TOTAL stream count f exceeds phi·N lands wholly in one bucket b
+    with n_b ≤ N rows, so f > phi·N ≥ phi·n_b = n_b/(1/phi) ≥ n_b/c >
+    n_b/(c+1); every MG decrement event subtracts d from its counter
+    only while removing ≥ (c+1)·d total mass, so cumulative decrements
+    stay ≤ n_b/(c+1) < f and the value's counter is alive in the final
+    state — emitted candidates are a SUPERSET of the true hitters at
+    every point where the stream has drained. Counts are sketch lower
+    bounds, so only the VALUES are emitted; the exact (value, cnt)
+    output comes from ``aggregates.exact_recount`` over the landed data
+    — the same candidates→recount contract as the batch operator, with
+    pass 1 running continuously instead of per job.
+
+    Emitted rows may repeat across micro-batches (each batch re-emits
+    its buckets' survivors); the recount's distinct() absorbs that.
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    c = max(1, math.ceil(1.0 / phi))
+    out_schema = StructType([StructField(col, StringType())])
+    state_schema = "vals array<string>, cnts array<long>"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        counters: dict = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in pdfs:
+            for val, cnt in pdf[col].dropna().value_counts().items():
+                counters[val] = counters.get(val, 0) + int(cnt)
+            if len(counters) > c:
+                # batched MG decrement — same survivor invariant as the
+                # batch kernel (aggregates.heavy_hitters._mg)
+                d = sorted(counters.values())[len(counters) - c - 1]
+                counters = {
+                    v: n - d for v, n in counters.items() if n > d
+                }
+        state.update(
+            (list(counters.keys()), [int(n) for n in counters.values()])
+        )
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    bucket = F.pmod(F.hash(F.col(col)), F.lit(n_buckets)).alias("__bucket")
+    return (
+        values.where(F.col(col).isNotNull())
+        .select(bucket, F.col(col).cast("string").alias(col))
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -797,3 +797,98 @@ def test_heavy_hitters_nulls_excluded(spark):
     got = heavy_hitters(df0, "token", phi=0.5).collect()
     # N = 53 non-null; only 'a' (50) exceeds 0.5*53
     assert [(r["token"], r["cnt"]) for r in got] == [("a", 50)]
+
+
+# ------------------------------------------- streaming heavy hitters
+
+
+def test_heavy_hitters_stream_candidates_superset_and_exact(spark):
+    """Single availableNow batch: the drained candidate stream must be a
+    SUPERSET of the true hitters, and the exact_recount over those
+    candidates must equal the full-aggregate answer."""
+    from data_lakehouse_hygiene_spark import streaming
+    from data_lakehouse_hygiene_spark.operators.aggregates import (
+        exact_recount,
+    )
+
+    rows = [(f"v{i}",) for i in range(60) for _ in range(1000 // (i + 1))]
+    schema = "token string"
+    df0 = spark.createDataFrame(rows, schema)
+    phi = 0.02
+    want = [
+        (r["token"], r["count"])
+        for r in df0.groupBy("token").count()
+        .where(F.col("count") > phi * len(rows))
+        .orderBy(F.desc("count"), F.asc("token"))
+        .collect()
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        src = td + "/toks"
+        df0.write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        cand = streaming.run_to_memory(
+            streaming.heavy_hitters_stream(stream, "token", phi=phi),
+            output_mode="append",
+        )
+        cand_set = {r["token"] for r in cand.collect()}
+        assert {t for t, _ in want} <= cand_set
+        got = [
+            (r["token"], r["cnt"])
+            for r in exact_recount(df0, "token", cand, phi).collect()
+        ]
+    assert got == want and len(want) >= 5
+
+
+def test_heavy_hitters_stream_state_carries_across_batches(spark, tmp_path):
+    """Split the stream into 3 micro-batches (one file each,
+    maxFilesPerTrigger=1): a value that is NEVER frequent within any
+    single batch but is a global hitter must survive the carried MG
+    state — the final candidate set still contains it and the recount
+    is exact."""
+    from data_lakehouse_hygiene_spark import streaming
+    from data_lakehouse_hygiene_spark.operators.aggregates import (
+        exact_recount,
+    )
+
+    schema = "token string"
+    # per batch: 'hit' x 40 spread thin among 360 mostly-distinct fillers
+    batches = [
+        [("hit",)] * 40 + [(f"b{b}_f{i}",) for i in range(360)]
+        for b in range(3)
+    ]
+    all_rows = [r for b in batches for r in b]
+    n = len(all_rows)  # 1200; 'hit' = 120 = 10% global, 10% per batch
+    phi = 0.05
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"f{b}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "f*"))
+    )
+    cand = streaming.run_to_memory(
+        streaming.heavy_hitters_stream(stream, "token", phi=phi, n_buckets=4),
+        output_mode="append",
+    )
+    assert "hit" in {r["token"] for r in cand.collect()}
+    full = spark.createDataFrame(all_rows, schema)
+    got = [
+        (r["token"], r["cnt"])
+        for r in exact_recount(full, "token", cand, phi).collect()
+    ]
+    assert got == [("hit", 120)]
+
+
+def test_heavy_hitters_stream_query_matches_batch_query(spark):
+    """The declared streaming query equals the batch query row-for-row
+    at sf0.001 (same phi, same table)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in entry.q_streaming_heavy_hitters(spark, sf).collect()]
+    want = [tuple(r) for r in entry.q_heavy_hitters(spark, sf).collect()]
+    assert got == want and len(want) > 0
