@@ -642,66 +642,94 @@ def synthesize_structured_media(
 
 
 def media_near_dup(
-    fp: DataFrame, max_hamming: int = 7, n_bands: int = 8
+    fp: DataFrame, max_hamming: int = 7, n_bands: int = 4
 ) -> DataFrame:
     """Near-duplicate media pairs from perceptual fingerprints: Hamming
     distance ≤ ``max_hamming`` over the 64-bit ``phash`` column, mined
-    with the SAME banded pigeonhole blocking the text SimHash family
-    uses (``dedup.simhash_near_dup_pairs``): split the signature into
-    ``n_bands`` disjoint bands — a pair at distance h ≤ n_bands−1 is
-    identical in ≥1 band, so blocking on (media_type, band, band_val)
-    has guaranteed full recall while pair work stays confined to
-    ~n/2^(64/n_bands) band buckets. Pairs never cross modalities (an
-    image pHash and an audio energy profile are different spaces).
+    with the multi-index-hashing geometry the text SimHash family's
+    corpus-scale plan uses (``dedup._simhash_mih_pairs``, Norouzi et
+    al. CVPR'12): the signature splits into ``n_bands`` disjoint w-bit
+    bands (w = 64/n_bands), each asset emits per band its exact band
+    value plus the w single-bit flips (kind 0 / kind 1 rows), and a
+    pair qualifies when it meets in a (media_type, band, band_val)
+    bucket with AT LEAST ONE exact side. Pigeonhole: if every band of
+    a pair differed in ≥ r+1 = maxh//b + 1 bits the total distance
+    would exceed max_hamming, so some band matches within r bits —
+    distance-0 bands meet exact×exact, distance-1 bands meet
+    exact×variant (both orientations, deduped by the final groupBy).
+    Verification is always the full 64-bit ``bit_count`` on the true
+    phash values, so over-generation is impossible and the pair set is
+    EXACTLY {a<b : hamming ≤ max_hamming} — value-equal to the plain
+    8×8-bit banded plan (property-tested against brute force).
 
-    Scale shape: one band explode (narrow), one groupBy with in-row
-    a<b pair generation — no self-join; `bit_count` on the XOR'd
-    64-bit values runs JVM-side. The corpus-size geometry contract is
-    the SimHash one: growing the corpus 2^k× at constant bucket
-    occupancy means widening bands by k bits and trading down the
-    guaranteed radius (SCALING.md's self-sizing rule applies
-    unchanged). Mass-duplicate fingerprints (exact same asset many
-    times) should be exact-deduped on phash first, as with SimHash.
+    Why not the plain 8-bit banding (the round-9.0 shape): 8-bit
+    buckets hold n/256 assets per modality, and the in-row pair array
+    is occupancy² — at 500k assets single rows reached ~10⁹ structs
+    and OOM'd a 32 GiB heap. 16-bit buckets hold n/65536 exacts
+    (+16·n/65536 variants), so per-bucket pair work drops ~256× for a
+    (1+w)× transport cost — bounded rows to ≥10M assets/modality; past
+    that the text family's s-top-bit variant transport and band
+    widening apply unchanged (SCALING.md geometry contract). Pairs
+    never cross modalities (an image pHash and an audio energy profile
+    are different spaces). Mass-duplicate fingerprints (the same asset
+    stored many times) should be exact-deduped on phash first, as with
+    SimHash.
 
     Rows-only driver check: the fingerprints upstream are a DCT /
     energy profile, not SQL. The recall property (planted
     resized/decimated variants are recovered, distinct assets are
     not) is pinned in tests instead."""
     assert 64 % n_bands == 0, "band width must divide the 64-bit phash"
-    assert max_hamming < n_bands, "recall guarantee needs h < n_bands"
     width = 64 // n_bands
-    mask = (1 << width) - 1
-    bands = F.expr(
-        "array("
-        + ",".join(
-            f"struct({k} AS band, (shiftrightunsigned(phash, {width * k})"
-            f" & {mask}) AS band_val)"
-            for k in range(n_bands)
-        )
-        + ")"
+    r = max_hamming // n_bands
+    assert r <= 1, (
+        f"per-band radius {r} > 1: raise n_bands so max_hamming//n_bands"
+        " <= 1 (single-bit variant enumeration)"
     )
+    mask = (1 << width) - 1
+    structs = []
+    for k in range(n_bands):
+        bv = f"(shiftrightunsigned(phash, {width * k}) & {mask})"
+        structs.append(f"struct({k} AS band, {bv} AS band_val, 0 AS kind)")
+        if r >= 1:
+            structs.extend(
+                f"struct({k} AS band, {bv} ^ {1 << i} AS band_val, 1 AS kind)"
+                for i in range(width)
+            )
     ex = fp.select(
-        "doc_id", "media_type", "phash", F.explode(bands).alias("bk")
-    ).select("doc_id", "media_type", "phash", "bk.band", "bk.band_val")
+        "doc_id",
+        "media_type",
+        "phash",
+        F.explode(F.expr("array(" + ",".join(structs) + ")")).alias("bk"),
+    ).select(
+        "doc_id", "media_type", "phash", "bk.band", "bk.band_val", "bk.kind"
+    )
+    # kind-0 rows sort first, so every valid pair (≥1 exact side) has an
+    # exact x — the inner filter prunes both-variant combos and the
+    # radius check BEFORE the array materializes, keeping row size
+    # ~occupancy_exact·occupancy, not occupancy².
     grp = (
         ex.groupBy("media_type", "band", "band_val")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("doc_id", "phash"))
+                F.collect_list(F.struct("kind", "doc_id", "phash"))
             ).alias("ds")
         )
-        .where(F.size("ds") >= 2)
+        .where((F.size("ds") >= 2) & (F.expr("ds[0].kind") == 0))
     )
     combos = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> "
-        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-        "cast(bit_count(x.phash ^ y.phash) as bigint) AS hamming))))"
+        "flatten(transform(ds, (x, i) -> CASE WHEN x.kind = 1 THEN"
+        " array() ELSE"
+        " filter(transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(least(x.doc_id, y.doc_id) AS doc_a,"
+        " greatest(x.doc_id, y.doc_id) AS doc_b, "
+        "cast(bit_count(x.phash ^ y.phash) as bigint) AS hamming)), "
+        f"p -> p.hamming <= {int(max_hamming)} AND p.doc_a <> p.doc_b)"
+        " END))"
     )
     return (
         grp.select("media_type", F.explode(combos).alias("p"))
         .select("media_type", "p.doc_a", "p.doc_b", "p.hamming")
-        .where(F.col("hamming") <= max_hamming)
         .groupBy("media_type", "doc_a", "doc_b")
         .agg(F.max("hamming").alias("hamming"))
     )

@@ -892,3 +892,50 @@ def test_heavy_hitters_stream_query_matches_batch_query(spark):
     got = [tuple(r) for r in entry.q_streaming_heavy_hitters(spark, sf).collect()]
     want = [tuple(r) for r in entry.q_heavy_hitters(spark, sf).collect()]
     assert got == want and len(want) > 0
+
+
+def test_media_near_dup_mih_equals_brute_force(spark):
+    """The MIH plan (16-bit bands + single-bit-flip variants, >= 1 exact
+    side per candidate) must return EXACTLY the brute-force pair set
+    {a<b : hamming <= 7} on an adversarial fixture: clustered hashes
+    (many pairs at assorted distances 0..10), plus cross-modality
+    duplicates that must never pair."""
+    import itertools
+    import random
+
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        media_near_dup,
+    )
+
+    def signed64(u):  # wrap a 64-bit pattern into BIGINT range
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rng = random.Random(7)
+    rows = []
+    did = 0
+    for _ in range(12):  # 12 clusters of 5 around a seed hash
+        seed = rng.getrandbits(64)
+        for _ in range(5):
+            h = seed
+            for _ in range(rng.randrange(0, 11)):  # 0..10 flips
+                h ^= 1 << rng.randrange(64)
+            rows.append(
+                (did, "image/bmp" if did % 2 else "audio/wav", signed64(h))
+            )
+            did += 1
+    def ham(ha, hb):  # popcount over the 64-bit pattern, sign-safe
+        return bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (m, min(a, b), max(a, b), ham(ha, hb))
+        for (a, m, ha), (b, mb, hb) in itertools.combinations(rows, 2)
+        if m == mb and ham(ha, hb) <= 7
+    }
+    fp = spark.createDataFrame(
+        rows, "doc_id long, media_type string, phash long"
+    )
+    got = {
+        (r.media_type, r.doc_a, r.doc_b, r.hamming)
+        for r in media_near_dup(fp, max_hamming=7).collect()
+    }
+    assert got == want and len(want) >= 20
