@@ -618,9 +618,20 @@ def heavy_hitters(
     Why not ``groupBy(col).count()`` directly (``vocab_topk``): at
     100 TB the full-vocabulary hash aggregate shuffles one record per
     DISTINCT value — fine at 10⁶ vocab, ruinous at 10¹⁰ (URLs,
-    n-grams, user ids). Here the shuffle carries only candidates
-    (≤ c·P rows for P partitions); everything else is scan-shaped.
-    Deterministic output (exact counts, no sketch values exposed).
+    n-grams, user ids). Here nothing corpus-sized ever shuffles;
+    everything is scan-shaped. Deterministic output (exact counts, no
+    sketch values exposed).
+
+    Scan economy: the global N rides the CANDIDATE pass (each
+    partition's sketch frame carries its non-null row count in a
+    ``__pn`` side row), so the whole operator is TWO scans — sketch,
+    recount — not three. The sketch output is bounded by construction
+    at (c+1)·P rows, which puts it in the engine's bounded-collect
+    class (kmeans stats convention): it collects to the driver, N
+    becomes a plan literal, and the candidate set broadcast-joins the
+    recount. Above ``HH_COLLECT_MAX`` expected rows (tiny phi × many
+    partitions) the same pass stays a DataFrame and N comes from a
+    third scan — correctness identical, one extra scan.
 
     Returns (value, cnt), cnt > phi·N, descending by (cnt, value).
     """
@@ -632,8 +643,11 @@ def heavy_hitters(
 
     def _mg(batches):
         counters: dict = {}
+        n = 0
         for pdf in batches:
-            for val, cnt in pdf[col].dropna().value_counts().items():
+            vc = pdf[col].dropna().value_counts()
+            n += int(vc.sum())
+            for val, cnt in vc.items():
                 counters[val] = counters.get(val, 0) + int(cnt)
             if len(counters) > c:
                 # decrement step: drop the (len-c) smallest counts from
@@ -642,14 +656,43 @@ def heavy_hitters(
                 # count is among the len-c smallest)
                 d = sorted(counters.values())[len(counters) - c - 1]
                 counters = {
-                    v: n - d for v, n in counters.items() if n > d
+                    v: n2 - d for v, n2 in counters.items() if n2 > d
                 }
-        yield pd.DataFrame({col: list(counters.keys())})
+        out = pd.DataFrame({col: list(counters.keys())})
+        out["__pn"] = None
+        yield pd.concat(
+            [out, pd.DataFrame({col: [None], "__pn": [n]})],
+            ignore_index=True,
+        )
 
-    cand = df.select(col).mapInPandas(
-        _mg, schema=f"{col} {df.schema[col].dataType.simpleString()}"
-    ).distinct()
+    dtype = df.schema[col].dataType.simpleString()
+    sketch = df.select(col).mapInPandas(
+        _mg, schema=f"{col} {dtype}, __pn bigint"
+    )
+    n_parts = df.rdd.getNumPartitions()
+    if (c + 1) * max(1, n_parts) <= HH_COLLECT_MAX:
+        rows = sketch.collect()  # ≤ (c+1)·P rows by construction
+        total = sum(r["__pn"] for r in rows if r["__pn"] is not None)
+        vals = sorted({r[col] for r in rows if r[col] is not None})
+        cand = df.sparkSession.createDataFrame(
+            [(v,) for v in vals], schema=f"{col} {dtype}"
+        )
+        return (
+            df.join(F.broadcast(cand), on=col, how="left_semi")
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > F.lit(float(phi)) * F.lit(int(total)))
+            .select(col, "cnt")
+            .orderBy(F.desc("cnt"), F.asc(col))
+        )
+    cand = sketch.where(F.col(col).isNotNull()).select(col).distinct()
     return exact_recount(df, col, cand, phi)
+
+
+# Bounded-collect ceiling for the heavy-hitter sketch pass: above this
+# many expected candidate rows ((1 + 1/phi) x input partitions) the
+# sketch stays distributed and N costs one extra scan.
+HH_COLLECT_MAX = 2_000_000
 
 
 def exact_recount(

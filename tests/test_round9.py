@@ -939,3 +939,23 @@ def test_media_near_dup_mih_equals_brute_force(spark):
         for r in media_near_dup(fp, max_hamming=7).collect()
     }
     assert got == want and len(want) >= 20
+
+
+def test_heavy_hitters_distributed_fallback_equals_collect_path(spark, monkeypatch):
+    """Forcing the distributed (no-driver-collect) dispatch must return
+    the identical rows: the two plans differ only in where N and the
+    candidate set materialize."""
+    from data_lakehouse_hygiene_spark.operators import aggregates
+
+    rows = [(f"v{i}",) for i in range(40) for _ in range(400 // (i + 1))]
+    df0 = spark.createDataFrame(rows, "token string").repartition(8)
+    want = [
+        (r["token"], r["cnt"])
+        for r in aggregates.heavy_hitters(df0, "token", phi=0.03).collect()
+    ]
+    monkeypatch.setattr(aggregates, "HH_COLLECT_MAX", 0)
+    got = [
+        (r["token"], r["cnt"])
+        for r in aggregates.heavy_hitters(df0, "token", phi=0.03).collect()
+    ]
+    assert got == want and len(want) >= 3
