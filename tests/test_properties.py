@@ -665,3 +665,43 @@ def test_cooccurrence_matches_bruteforce(spark, docs, window):
             for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
                 want[tuple(sorted((toks[i], toks[j])))] += 1
     assert got == dict(want)
+
+
+@given(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(25)]),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from([0.01, 0.05, 0.2, 0.6]),
+    st.sampled_from([1, 5, 32]),
+)
+@settings(**_SETTINGS)
+def test_heavy_hitters_never_misses_and_never_fabricates(
+    spark, values, phi, parts
+):
+    """Misra-Gries survivor guarantee under arbitrary value multisets,
+    thresholds, and partitionings: output == the exact GROUP BY ...
+    HAVING answer, always (the sketch may over-generate candidates but
+    the recount filters; a miss is impossible by the (c+1)·d
+    mass-removal invariant)."""
+    from collections import Counter
+
+    from data_lakehouse_hygiene_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in values], "token string"
+    ).repartition(parts)
+    n = len(values)
+    c = Counter(values)
+    want = sorted(
+        ((v, k) for v, k in c.items() if k > phi * n),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = [
+        (r["token"], r["cnt"])
+        for r in heavy_hitters(df, "token", phi=phi).collect()
+    ]
+    assert got == want
