@@ -4759,6 +4759,38 @@ ORDER BY cnt DESC, token
 """
 
 
+def q_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language frequent tokens (frequency > 2% of the language's
+    token mass) — the stopword-induction shape, via the group-aware
+    Misra-Gries two-pass (``aggregates.group_heavy_hitters``): bounded
+    per-partition sketches per language, per-group totals riding the
+    sketch pass, exact recount. EXACT output ⇒ windowed-HAVING
+    oracle."""
+    from data_lakehouse_hygiene_spark.operators.aggregates import (
+        group_heavy_hitters,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    return group_heavy_hitters(toks, "lang", "token", phi=0.02)
+
+
+SQL_GROUP_HEAVY_HITTERS = """
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+g AS (
+  SELECT lang, count(*) AS n FROM t
+  WHERE lang IS NOT NULL AND token IS NOT NULL GROUP BY lang)
+SELECT t.lang, token, count(*) AS cnt
+FROM t JOIN g ON t.lang = g.lang
+WHERE token IS NOT NULL
+GROUP BY t.lang, token, g.n
+HAVING count(*) > 0.02 * n
+ORDER BY t.lang, cnt DESC, token
+"""
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters: the token stream maintains bounded
     Misra-Gries GroupState per hash bucket
@@ -4878,6 +4910,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "streaming_heavy_hitters": (q_streaming_heavy_hitters, SQL_HEAVY_HITTERS),
+    "group_heavy_hitters": (q_group_heavy_hitters, SQL_GROUP_HEAVY_HITTERS),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "rolling_agg": (q_rolling_agg, SQL_ROLLING_AGG),
@@ -5170,7 +5203,7 @@ _REGISTRY = {
 # r8 ordering: sampled set == rows 0–49, nothing else), so the driver's
 # sampler is a plain 50-row prefix. The r9 prefix therefore carries, in
 # priority order:
-# (a) the 29 rows that have NEVER had an official driver check — all 16
+# (a) the 30 rows that have NEVER had an official driver check — all 16
 #     r7/r8 additions the r8 ordering left at positions 50–56/99–107,
 #     plus this round's new ivfpq_ann, shard_assign, ngram_counts,
 #     normalize_text, cooccurrence_counts, collocation_lift, and the
@@ -5179,14 +5212,14 @@ _REGISTRY = {
 # (b) 5 rows whose code paths changed this round (ann_recall gained the
 #     ivfpq arm; ccnet_bucket's labeled checkpoint; the robust-stats
 #     NULL-contract fix; the simhash MIH geometry self-sizing);
-# (c) 16 of the 27 rows whose latest official check is still r04. The
-#     eleven left out (regex_funcs, set_ops, cube_counts, rollup_counts,
+# (c) 15 of the 27 rows whose latest official check is still r04. The
+#     twelve left out (regex_funcs, set_ops, cube_counts, rollup_counts,
 #     unpivot_metrics, running_total, pivot_counts, topk_per_group,
-#     tfidf_top_terms, lag_diff, ntile_quartiles) are pure
-#     column-algebra/window rows untouched since r04 —
+#     tfidf_top_terms, lag_diff, ntile_quartiles, price_qty_corr) are
+#     pure column-algebra/window rows untouched since r04 —
 #     stale-but-once-green beats never-checked for the slots that
 #     don't fit.
-# 29 + 5 + 16 = 50. Everything else re-verifies locally every run via
+# 30 + 5 + 15 = 50. Everything else re-verifies locally every run via
 # tests/test_oracle_parity.py regardless of this order.
 _R9_NEVER = [
     "ivfpq_ann",
@@ -5198,13 +5231,13 @@ _R9_NEVER = [
     "ngram_counts", "bpe_train", "bpe_encode", "normalize_text",
     "cooccurrence_counts", "collocation_lift", "media_phash",
     "media_near_dup", "corpus_diff", "heavy_hitters",
-    "streaming_heavy_hitters",
+    "streaming_heavy_hitters", "group_heavy_hitters",
 ]
 _R9_STALE_R4 = [
     "anti_semi_join", "chunk_documents", "dq_check",
     "dq_unique", "embedding_near_dup", "incremental_agg",
     "incremental_dedup", "media_decode",
-    "orphan_counts", "price_qty_corr",
+    "orphan_counts",
     "repetition_metrics",
     "salted_group_count", "salted_join", "streaming_dedup",
     "streaming_session_window", "streaming_sliding_window",

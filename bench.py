@@ -123,6 +123,7 @@ HEADLINE = [
     "media_near_dup",
     "corpus_diff",
     "heavy_hitters",
+    "group_heavy_hitters",
 ]
 
 

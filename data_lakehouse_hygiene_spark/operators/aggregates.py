@@ -717,3 +717,85 @@ def exact_recount(
         .select(col, "cnt")
         .orderBy(F.desc("cnt"), F.asc(col))
     )
+
+
+def group_heavy_hitters(
+    df: DataFrame, group: str, col: str, phi: float = 0.01
+) -> DataFrame:
+    """Per-GROUP exact heavy hitters — every value whose frequency
+    within its group exceeds ``phi``·n_group — the per-language
+    stopword / per-source boilerplate induction shape, built on the
+    same Misra-Gries two-pass as ``heavy_hitters``:
+
+    1. CANDIDATE pass: each partition keeps one MG sketch of
+       c = ⌈1/phi⌉ counters PER GROUP present in the partition
+       (pigeonhole per group: f_{g,v} > phi·n_g implies
+       f > phi·n_{g,p} in some partition p, and the per-group batched
+       decrement preserves the (c+1)·d mass-removal invariant within
+       that group's substream — no per-group hitter is ever lost).
+       Each group's per-partition row count rides the same frame as a
+       ``__pn`` side row, so per-group totals cost NO extra scan.
+    2. EXACT pass: candidates broadcast-semi-join the (group, value)
+       stream, the recount joins the G-bounded totals, and
+       cnt > phi·n_g filters — EXACT output, plain windowed-HAVING
+       oracle.
+
+    Memory contract (the documented limit): the sketch is c counters ×
+    groups-per-partition; right for G up to ~10⁵ groups (languages,
+    sources, domains). A 10⁹-cardinality group key wants the plain
+    per-(group,value) aggregate instead — with that many groups the
+    vocabulary shuffle IS group-bounded already. Rows with a NULL
+    group or NULL value are excluded (same contract both engines).
+
+    Returns (group, value, cnt), ordered by (group, cnt desc, value).
+    """
+    import math
+
+    import pandas as pd
+
+    c = max(1, math.ceil(1.0 / phi))
+
+    def _mg(batches):
+        sketches: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            sub = pdf[[group, col]].dropna()
+            for (g, val), cnt in sub.groupby([group, col]).size().items():
+                totals[g] = totals.get(g, 0) + int(cnt)
+                counters = sketches.setdefault(g, {})
+                counters[val] = counters.get(val, 0) + int(cnt)
+                if len(counters) > c:
+                    d = sorted(counters.values())[len(counters) - c - 1]
+                    sketches[g] = {
+                        v: n - d for v, n in counters.items() if n > d
+                    }
+        rows = [
+            (g, v, None) for g, cs in sketches.items() for v in cs
+        ] + [(g, None, n) for g, n in totals.items()]
+        yield pd.DataFrame(rows, columns=[group, col, "__pn"])
+
+    gtype = df.schema[group].dataType.simpleString()
+    vtype = df.schema[col].dataType.simpleString()
+    sketch = df.select(group, col).mapInPandas(
+        _mg, schema=f"{group} {gtype}, {col} {vtype}, __pn bigint"
+    ).localCheckpoint(eager=False)
+    totals = (
+        sketch.where(F.col(col).isNull())
+        .groupBy(group)
+        .agg(F.sum("__pn").alias("__n"))
+    )
+    cand = (
+        sketch.where(F.col(col).isNotNull())
+        .select(group, col)
+        .distinct()
+    )
+    base = df.where(F.col(group).isNotNull() & F.col(col).isNotNull())
+    return (
+        base.join(F.broadcast(cand), on=[group, col], how="left_semi")
+        .groupBy(group, col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(totals), on=group)
+        .where(F.col("cnt") > F.lit(phi) * F.col("__n"))
+        .select(group, col, "cnt")
+        .orderBy(F.asc(group), F.desc("cnt"), F.asc(col))
+    )

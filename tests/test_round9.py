@@ -959,3 +959,48 @@ def test_heavy_hitters_distributed_fallback_equals_collect_path(spark, monkeypat
         for r in aggregates.heavy_hitters(df0, "token", phi=0.03).collect()
     ]
     assert got == want and len(want) >= 3
+
+
+# ------------------------------------------------ group heavy hitters
+
+
+def test_group_heavy_hitters_exact_vs_full_aggregate(spark):
+    """Per-group MG must equal the exact per-group GROUP BY ... HAVING
+    answer under several partitionings, including a value that is a
+    hitter in one group but noise in another."""
+    from data_lakehouse_hygiene_spark.operators.aggregates import (
+        group_heavy_hitters,
+    )
+
+    rows = []
+    # group A: 'x' dominates; group B: 'x' is noise, 'y' dominates
+    rows += [("A", "x")] * 60 + [("A", f"a{i}") for i in range(40)]
+    rows += [("B", "y")] * 50 + [("B", "x")] * 2
+    rows += [("B", f"b{i}") for i in range(48)]
+    rows += [(None, "x")] * 30 + [("A", None)] * 30  # excluded by contract
+    df0 = spark.createDataFrame(rows, "g string, v string")
+    phi = 0.2
+    exact = (
+        df0.where(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v").count()
+    )
+    tot = (
+        df0.where(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = [
+        (r["g"], r["v"], r["count"])
+        for r in exact.join(tot, "g")
+        .where(F.col("count") > phi * F.col("n"))
+        .orderBy(F.asc("g"), F.desc("count"), F.asc("v"))
+        .collect()
+    ]
+    assert [t[:2] for t in want] == [("A", "x"), ("B", "y")]
+    for parts in (1, 7, 32):
+        got = [
+            (r["g"], r["v"], r["cnt"])
+            for r in group_heavy_hitters(
+                df0.repartition(parts), "g", "v", phi=phi
+            ).collect()
+        ]
+        assert got == want, f"parts={parts}"
