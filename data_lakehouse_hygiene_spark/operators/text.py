@@ -755,8 +755,15 @@ def ccnet_buckets(
         .withColumnRenamed(lang_col, "lang")
         .localCheckpoint(eager=False)
     )
-    dist = labeled.groupBy("lang", "lm_score").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # One exchange for the whole tercile election: hash-partitioning on
+    # lang alone satisfies BOTH the (lang, lm_score) groupBy's clustered
+    # distribution (lang ⊆ grouping keys ⇒ equal keys co-locate) and the
+    # lang-partitioned windows below — without it the plan pays
+    # exchange(lang, lm_score) + exchange(lang) back to back.
+    dist = (
+        labeled.repartition("lang")
+        .groupBy("lang", "lm_score")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w_prev = (
         W.partitionBy("lang")
