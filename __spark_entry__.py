@@ -3393,10 +3393,19 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus re-encoded with the corpus-trained BPE merge table.
     Train + apply are iterative — no oracle row (rows-only driver
     check); encode semantics are pinned against hand-computed merges in
-    ``tests/test_round9.py``. See ``text.bpe_encode``."""
+    ``tests/test_round9.py``. See ``text.bpe_encode``.
+
+    The declared row projects the ``array<string>`` token sequence to a
+    space-joined string (BPE tokens come from whitespace-split words, so
+    they never contain a space themselves): the driver canon cannot
+    hash list cells even on a rows-only check (r9 crash)."""
     docs = _t(spark, sf_dir, "documents")
     merges = text_ops.bpe_train(docs, n_merges=40)
-    return text_ops.bpe_encode(docs, merges)
+    return text_ops.bpe_encode(docs, merges).select(
+        "doc_id",
+        F.array_join(F.col("bpe_tokens"), " ").alias("bpe_tokens"),
+        "n_bpe_tokens",
+    )
 
 
 def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4467,9 +4476,21 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-asc ids), every document re-emitted as its ordered token-id
     array with OOV → -1 plus the coverage diagnostic (n_tokens, n_unk).
     See ``text.vocab_encode``. vocab_size=16 against the fixture's
-    31-token vocabulary so the UNK path carries real traffic."""
+    31-token vocabulary so the UNK path carries real traffic.
+
+    The declared row projects the ``array<int>`` id sequence to a
+    comma-joined string: the driver's pandas canon cannot factorize
+    list cells (``TypeError: unhashable type`` in r9), so arrays never
+    cross the check boundary — the library API keeps the real array."""
     return text_ops.vocab_encode(
         _t(spark, sf_dir, "documents"), vocab_size=16
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("ids"), lambda x: x.cast("string")), ","
+        ).alias("ids"),
+        "n_tokens",
+        "n_unk",
     )
 
 
@@ -4478,8 +4499,18 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=8 codes, 1 Lloyd iteration): per-subspace deterministic integer
     k-means codebooks, every vector encoded as its 4 nearest-centroid
     ids plus the exact integer quantization error. See
-    ``similarity.pq_encode``."""
-    return similarity.pq_encode(_t(spark, sf_dir, "embeddings"))
+    ``similarity.pq_encode``.
+
+    The declared row projects the ``array<int>`` code word to a
+    comma-joined string (driver pandas canon cannot hash list cells);
+    the library API keeps the real array."""
+    return similarity.pq_encode(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        "err",
+    )
 
 
 def _sql_pq(
@@ -4558,9 +4589,11 @@ def _sql_pq(
     code_list = ", ".join(f"{f}.code" for f in finals)
     err_sum = " + ".join(f"{f}.dist" for f in finals)
     if not ann_topk:
+        # codes emit as a comma-joined STRING, mirroring the declared
+        # Spark row (pandas canon cannot factorize list cells).
         return (
             "WITH " + ",\n".join(parts) + "\n"
-            f"SELECT vec_id, [{code_list}] AS codes,"
+            f"SELECT vec_id, concat_ws(',', {code_list}) AS codes,"
             f" CAST({err_sum} AS BIGINT) AS err\nFROM {joins}"
         )
     # ADC search replay: per-query / per-subspace lookup tables against
@@ -4667,8 +4700,8 @@ def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLING_AGG = """
 SELECT event_id, user_id, ts, value,
        CAST(count(*) OVER w AS BIGINT) AS n_window,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2))
-         AS sum_window,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS sum_window,
        floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
              / CAST(count(*) OVER w AS DOUBLE) * 1000000.0 + 0.5)
          / 1000000.0 AS avg_window
@@ -4890,7 +4923,7 @@ enc AS (
          CASE WHEN v.vid IS NULL THEN 1 ELSE 0 END AS unk
   FROM pos p LEFT JOIN vocab v USING (token))
 SELECT doc_id,
-       list(id ORDER BY pos) AS ids,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(unk) AS BIGINT) AS n_unk
 FROM enc GROUP BY doc_id
@@ -4968,9 +5001,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- identifier quoting feeding the minhash/simhash/contamination
     # -- family) — re-verify before anything else ---------------------------
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    # -- NEW this round (r09): corpus n-gram counts + BPE tokenizer
-    # -- training/encode. Added AFTER the r9 50-row prefix was frozen, so
-    # -- they are local-only this round — rotate into the r10 prefix.
+    # -- NEW in r09: corpus n-gram counts + BPE tokenizer training/
+    # -- encode (all carried inside the re-frozen r9 prefix via
+    # -- _R9_NEVER, officially checked in r9).
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "cooccurrence_counts": (q_cooccurrence, SQL_COOCCURRENCE),
     "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),

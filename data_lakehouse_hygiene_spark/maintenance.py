@@ -370,22 +370,21 @@ def snapshot_diff(
     of digest instead of document payloads — diffing two 100 TB
     snapshots moves only key+digest. One shuffle per side on the
     join key; co-partitioned/bucketed snapshot layouts make it
-    exchange-free. NULL-safe: a field-separator + NULL-sentinel
-    concat makes (NULL) and ('') distinct digests, and digest
-    inequality implies real column inequality (md5 collisions aside).
+    exchange-free. NULL-safe AND injection-safe: rows digest as
+    ``md5(to_json(struct(compare_cols)))`` with explicit nulls — JSON
+    quotes/escapes every field, so no data value can forge a field
+    boundary (a separator-concat digest collides ('a\\x1fb','c') with
+    ('a','b\\x1fc'), and a literal sentinel string with NULL), and
+    NULL vs '' vs absent stay three distinct encodings. Digest
+    equality ⇔ column-tuple equality (md5 collisions aside).
     """
     def dig(df: DataFrame, alias: str) -> DataFrame:
         return df.select(
             *key_cols,
             F.md5(
-                F.concat_ws(
-                    "\x1f",
-                    *[
-                        F.coalesce(
-                            F.col(c).cast("string"), F.lit("\x00null")
-                        )
-                        for c in compare_cols
-                    ],
+                F.to_json(
+                    F.struct(*[F.col(c) for c in compare_cols]),
+                    {"ignoreNullFields": "false"},
                 )
             ).alias(alias),
         )

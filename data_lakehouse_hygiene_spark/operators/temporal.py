@@ -359,7 +359,12 @@ def rolling_agg(
     sort-stable), the windowed sum runs over DECIMAL(18,2) casts (exact,
     order-independent — a double sliding sum accumulates differently
     than a recomputed one), and the average divides the exact pair and
-    floor-quantizes.
+    floor-quantizes. The sum is EMITTED as a quantized DOUBLE (the
+    decimal exactness stays internal): a DECIMAL output column
+    canonicalizes differently across clients (pandas keeps
+    ``Decimal("10.00")``, DuckDB's ``.df()`` downcasts to float64
+    ``10.0``), so a decimal on the wire breaks any string/hash compare
+    on trailing zeros even when every value is identical.
 
     Scale shape: ONE hash exchange on the key; each key's partition
     sorts locally for the range frame. Skewed keys serialize per key —
@@ -384,7 +389,7 @@ def rolling_agg(
         F.col(ts_col),
         F.col(val_col),
         n.cast("bigint").alias("n_window"),
-        s.cast("decimal(38,2)").alias("sum_window"),
+        quantize(s.cast("double"), 2).alias("sum_window"),
         quantize(
             s.cast("double") / n.cast("double"), 6
         ).alias("avg_window"),

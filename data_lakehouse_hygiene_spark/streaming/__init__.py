@@ -462,6 +462,14 @@ def heavy_hitters_stream(
 
     Emitted rows may repeat across micro-batches (each batch re-emits
     its buckets' survivors); the recount's distinct() absorbs that.
+
+    String-keyed contract: candidates are maintained and EMITTED as
+    strings (the input column is cast on entry), so the downstream
+    ``exact_recount`` semi-join compares strings against the landed
+    column's native type via implicit casts. Exact for string/int/
+    bigint keys; REJECTED for float/double/decimal columns, where a
+    string round-trip is not identity ("0.1" vs 0.1-as-double) and a
+    true hitter could silently miss the recount.
     """
     import math
 
@@ -496,6 +504,15 @@ def heavy_hitters_stream(
             (list(counters.keys()), [int(n) for n in counters.values()])
         )
         yield pd.DataFrame({col: list(counters.keys())})
+
+    bad = {"float", "double"}
+    dt = dict(values.dtypes).get(col, "")
+    if dt in bad or dt.startswith("decimal"):
+        raise TypeError(
+            f"heavy_hitters_stream: column {col!r} has fractional type "
+            f"{dt}; string-keyed candidates cannot round-trip it exactly "
+            "— recount would be unsound (see docstring contract)"
+        )
 
     bucket = F.pmod(F.hash(F.col(col)), F.lit(n_buckets)).alias("__bucket")
     return (

@@ -796,9 +796,8 @@ def test_rolling_agg_planted_frames(spark):
     """Hand-checkable trailing window: events at minute offsets 0, 30,
     90 for one user with a 1-hour window — the third event's frame drops
     the first (gap 90 min) but keeps the second (gap 60 min, inclusive
-    bound)."""
-    from decimal import Decimal
-
+    bound). ``sum_window`` is accumulated as DECIMAL internally but
+    emitted as a quantized DOUBLE (driver/pandas canon contract)."""
     from data_lakehouse_hygiene_spark.operators.temporal import rolling_agg
 
     base = "2024-01-01 00:"
@@ -812,12 +811,12 @@ def test_rolling_agg_planted_frames(spark):
         rows, ["event_id", "user_id", "ts", "value"]
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = {r["event_id"]: r for r in rolling_agg(df, window_s=3600).collect()}
-    assert (out[1]["n_window"], out[1]["sum_window"]) == (1, Decimal("10.00"))
-    assert (out[2]["n_window"], out[2]["sum_window"]) == (2, Decimal("30.00"))
+    assert (out[1]["n_window"], out[1]["sum_window"]) == (1, 10.0)
+    assert (out[2]["n_window"], out[2]["sum_window"]) == (2, 30.0)
     # 01:30 frame = [00:30, 01:30]: event 1 (00:00) is out, event 2 in
-    assert (out[3]["n_window"], out[3]["sum_window"]) == (2, Decimal("60.00"))
+    assert (out[3]["n_window"], out[3]["sum_window"]) == (2, 60.0)
     assert out[3]["avg_window"] == 30.0
-    assert (out[4]["n_window"], out[4]["sum_window"]) == (1, Decimal("5.00"))
+    assert (out[4]["n_window"], out[4]["sum_window"]) == (1, 5.0)
 
 
 def test_rolling_agg_tie_timestamps_share_frames(spark):

@@ -680,8 +680,10 @@ def test_media_near_dup_band_recall_guarantee(spark):
     )
 
     base = 0x0123456789ABCDEF
-    # flip 7 bits spread across 7 DIFFERENT bands (worst case: only the
-    # 8th band is identical)
+    # flip 7 bits at positions 0,8,16,...,48: under the shipped 4x16-bit
+    # MIH bands they land 2/2/2/1, so bands 0-2 sit at distance 2 and
+    # only band 3 is within the per-band radius 1 — recovery depends
+    # solely on that single distance-1 band (the 4-band worst case)
     flipped = base
     for k in range(7):
         flipped ^= 1 << (8 * k)
