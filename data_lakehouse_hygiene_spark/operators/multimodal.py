@@ -642,43 +642,61 @@ def synthesize_structured_media(
 
 
 def media_near_dup(
-    fp: DataFrame, max_hamming: int = 7, n_bands: int = 4
+    fp: DataFrame,
+    max_hamming: int = 7,
+    n_bands: int = 4,
+    n_assets: int | None = None,
 ) -> DataFrame:
     """Near-duplicate media pairs from perceptual fingerprints: Hamming
     distance ≤ ``max_hamming`` over the 64-bit ``phash`` column, mined
     with the multi-index-hashing geometry the text SimHash family's
     corpus-scale plan uses (``dedup._simhash_mih_pairs``, Norouzi et
     al. CVPR'12): the signature splits into ``n_bands`` disjoint w-bit
-    bands (w = 64/n_bands), each asset emits per band its exact band
-    value plus the w single-bit flips (kind 0 / kind 1 rows), and a
-    pair qualifies when it meets in a (media_type, band, band_val)
-    bucket with AT LEAST ONE exact side. Pigeonhole: if every band of
-    a pair differed in ≥ r+1 = maxh//b + 1 bits the total distance
-    would exceed max_hamming, so some band matches within r bits —
+    bands (w = 64/n_bands) and, by pigeonhole, every qualifying pair
+    agrees with some band to within r = max_hamming // n_bands bits —
     distance-0 bands meet exact×exact, distance-1 bands meet
-    exact×variant (both orientations, deduped by the final groupBy).
-    Verification is always the full 64-bit ``bit_count`` on the true
-    phash values, so over-generation is impossible and the pair set is
-    EXACTLY {a<b : hamming ≤ max_hamming} — value-equal to the plain
-    8×8-bit banded plan (property-tested against brute force).
+    exact×variant. Verification is always the full 64-bit popcount on
+    the true phash values, so over-generation is impossible and the
+    pair set is EXACTLY {a<b : hamming ≤ max_hamming} per modality
+    (property-tested against brute force). Pairs never cross
+    modalities (an image pHash and an audio energy profile are
+    different spaces); mass-duplicate fingerprints should be
+    exact-deduped on phash first, as with SimHash.
 
-    Why not the plain 8-bit banding (the round-9.0 shape): 8-bit
-    buckets hold n/256 assets per modality, and the in-row pair array
-    is occupancy² — at 500k assets single rows reached ~10⁹ structs
-    and OOM'd a 32 GiB heap. 16-bit buckets hold n/65536 exacts
-    (+16·n/65536 variants), so per-bucket pair work drops ~256× for a
-    (1+w)× transport cost — bounded rows to ≥10M assets/modality; past
-    that the text family's s-top-bit variant transport and band
-    widening apply unchanged (SCALING.md geometry contract). Pairs
-    never cross modalities (an image pHash and an audio energy profile
-    are different spaces). Mass-duplicate fingerprints (the same asset
-    stored many times) should be exact-deduped on phash first, as with
-    SimHash.
+    Transport shape (round-10, ported from the text family as a UNIT —
+    the round-9 negative result showed the Arrow kernel without the
+    transport reduction REGRESSES at sf30, 339.7 vs 231.9 s, because
+    shipping 1+w keys/doc-band through Arrow dominates): the shuffle
+    key is (media_type, band, __sub) where __sub is the TOP s bits of
+    the band value, so a task owns a contiguous 2^(w-s)-value slice of
+    one band's bucket space. Band-distance-1 pairs whose differing bit
+    is one of the LOW w-s bits live in the SAME task — the kernel
+    finds them by comparing bucket v with bucket v^bit in-memory, once
+    (v < v^bit ordering), no variant row shipped. Only the s top-bit
+    flips cross task boundaries: each asset ships 1+s keys per band
+    instead of 1+w (at w=16/s=8: 17→9 rows, 47% less transport), and
+    the low-bit neighbor compares run once instead of twice. Pair
+    evaluation is a vectorized NumPy SWAR-popcount matrix per bucket
+    (4096-row chips bound the working set), not an in-row occupancy²
+    array — the round-9 collect_list shape held its whole bucket pair
+    matrix in ONE row.
+
+    Why 16-bit bands at all (the round-9 rebuild): 8-bit buckets hold
+    n/256 assets per modality and the pair term is occupancy² — 500k
+    assets put ~10⁹ structs on single tasks and OOM'd a 32 GiB heap.
+    16-bit buckets hold n/65536 exacts; past ~10M assets/modality the
+    geometry grows ``s`` (500k-rows-per-task target, pass ``n_assets``
+    from a count the caller already has) and band widening applies
+    unchanged (SCALING.md geometry contract).
 
     Rows-only driver check: the fingerprints upstream are a DCT /
     energy profile, not SQL. The recall property (planted
     resized/decimated variants are recovered, distinct assets are
     not) is pinned in tests instead."""
+    import numpy as np
+
+    from .dedup import _np_pop64
+
     assert 64 % n_bands == 0, "band width must divide the 64-bit phash"
     width = 64 // n_bands
     r = max_hamming // n_bands
@@ -687,6 +705,19 @@ def media_near_dup(
         " <= 1 (single-bit variant enumeration)"
     )
     mask = (1 << width) - 1
+    # Sub-bit count s: tasks = modalities·b·2^s; 2^s = 256 is the
+    # parallelism floor. Above ~14M assets the 500k-rows-per-task
+    # target grows s (same sizing rule as _simhash_mih_pairs); s ≤ w-1
+    # keeps at least one low bit in-task.
+    s = min(8, width - 1)
+    if n_assets:
+        while (
+            s < min(width - 1, 16)
+            and n_assets * (1 + s) * n_bands
+            > 500_000 * n_bands * (1 << s)
+        ):
+            s += 1
+    low = width - s
     structs = []
     for k in range(n_bands):
         bv = f"(shiftrightunsigned(phash, {width * k}) & {mask})"
@@ -694,7 +725,7 @@ def media_near_dup(
         if r >= 1:
             structs.extend(
                 f"struct({k} AS band, {bv} ^ {1 << i} AS band_val, 1 AS kind)"
-                for i in range(width)
+                for i in range(low, width)
             )
     ex = fp.select(
         "doc_id",
@@ -704,32 +735,102 @@ def media_near_dup(
     ).select(
         "doc_id", "media_type", "phash", "bk.band", "bk.band_val", "bk.kind"
     )
-    # kind-0 rows sort first, so every valid pair (≥1 exact side) has an
-    # exact x — the inner filter prunes both-variant combos and the
-    # radius check BEFORE the array materializes, keeping row size
-    # ~occupancy_exact·occupancy, not occupancy².
-    grp = (
-        ex.groupBy("media_type", "band", "band_val")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("kind", "doc_id", "phash"))
-            ).alias("ds")
-        )
-        .where((F.size("ds") >= 2) & (F.expr("ds[0].kind") == 0))
-    )
-    combos = F.expr(
-        "flatten(transform(ds, (x, i) -> CASE WHEN x.kind = 1 THEN"
-        " array() ELSE"
-        " filter(transform(slice(ds, i + 2, size(ds)), y -> "
-        "struct(least(x.doc_id, y.doc_id) AS doc_a,"
-        " greatest(x.doc_id, y.doc_id) AS doc_b, "
-        "cast(bit_count(x.phash ^ y.phash) as bigint) AS hamming)), "
-        f"p -> p.hamming <= {int(max_hamming)} AND p.doc_a <> p.doc_b)"
-        " END))"
+
+    _EMPTY = {
+        "media_type": pd.Series(dtype="object"),
+        "doc_a": pd.Series(dtype="int64"),
+        "doc_b": pd.Series(dtype="int64"),
+        "hamming": pd.Series(dtype="int64"),
+    }
+    in_task_bits = low if r >= 1 else 0
+
+    def _mih_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        mt = pdf["media_type"].iloc[0]
+        vals = pdf["band_val"].to_numpy()
+        kind = pdf["kind"].to_numpy()
+        order = np.lexsort((kind, vals))
+        vals = vals[order]
+        kind = kind[order]
+        ids = pdf["doc_id"].to_numpy()[order]
+        ph = pdf["phash"].to_numpy()[order].astype(np.uint64)
+        uvals, starts = np.unique(vals, return_index=True)
+        bounds = np.append(starts, len(vals))
+        # exacts sort before variants inside each bucket (kind is the
+        # lexsort minor key), so the exact segment is a prefix
+        n_exact = np.searchsorted(
+            vals * 2 + kind, uvals * 2 + 1, side="left"
+        ) - starts
+        idx = {int(v): i for i, v in enumerate(uvals)}
+        outs = [pd.DataFrame(_EMPTY)]
+
+        def emit(ham, mask_m, ids_r, ids_c):
+            rr, cc = np.nonzero(mask_m)
+            if len(rr):
+                a = ids_r[rr]
+                bb = ids_c[cc]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "media_type": mt,
+                            "doc_a": np.minimum(a, bb),
+                            "doc_b": np.maximum(a, bb),
+                            "hamming": ham[rr, cc],
+                        }
+                    )
+                )
+
+        for i in range(len(uvals)):
+            s0, s1 = bounds[i], bounds[i + 1]
+            n_e = int(n_exact[i])
+            if n_e == 0:
+                continue
+            # (1) bucket-local: exact×exact triangle + exact×variant
+            if s1 - s0 >= 2:
+                cols = np.arange(s1 - s0)[None, :]
+                for c0 in range(0, n_e, 4096):
+                    c1 = min(c0 + 4096, n_e)
+                    ham = _np_pop64(
+                        ph[s0 + c0 : s0 + c1, None] ^ ph[None, s0:s1]
+                    ).astype(np.int64)
+                    rows = np.arange(c0, c1)[:, None]
+                    m = (
+                        ((cols < n_e) & (rows < cols)) | (cols >= n_e)
+                    ) & (ham <= max_hamming)
+                    emit(ham, m, ids[s0 + c0 : s0 + c1], ids[s0:s1])
+            # (2) low-bit neighbor buckets, each unordered pair once
+            v = int(uvals[i])
+            for t in range(in_task_bits):
+                u = v ^ (1 << t)
+                if u < v:
+                    continue
+                j = idx.get(u)
+                if j is None:
+                    continue
+                t0 = bounds[j]
+                n_e2 = int(n_exact[j])
+                if n_e2 == 0:
+                    continue
+                for c0 in range(0, n_e, 4096):
+                    c1 = min(c0 + 4096, n_e)
+                    ham = _np_pop64(
+                        ph[s0 + c0 : s0 + c1, None]
+                        ^ ph[None, t0 : t0 + n_e2]
+                    ).astype(np.int64)
+                    m = ham <= max_hamming
+                    emit(
+                        ham, m, ids[s0 + c0 : s0 + c1], ids[t0 : t0 + n_e2]
+                    )
+        return pd.concat(outs, ignore_index=True)
+
+    coarse = ex.withColumn(
+        "__sub", F.expr(f"shiftrightunsigned(band_val, {low})")
     )
     return (
-        grp.select("media_type", F.explode(combos).alias("p"))
-        .select("media_type", "p.doc_a", "p.doc_b", "p.hamming")
+        coarse.groupBy("media_type", "band", "__sub")
+        .applyInPandas(
+            _mih_kernel,
+            "media_type string, doc_a long, doc_b long, hamming long",
+        )
         .groupBy("media_type", "doc_a", "doc_b")
         .agg(F.max("hamming").alias("hamming"))
     )

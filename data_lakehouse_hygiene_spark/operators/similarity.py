@@ -1317,32 +1317,73 @@ def _pq_fit_books(
     q: DataFrame, m: int, sub: int, k: int, n_iter: int
 ) -> list[list[list[int]]]:
     """One independent integer-kmeans codebook per contiguous subspace
-    (the shared fit stage of ``pq_encode`` / ``pq_ann`` / ``ivfpq_ann``).
+    (the shared fit stage of ``pq_encode`` / ``pq_ann`` / ``ivfpq_ann``),
+    fitted with BATCHED driver actions (round-10):
 
-    The m fits are submitted from CONCURRENT driver threads (Spark job
-    submission is thread-safe; each fit's own iterations stay
-    sequential). The whole PQ family is driver-JOB-bound at moderate
-    scale — m·(init + n_iter·stats) short collects back to back — so
-    overlapping the m independent job chains divides that latency by up
-    to m while leaving every job, every result, and the oracle replay
-    bit-identical (fits share nothing; ``ex.map`` preserves subspace
-    order). The round-9 alternative of fusing all m fits into ONE
-    stacked projection was measured 2.4× SLOWER at sf10 (the m·k
-    distance lambdas leave whole-stage codegen) and rejected; thread
-    overlap keeps each scan inside codegen.
+    - INIT is one job for all m subspaces: every per-subspace fit seeds
+      from the k lowest-vec_id vectors, and slicing commutes with that
+      selection, so one k-row collect of the FULL vectors, sliced on
+      the driver, is bit-identical to m per-subspace init collects.
+    - Each Lloyd round is one job for all m subspaces: the m
+      assignment→(cluster, pos)-sum sub-plans union under a subspace
+      tag and collect once. Each union branch keeps its OWN k distance
+      lambdas, so every branch stays a separate whole-stage-codegen
+      span over the shared scan — this is batching the JOBS, not the
+      lambdas. The round-9 alternative of fusing all m·k distance
+      lambdas into ONE stacked projection was measured 2.4× SLOWER at
+      sf10 (codegen fallout) and stays rejected; the round-9 shipped
+      shape (m concurrent driver threads, m separate job chains) paid
+      m init jobs + m stats jobs per round in scheduler/planning
+      latency, which dominated the sf0.1 headline (ivfpq_ann 3.8 s,
+      the bench's single largest line).
+
+    Driver traffic per round = m·k·sub longs — identical to before,
+    in 1 collect instead of m.
     """
-    def fit(s: int) -> list[list[int]]:
-        qs = q.select(
-            "vec_id", F.slice("qv", s * sub + 1, sub).alias("qv")
+    import math
+
+    init = q.orderBy("vec_id").limit(k).collect()
+    books = [
+        [list(r["qv"])[s * sub : (s + 1) * sub] for r in init]
+        for s in range(m)
+    ]
+    kk = min(k, len(init))
+    for _ in range(n_iter):
+        if not init:
+            break
+        u = None
+        for s in range(m):
+            qs = q.select(
+                "vec_id", F.slice("qv", s * sub + 1, sub).alias("qv")
+            )
+            b = _kmeans_assign(qs, books[s]).select(
+                F.lit(s).alias("__sub"),
+                "cluster",
+                F.posexplode("qv").alias("pos", "val"),
+            )
+            u = b if u is None else u.unionByName(b)
+        stats = (
+            u.groupBy("__sub", "cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
         )
-        return _kmeans_fit(qs, k, n_iter)
-
-    if m == 1:
-        return [fit(0)]
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        return list(ex.map(fit, range(m)))
+        bysub: dict[int, dict[int, dict[int, tuple[int, int]]]] = {}
+        for r in stats:
+            bysub.setdefault(r["__sub"], {}).setdefault(r["cluster"], {})[
+                r["pos"]
+            ] = (r["s"], r["c"])
+        for s in range(m):
+            bycl = bysub.get(s, {})
+            books[s] = [
+                [
+                    math.floor(bycl[ci][p][0] / bycl[ci][p][1])
+                    for p in range(sub)
+                ]
+                if ci in bycl
+                else books[s][ci]
+                for ci in range(kk)
+            ]
+    return books
 
 
 def _pq_encode_frame(
