@@ -1088,44 +1088,55 @@ def _kmeans_assign(
     plan, no join), argmin with ties to the lowest cluster index.
     ``carry`` names extra input columns passed through unchanged (the
     cluster-blocked pair generator carries the raw float vector)."""
-    dists = []
-    for ci, c in enumerate(cents):
-        lit = F.array(*[F.lit(int(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda s, v: s + v,
-        )
-        dists.append(d.alias(f"__d{ci}"))
-    withd = q.select("vec_id", "qv", *carry, *dists)
-    # F.least() requires >=2 args; with a single centroid the argmin IS
-    # that centroid's distance.
-    if len(cents) == 1:
-        best = F.col("__d0")
-    else:
-        best = F.least(*[F.col(f"__d{ci}") for ci in range(len(cents))])
-    cluster = F.lit(None).cast("int")
-    for ci in reversed(range(len(cents))):
-        cluster = F.when(F.col(f"__d{ci}") == best, F.lit(ci)).otherwise(
-            cluster
-        )
+    # One distance ARRAY + array_min/array_position argmin, not k aliased
+    # columns + a k-deep CASE chain: identical values (array_position
+    # returns the FIRST index of the minimum — ties to the lowest
+    # cluster, same rule), but the expression tree is ~3× smaller, and
+    # at PQ-fit scale the family is bound by per-plan codegen compile
+    # time, not data (measured round 10: fit 1.8 → 1.1 s at sf0.1).
+    dist_arr = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda s, v: s + v,
+            )
+            for c in cents
+        ]
+    )
+    withd = q.select("vec_id", "qv", *carry, dist_arr.alias("__ds"))
+    best = F.array_min(F.col("__ds"))
+    cluster = (F.array_position(F.col("__ds"), best) - 1).cast("int")
     return withd.select(
         "vec_id", "qv", *carry, cluster.alias("cluster"), best.alias("dist")
     )
 
 
 def _kmeans_fit(
-    q: DataFrame, k: int, n_iter: int
+    q: DataFrame,
+    k: int,
+    n_iter: int,
+    init_cents: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """The Lloyd driver loop shared by ``kmeans_fit_assign`` and the
     cluster-blocked pair generator: id-ordered init, exact-integer
     assignment, floor(sum/count) update; returns the final centroid list
     (possibly shorter than ``k`` when the input has fewer rows). Driver
-    traffic per iteration = k·dim longs."""
+    traffic per iteration = k·dim longs. ``init_cents`` (the PQ batched
+    init) skips the init job — the caller already collected the k
+    lowest-vec_id rows; passing their slices is bit-identical to
+    per-subspace init collects."""
     import math
 
-    init = q.orderBy("vec_id").limit(k).collect()
-    cents = [list(r["qv"]) for r in init]
+    if init_cents is None:
+        init = q.orderBy("vec_id").limit(k).collect()
+        cents = [list(r["qv"]) for r in init]
+    else:
+        cents = [list(c) for c in init_cents]
     k = min(k, len(cents))
     for _ in range(n_iter):
         if not cents:
@@ -1324,66 +1335,39 @@ def _pq_fit_books(
       from the k lowest-vec_id vectors, and slicing commutes with that
       selection, so one k-row collect of the FULL vectors, sliced on
       the driver, is bit-identical to m per-subspace init collects.
-    - Each Lloyd round is one job for all m subspaces: the m
-      assignment→(cluster, pos)-sum sub-plans union under a subspace
-      tag and collect once. Each union branch keeps its OWN k distance
-      lambdas, so every branch stays a separate whole-stage-codegen
-      span over the shared scan — this is batching the JOBS, not the
-      lambdas. The round-9 alternative of fusing all m·k distance
-      lambdas into ONE stacked projection was measured 2.4× SLOWER at
-      sf10 (codegen fallout) and stays rejected; the round-9 shipped
-      shape (m concurrent driver threads, m separate job chains) paid
-      m init jobs + m stats jobs per round in scheduler/planning
-      latency, which dominated the sf0.1 headline (ivfpq_ann 3.8 s,
-      the bench's single largest line).
+    - The m Lloyd chains then run from CONCURRENT driver threads (job
+      submission is thread-safe; each fit's own iterations stay
+      sequential), so the m stats jobs per round overlap and the wall
+      cost per round is ONE job latency.
 
-    Driver traffic per round = m·k·sub longs — identical to before,
-    in 1 collect instead of m.
+    Two rejected alternatives, both measured: fusing all m·k distance
+    lambdas into ONE stacked projection was 2.4× slower at sf10
+    (round 9 — the lambdas leave whole-stage codegen); unioning the m
+    per-round stats sub-plans into one job (each branch keeping its
+    own codegen span) was 1.4× slower than the threads at sf0.1
+    (round 10, 2.5 vs 1.8 s) — the m branches' codegen compiles
+    serially inside the single plan, while threads compile m small
+    plans concurrently. Batching helps only where the DRIVER is the
+    serial resource (the shared init); compilation parallelism wants
+    separate plans.
     """
-    import math
+    def fit(s: int, init_s: list[list[int]]) -> list[list[int]]:
+        qs = q.select(
+            "vec_id", F.slice("qv", s * sub + 1, sub).alias("qv")
+        )
+        return _kmeans_fit(qs, k, n_iter, init_cents=init_s)
 
     init = q.orderBy("vec_id").limit(k).collect()
-    books = [
+    slices = [
         [list(r["qv"])[s * sub : (s + 1) * sub] for r in init]
         for s in range(m)
     ]
-    kk = min(k, len(init))
-    for _ in range(n_iter):
-        if not init:
-            break
-        u = None
-        for s in range(m):
-            qs = q.select(
-                "vec_id", F.slice("qv", s * sub + 1, sub).alias("qv")
-            )
-            b = _kmeans_assign(qs, books[s]).select(
-                F.lit(s).alias("__sub"),
-                "cluster",
-                F.posexplode("qv").alias("pos", "val"),
-            )
-            u = b if u is None else u.unionByName(b)
-        stats = (
-            u.groupBy("__sub", "cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        bysub: dict[int, dict[int, dict[int, tuple[int, int]]]] = {}
-        for r in stats:
-            bysub.setdefault(r["__sub"], {}).setdefault(r["cluster"], {})[
-                r["pos"]
-            ] = (r["s"], r["c"])
-        for s in range(m):
-            bycl = bysub.get(s, {})
-            books[s] = [
-                [
-                    math.floor(bycl[ci][p][0] / bycl[ci][p][1])
-                    for p in range(sub)
-                ]
-                if ci in bycl
-                else books[s][ci]
-                for ci in range(kk)
-            ]
-    return books
+    if m == 1:
+        return [fit(0, slices[0])]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        return list(ex.map(fit, range(m), slices))
 
 
 def _pq_encode_frame(
@@ -1482,13 +1466,23 @@ def pq_ann(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    books = _pq_fit_books(q, m, sub, n_codes, n_iter)
+    # the query-row collect is independent of the fit — overlap it with
+    # the fit's job chain from a side thread (same convention as the m
+    # fit threads; one job latency saved)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _fq = _ex.submit(
+            lambda: q.where(query_pred)
+            .select("vec_id", "qv")
+            .orderBy("vec_id")
+            .collect()
+        )
+        books = _pq_fit_books(q, m, sub, n_codes, n_iter)
+        queries = _fq.result()
     # encode from the SAME fitted books (a pq_encode call would refit
     # every codebook a second time — measured 11.7 -> ~6 s at sf0.1)
     codes = _pq_encode_frame(q, books, sub).select("vec_id", "codes")
-    queries = (
-        q.where(query_pred).select("vec_id", "qv").orderBy("vec_id").collect()
-    )
     if not queries:
         return df.sparkSession.createDataFrame([], out_schema)
     # per-query ADC lookup tables, exact integer arithmetic on the driver
@@ -1595,15 +1589,37 @@ def ivfpq_ann(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    books = _pq_fit_books(q, m, sub, n_codes, n_iter)
+    # overlap the fit-independent collects (query rows; the n_probe>1
+    # per-cell centroid means) with the fit's job chain — side threads,
+    # same convention as the m fit threads
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _collect_queries():
+        return (
+            q.where(query_pred)
+            .select("vec_id", "qv", cluster_col)
+            .orderBy("vec_id")
+            .collect()
+        )
+
+    def _collect_cell_means():
+        # k·dim-bounded centroid aggregate (the kmeans driver-traffic
+        # convention): per-cell floor-mean of each coordinate
+        return (
+            q.select(cluster_col, F.posexplode("qv").alias("pos", "x"))
+            .groupBy(cluster_col, "pos")
+            .agg(F.floor(F.sum("x") / F.count("x")).alias("mu"))
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fq = _ex.submit(_collect_queries)
+        _fcm = _ex.submit(_collect_cell_means) if n_probe > 1 else None
+        books = _pq_fit_books(q, m, sub, n_codes, n_iter)
+        queries = _fq.result()
+        cm = _fcm.result() if _fcm is not None else None
     codes = _pq_encode_frame(q, books, sub, carry=(cluster_col,)).select(
         "vec_id", cluster_col, "codes"
-    )
-    queries = (
-        q.where(query_pred)
-        .select("vec_id", "qv", cluster_col)
-        .orderBy("vec_id")
-        .collect()
     )
     if not queries:
         return df.sparkSession.createDataFrame([], out_schema)
@@ -1618,14 +1634,6 @@ def ivfpq_ann(
     )
     cent_vec: dict = {}
     if n_probe > 1:
-        # k·dim-bounded centroid aggregate (the kmeans driver-traffic
-        # convention): per-cell floor-mean of each coordinate
-        cm = (
-            q.select(cluster_col, F.posexplode("qv").alias("pos", "x"))
-            .groupBy(cluster_col, "pos")
-            .agg(F.floor(F.sum("x") / F.count("x")).alias("mu"))
-            .collect()
-        )
         acc: dict = {}
         for r in cm:
             acc.setdefault(r[cluster_col], {})[r["pos"]] = int(r["mu"])
