@@ -3382,23 +3382,95 @@ SELECT tok_a, tok_b, cnt_ab, lift FROM scored WHERE lift >= 2.0
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge-table training on the corpus (40 merges). Iterative
-    merge election is not SQL-expressible — no oracle row (rows-only
-    driver check); the merge table is value-pinned in
-    ``tests/test_round9.py`` instead. See ``text.bpe_train``."""
+    """BPE merge-table training on the corpus (40 merges). The oracle
+    replays the full iterative merge election as a DuckDB RECURSIVE
+    CTE (one recursion level per merge: global pair-count aggregate
+    over the working type table, argmax election with the engine's
+    (count desc, left asc, right asc) tie-break, leftmost-greedy
+    non-overlapping rewrite) — upgraded round 10 from a rows-only
+    check to a full value hash. The merge table is additionally
+    value-pinned in ``tests/test_round9.py``. See ``text.bpe_train``."""
     return text_ops.bpe_train(_t(spark, sf_dir, "documents"), n_merges=40)
 
 
+# The leftmost-greedy non-overlapping rewrite, shared verbatim by the
+# train and encode oracles: mrg[i] marks position i as a merge start
+# iff the pair matches there AND the run of consecutive matches
+# immediately before i has even length (the sequential merged(i) =
+# match(i) AND NOT merged(i-1) recurrence, closed-form — runs of
+# consecutive matches only arise when left = right).
+_SQL_BPE_REWRITE = """
+         CASE WHEN list_contains(mrg, true) THEN
+           list_filter(
+             list_transform(range(1, len(syms) + 1), i ->
+               CASE WHEN i < len(syms) AND mrg[i] THEN syms[i] || syms[i+1]
+                    WHEN i >= 2 AND mrg[i-1] THEN NULL
+                    ELSE syms[i] END),
+             x -> x IS NOT NULL)
+         ELSE syms END
+"""
+
+# Trainer CTE chain (types → 40-level recursive election/rewrite),
+# shared by SQL_BPE_TRAIN and SQL_BPE_ENCODE.
+_SQL_BPE_ST = """
+types AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0
+  GROUP BY w ORDER BY freq DESC, w ASC LIMIT 50000
+),
+st(iter, w, freq, syms, l, r, c) AS (
+  SELECT 0, w, freq,
+         list_transform(range(1, len(w) + 1), i -> w[i:i]),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+  FROM types
+  UNION ALL
+  SELECT iter + 1, w, freq,
+""" + _SQL_BPE_REWRITE + """,
+         bl, br, bc
+  FROM (
+    SELECT iter, w, freq, syms,
+           list_transform(range(1, len(syms)), i ->
+             syms[i] = e.bl AND syms[i+1] = e.br
+             AND ((i - 1 - coalesce(list_max(list_filter(range(1, i),
+                   j -> NOT (syms[j] = e.bl AND syms[j+1] = e.br))), 0)) % 2 = 0)
+           ) AS mrg,
+           e.bl, e.br, e.bc
+    FROM st, (
+      SELECT pair[1] AS bl, pair[2] AS br, CAST(sum(freq) AS BIGINT) AS bc
+      FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+              i -> [syms[i], syms[i+1]])) AS pair FROM st) p
+      GROUP BY bl, br ORDER BY bc DESC, bl, br LIMIT 1
+    ) e(bl, br, bc)
+    WHERE iter < 40
+  ) rw
+)
+"""
+
+SQL_BPE_TRAIN = (
+    "WITH RECURSIVE\n" + _SQL_BPE_ST + """
+SELECT DISTINCT CAST(iter - 1 AS INT) AS rank, l AS "left", r AS "right",
+       c AS pair_count
+FROM st WHERE iter >= 1 ORDER BY rank
+"""
+)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus re-encoded with the corpus-trained BPE merge table.
-    Train + apply are iterative — no oracle row (rows-only driver
-    check); encode semantics are pinned against hand-computed merges in
+    """Corpus re-encoded with the corpus-trained BPE merge table. The
+    oracle replays BOTH iterative halves as DuckDB RECURSIVE CTEs
+    (upgraded round 10 from a rows-only check): the trainer recursion
+    (shared with ``bpe_train``'s oracle), then a per-word encode
+    recursion — each level merges every word's lowest-rank present
+    pair (leftmost-greedy, non-overlapping), words dropping out of the
+    working set when no learnable pair remains. Encode semantics are
+    additionally pinned against hand-computed merges in
     ``tests/test_round9.py``. See ``text.bpe_encode``.
 
     The declared row projects the ``array<string>`` token sequence to a
     space-joined string (BPE tokens come from whitespace-split words, so
     they never contain a space themselves): the driver canon cannot
-    hash list cells even on a rows-only check (r9 crash)."""
+    hash list cells (r9 crash)."""
     docs = _t(spark, sf_dir, "documents")
     merges = text_ops.bpe_train(docs, n_merges=40)
     return text_ops.bpe_encode(docs, merges).select(
@@ -3406,6 +3478,65 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("bpe_tokens"), " ").alias("bpe_tokens"),
         "n_bpe_tokens",
     )
+
+
+SQL_BPE_ENCODE = (
+    "WITH RECURSIVE\n" + _SQL_BPE_ST + """,
+merges AS (
+  SELECT DISTINCT CAST(iter - 1 AS INT) AS rank, l, r FROM st WHERE iter >= 1
+),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0
+),
+enc(it, w, syms) AS (
+  SELECT 0, w, list_transform(range(1, len(w) + 1), i -> w[i:i]) FROM words
+  UNION ALL
+  SELECT it + 1, w,
+""" + _SQL_BPE_REWRITE + """
+  FROM (
+    SELECT it, w, syms,
+           list_transform(range(1, len(syms)), i ->
+             syms[i] = l AND syms[i+1] = r
+             AND ((i - 1 - coalesce(list_max(list_filter(range(1, i),
+                   j -> NOT (syms[j] = l AND syms[j+1] = r))), 0)) % 2 = 0)
+           ) AS mrg
+    FROM (
+      SELECT e.it, e.w, e.syms, m.l, m.r,
+             row_number() OVER (PARTITION BY e.w ORDER BY m.rank) AS rn
+      FROM enc e JOIN merges m
+        ON list_contains(list_transform(range(1, len(e.syms)),
+             i -> [e.syms[i], e.syms[i+1]]), [m.l, m.r])
+    ) z WHERE rn = 1
+  ) y
+),
+fin AS (
+  SELECT w, syms FROM enc
+  QUALIFY row_number() OVER (PARTITION BY w ORDER BY it DESC) = 1
+),
+docpos AS (
+  SELECT d.doc_id, g.i AS pos, d.ts[g.i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(d.ts) + 1)) AS i) g
+),
+flat AS (
+  SELECT dp.doc_id, dp.pos, g.j, f.syms[g.j] AS tok
+  FROM docpos dp JOIN fin f ON f.w = dp.w,
+       LATERAL (SELECT unnest(range(1, len(f.syms) + 1)) AS j) g
+  WHERE len(dp.w) > 0
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos, j) AS bpe_tokens,
+         CAST(count(*) AS BIGINT) AS n_bpe_tokens
+  FROM flat GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.bpe_tokens, '') AS bpe_tokens,
+       coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+)
 
 
 def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5007,8 +5138,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "cooccurrence_counts": (q_cooccurrence, SQL_COOCCURRENCE),
     "collocation_lift": (q_collocation_lift, SQL_COLLOCATION_LIFT),
-    "bpe_train": (q_bpe_train, None),
-    "bpe_encode": (q_bpe_encode, None),
+    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
