@@ -3095,24 +3095,37 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     value of the declared row is the DELTA: a bucketing regression now
     shows up as a changed recall, not silently."""
     emb = _t(spark, sf_dir, "embeddings")
-    truth = similarity.cosine_topk(emb, k=5).select(
-        "query_id", "vec_id", F.lit(1).alias("__hit")
-    )
-    ann = similarity.ivf_ann(emb).select(
-        F.lit("ivf").alias("method"), "query_id", "vec_id"
-    ).unionByName(
-        similarity.lsh_ann(emb).select(
-            F.lit("lsh").alias("method"), "query_id", "vec_id"
+    # each arm's CONSTRUCTION runs driver-side jobs (the PQ/IVF fits'
+    # init+stats collects, LSH geometry sizing) — build the four frames
+    # from concurrent threads so those job chains overlap, same
+    # convention as _pq_fit_books' fit threads; the assembled plan and
+    # its values are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as _ex:
+        f_truth = _ex.submit(similarity.cosine_topk, emb, k=5)
+        f_ivf = _ex.submit(similarity.ivf_ann, emb)
+        f_lsh = _ex.submit(similarity.lsh_ann, emb)
+        f_pq = _ex.submit(similarity.pq_ann, emb)
+        f_ivfpq = _ex.submit(similarity.ivfpq_ann, emb)
+        truth = f_truth.result().select(
+            "query_id", "vec_id", F.lit(1).alias("__hit")
         )
-    ).unionByName(
-        similarity.pq_ann(emb).select(
-            F.lit("pq").alias("method"), "query_id", "vec_id"
+        ann = f_ivf.result().select(
+            F.lit("ivf").alias("method"), "query_id", "vec_id"
+        ).unionByName(
+            f_lsh.result().select(
+                F.lit("lsh").alias("method"), "query_id", "vec_id"
+            )
+        ).unionByName(
+            f_pq.result().select(
+                F.lit("pq").alias("method"), "query_id", "vec_id"
+            )
+        ).unionByName(
+            f_ivfpq.result().select(
+                F.lit("ivfpq").alias("method"), "query_id", "vec_id"
+            )
         )
-    ).unionByName(
-        similarity.ivfpq_ann(emb).select(
-            F.lit("ivfpq").alias("method"), "query_id", "vec_id"
-        )
-    )
     rec = (
         ann.join(F.broadcast(truth), ["query_id", "vec_id"], "left")
         .groupBy("method", "query_id")
@@ -5417,6 +5430,51 @@ _R9_PREFIX = _R9_NEVER + _R9_MODIFIED + _R9_STALE_R4
 _REGISTRY = {
     n: _REGISTRY[n]
     for n in _R9_PREFIX + [n for n in _REGISTRY if n not in _R9_PREFIX]
+}
+
+# Round-10 rotation (the driver samples the FIRST 50 rows). Priority:
+# (a) the 4 rows red in r9 on driver-canon grounds, all fixed this
+#     round (rolling_agg sum_window → quantized DOUBLE; the three
+#     array-output rows → joined strings), plus bpe_train, whose check
+#     upgrades from rows-only to a full recursive-CTE oracle hash;
+# (b) every row whose CODE PATH changed this round: corpus_diff
+#     (snapshot_diff's to_json struct digest), media_near_dup (MIH
+#     s-top-bit transport + Arrow kernel rebuild), and the
+#     _kmeans_assign/_pq_fit_books family (array argmin, shared init,
+#     overlapped collects) — kmeans_assign, ivf_ann, semantic_dedup,
+#     embedding_near_dup, ann_recall, pq_ann (+ the three in (a));
+# (c) the 12 column-algebra rows whose latest official check is still
+#     r04 (skipped in the r9 rotation) and the 8 remaining r05 rows;
+# (d) 16 of the 41 r06-cohort rows (heaviest / most-compound plans
+#     first). After r10 lands, no registry row's latest official check
+#     is older than r6. 5 + 9 + 20 + 16 = 50.
+_R10_FIXED = [
+    "rolling_agg", "vocab_encode", "pq_encode", "bpe_encode", "bpe_train",
+]
+_R10_MODIFIED = [
+    "corpus_diff", "media_near_dup", "ivfpq_ann", "pq_ann",
+    "kmeans_assign", "ivf_ann", "semantic_dedup", "embedding_near_dup",
+    "ann_recall",
+]
+_R10_STALE_R4_R5 = [
+    "regex_funcs", "set_ops", "cube_counts", "rollup_counts",
+    "unpivot_metrics", "running_total", "pivot_counts", "topk_per_group",
+    "tfidf_top_terms", "lag_diff", "ntile_quartiles", "price_qty_corr",
+    "asof_join", "binary_features", "bloom_prune", "cast_timestamp",
+    "cosine_topk", "date_format", "datetime_diff", "dedup_clusters",
+]
+_R10_STALE_R6 = [
+    "bigram_lm_score", "line_dedup", "media_transform", "strip_html",
+    "gopher_quality", "vocab_topk", "source_dup_stats", "pii_scrub",
+    "ngram_jaccard", "approx_quantiles", "minhash_near_dup",
+    "contamination_check", "pack_sequences", "collect_set_agg",
+    "embedding_quantize", "zorder_key",
+]
+_R10_PREFIX = _R10_FIXED + _R10_MODIFIED + _R10_STALE_R4_R5 + _R10_STALE_R6
+assert len(_R10_PREFIX) == 50 and len(set(_R10_PREFIX)) == 50
+_REGISTRY = {
+    n: _REGISTRY[n]
+    for n in _R10_PREFIX + [n for n in _REGISTRY if n not in _R10_PREFIX]
 }
 
 
