@@ -2687,7 +2687,11 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     variants = multimodal.transform_media(planted, scale_div=2, sample_every=4)
     fp = multimodal.media_phash(base.unionByName(variants))
-    return multimodal.media_near_dup(fp, max_hamming=7)
+    # n_assets from the documents parquet footer (metadata-only count —
+    # never re-runs the phash pipeline): one asset per doc + the ~20%
+    # planted variants. Only the MIH task geometry (s) depends on it.
+    n_assets = int(_t(spark, sf_dir, "documents").count() * 1.2)
+    return multimodal.media_near_dup(fp, max_hamming=7, n_assets=n_assets)
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5447,7 +5451,9 @@ _REGISTRY = {
 #     r04 (skipped in the r9 rotation) and the 8 remaining r05 rows;
 # (d) 16 of the 41 r06-cohort rows (heaviest / most-compound plans
 #     first). After r10 lands, no registry row's latest official check
-#     is older than r6. 5 + 9 + 20 + 16 = 50.
+#     is older than r6 except zorder_key / embedding_quantize (pure
+#     column algebra, r6-green, slots yielded to the late-round
+#     MIH-modified rows). 5 + 11 + 20 + 14 = 50.
 _R10_FIXED = [
     "rolling_agg", "vocab_encode", "pq_encode", "bpe_encode", "bpe_train",
 ]
@@ -5455,6 +5461,8 @@ _R10_MODIFIED = [
     "corpus_diff", "media_near_dup", "ivfpq_ann", "pq_ann",
     "kmeans_assign", "ivf_ann", "semantic_dedup", "embedding_near_dup",
     "ann_recall",
+    # late-round MIH two-sided s-sizing touches the simhash pair stage:
+    "simhash_near_dup", "dedup_recall",
 ]
 _R10_STALE_R4_R5 = [
     "regex_funcs", "set_ops", "cube_counts", "rollup_counts",
@@ -5464,11 +5472,12 @@ _R10_STALE_R4_R5 = [
     "cosine_topk", "date_format", "datetime_diff", "dedup_clusters",
 ]
 _R10_STALE_R6 = [
+    # (zorder_key / embedding_quantize yielded their slots to the two
+    # late-round MIH-modified rows; both stay locally verified)
     "bigram_lm_score", "line_dedup", "media_transform", "strip_html",
     "gopher_quality", "vocab_topk", "source_dup_stats", "pii_scrub",
     "ngram_jaccard", "approx_quantiles", "minhash_near_dup",
     "contamination_check", "pack_sequences", "collect_set_agg",
-    "embedding_quantize", "zorder_key",
 ]
 _R10_PREFIX = _R10_FIXED + _R10_MODIFIED + _R10_STALE_R4_R5 + _R10_STALE_R6
 assert len(_R10_PREFIX) == 50 and len(set(_R10_PREFIX)) == 50

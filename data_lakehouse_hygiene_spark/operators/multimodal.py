@@ -705,10 +705,15 @@ def media_near_dup(
         " <= 1 (single-bit variant enumeration)"
     )
     mask = (1 << width) - 1
-    # Sub-bit count s: tasks = modalities·b·2^s; 2^s = 256 is the
-    # parallelism floor. Above ~14M assets the 500k-rows-per-task
-    # target grows s (same sizing rule as _simhash_mih_pairs); s ≤ w-1
-    # keeps at least one low bit in-task.
+    # Sub-bit count s: tasks = modalities·b·2^s. Two-sided sizing (same
+    # rule as _simhash_mih_pairs): above ~14M assets the
+    # 500k-rows-per-task target GROWS s; below ~100k assets the
+    # 2k-rows-per-task floor SHRINKS it toward s = 4 (16 tasks/band —
+    # small corpora otherwise pay one applyInPandas group-call per
+    # near-empty bucket slice, measured ~1.7 s of pure per-group
+    # overhead on 6k assets at s = 8). Any s in [1, w-1] is exact —
+    # only transport/parallelism move; s ≤ w-1 keeps at least one low
+    # bit in-task.
     s = min(8, width - 1)
     if n_assets:
         while (
@@ -717,6 +722,10 @@ def media_near_dup(
             > 500_000 * n_bands * (1 << s)
         ):
             s += 1
+        while s > 4 and n_assets * (1 + s) * n_bands < 2_000 * n_bands * (
+            1 << s
+        ):
+            s -= 1
     low = width - s
     structs = []
     for k in range(n_bands):
