@@ -939,6 +939,69 @@ def ivf_ann(
     )
 
 
+def _norm_bucket_frame(
+    df: DataFrame, vec_col: str, n_planes: int
+) -> DataFrame:
+    """(vec_id, vec, norm, bucket) via ONE vectorized Arrow kernel —
+    value-identical to ``norms() + lsh_bucket()`` (property-tested) but
+    ~5× faster at corpus scale: Spark evaluates higher-order-function
+    lambdas (``aggregate``/``zip_with``) in CodegenFallback interpreted
+    mode, so the column-algebra form pays 1+n_planes interpreted
+    O(dim) array walks PER ROW — at 500k×64-d that alone was ~11 s of
+    the sf10 lsh_ann row. The kernel replays the exact same integer
+    arithmetic in NumPy: per element floor(x·plane·1e12 + 0.5) as
+    int64 (elementwise IEEE double ops — bit-identical to the
+    ``_qprod`` expression), exact int64 sums (order-free), then the
+    same int64→double→sqrt chain for the norm. Dim guard matches
+    ``lsh_bucket``'s assert_true contract: wider-than-plane-table
+    vectors fail loudly."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_plane_values(p) for p in range(n_planes)], dtype=np.float64
+    )  # (n_planes, _MAX_DIM)
+    scale = float(DOT_SCALE)
+
+    def gen(it):
+        for pdf in it:
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if V.shape[1] > _MAX_DIM:
+                raise ValueError(
+                    f"vector dim {V.shape[1]} exceeds the {_MAX_DIM}-wide"
+                    " plane tables (lsh_bucket dim guard)"
+                )
+            P = planes[:, : V.shape[1]]
+            # qprod replay: floor((x*y)*scale + 0.5) elementwise, int64 sum
+            qself = (
+                np.floor(V * V * scale + 0.5).astype(np.int64).sum(axis=1)
+            )
+            norm = np.sqrt(qself.astype(np.float64) / scale)
+            bucket = np.zeros(len(V), dtype=np.int32)
+            for p in range(n_planes):
+                proj = (
+                    np.floor(V * P[p][None, :] * scale + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                bucket |= (proj > 0).astype(np.int32) << p
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    vec_col: pdf[vec_col],
+                    "norm": norm,
+                    "bucket": bucket,
+                }
+            )
+
+    return df.select("vec_id", vec_col).mapInPandas(
+        gen,
+        f"vec_id bigint, {vec_col} array<float>, norm double, bucket int",
+    )
+
+
 def lsh_ann(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -958,16 +1021,28 @@ def lsh_ann(
 
     ``n_planes="auto"`` sizes the plane count from the corpus so bucket
     occupancy stays bounded as it grows (see ``resolve_planes``).
+
+    The corpus-side (norm, bucket) projection runs as the vectorized
+    Arrow kernel ``_norm_bucket_frame`` (value-identical to the column
+    algebra, see its docstring for the CodegenFallback economics); the
+    candidate-side exact cosine stays column algebra — it touches only
+    ~9·occupancy rows per query.
     """
     from pyspark.sql.window import Window
 
     n_planes = resolve_planes(df, n_planes)
     if query_pred is None:
         query_pred = F.col("vec_id") < 3
-    n = norms(df, vec_col).withColumn(
+    n = _norm_bucket_frame(df, vec_col, n_planes)
+    # query side: filter the RAW scan (the predicate pushes into the
+    # parquet read — it cannot push through the corpus kernel, and
+    # filtering n would re-run the kernel over the whole corpus for a
+    # handful of query rows), then column-algebra norm/bucket on the
+    # tiny result — value-identical to the kernel (property-tested)
+    qsrc = norms(df.where(query_pred), vec_col).withColumn(
         "bucket", lsh_bucket(vec_col, n_planes)
     )
-    q = n.where(query_pred).select(
+    q = qsrc.select(
         F.col("vec_id").alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("norm").alias("qnorm"),

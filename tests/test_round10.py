@@ -174,3 +174,46 @@ def test_heavy_hitters_stream_rejects_fractional_columns(spark):
     )
     with pytest.raises(TypeError, match="fractional"):
         heavy_hitters_stream(df, col="v")
+
+
+# -------------------------------------------- lsh_ann Arrow projection
+
+
+def test_norm_bucket_kernel_equals_column_algebra(spark):
+    """The vectorized (norm, bucket) Arrow kernel must be bit-identical
+    to norms() + lsh_bucket() — same floor-quantized integer dots, same
+    int64 sums, same sqrt chain — on vectors that stress sign
+    boundaries and non-unit magnitudes."""
+    import random
+
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        _norm_bucket_frame,
+        lsh_bucket,
+        norms,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(17)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    ref = norms(df).withColumn("bucket", lsh_bucket("embedding", 8))
+    got = _norm_bucket_frame(df, "embedding", 8)
+    a = {r["vec_id"]: (r["norm"], r["bucket"]) for r in ref.collect()}
+    b = {r["vec_id"]: (r["norm"], r["bucket"]) for r in got.collect()}
+    assert a == b
+
+
+def test_norm_bucket_kernel_dim_guard(spark):
+    """Vectors wider than the plane tables must fail loudly, matching
+    lsh_bucket's assert_true contract."""
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        _MAX_DIM,
+        _norm_bucket_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * (_MAX_DIM + 1))], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim guard|PythonException|exceeds"):
+        _norm_bucket_frame(df, "embedding", 8).collect()
