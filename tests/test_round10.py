@@ -217,3 +217,15 @@ def test_norm_bucket_kernel_dim_guard(spark):
     )
     with pytest.raises(Exception, match="dim guard|PythonException|exceeds"):
         _norm_bucket_frame(df, "embedding", 8).collect()
+
+
+def test_cosine_topk_empty_queries_returns_typed_empty(spark):
+    """A predicate matching no vectors must yield an empty frame with
+    the contract schema, not a zero-query kernel crash."""
+    from data_lakehouse_hygiene_spark.operators.similarity import cosine_topk
+    from .conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = cosine_topk(df, query_pred=F.col("vec_id") < 0)
+    assert out.count() == 0
+    assert [f[0] for f in out.dtypes] == ["query_id", "vec_id", "cosine", "rank"]
