@@ -1213,35 +1213,45 @@ def _kmeans_assign(
     q: DataFrame, cents: list[list[int]], carry: tuple[str, ...] = ()
 ) -> DataFrame:
     """One assignment pass: exact integer squared distance to each centroid
-    (centroids ship as literal arrays — the model broadcasts INSIDE the
-    plan, no join), argmin with ties to the lowest cluster index.
-    ``carry`` names extra input columns passed through unchanged (the
-    cluster-blocked pair generator carries the raw float vector)."""
-    # One distance ARRAY + array_min/array_position argmin, not k aliased
-    # columns + a k-deep CASE chain: identical values (array_position
-    # returns the FIRST index of the minimum — ties to the lowest
-    # cluster, same rule), but the expression tree is ~3× smaller, and
-    # at PQ-fit scale the family is bound by per-plan codegen compile
-    # time, not data (measured round 10: fit 1.8 → 1.1 s at sf0.1).
-    dist_arr = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.array(*[F.lit(int(x)) for x in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda s, v: s + v,
+    (centroids ship in the kernel CLOSURE — the model broadcasts with the
+    task, no join), argmin with ties to the lowest cluster index.
+    ``carry`` names extra input columns passed through unchanged.
+
+    Round-10 kernel rationale (the ``_norm_bucket_frame`` economics):
+    the column-algebra form — k ``aggregate``/``zip_with`` lambdas, then
+    array_min/array_position — evaluates k interpreted O(dim) walks per
+    row (HOFs are CodegenFallback). The NumPy kernel computes the SAME
+    exact int64 (x−y)² sums with ``argmin`` taking the FIRST minimum
+    (ties → lowest cluster, the same rule), so assignments, distances,
+    and every downstream centroid update are bit-identical (oracle
+    replay unchanged — the whole kmeans/PQ/IVF family re-verified)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)
+
+    def gen(it):
+        for pdf in it:
+            V = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
             )
-            for c in cents
-        ]
+            D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out = {"vec_id": pdf["vec_id"], "qv": pdf["qv"]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["cluster"] = D.argmin(axis=1).astype(np.int32)
+            out["dist"] = D.min(axis=1)
+            yield pd.DataFrame(out)
+
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in q.schema.fields
+        if f.name in carry
     )
-    withd = q.select("vec_id", "qv", *carry, dist_arr.alias("__ds"))
-    best = F.array_min(F.col("__ds"))
-    cluster = (F.array_position(F.col("__ds"), best) - 1).cast("int")
-    return withd.select(
-        "vec_id", "qv", *carry, cluster.alias("cluster"), best.alias("dist")
+    return q.select("vec_id", "qv", *carry).mapInPandas(
+        gen,
+        f"vec_id bigint, qv array<bigint>{carry_schema},"
+        " cluster int, dist bigint",
     )
 
 
@@ -1503,48 +1513,60 @@ def _pq_encode_frame(
     q: DataFrame, books: list[list[list[int]]], sub: int,
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode pass over already-fitted codebooks: one scan-shaped
-    projection, codebooks as plan literals. ``carry`` names extra input
+    """Encode pass over already-fitted codebooks: ONE vectorized Arrow
+    kernel with the codebooks in its closure (ship-the-model — no
+    joins, no shuffle beyond the scan). ``carry`` names extra input
     columns passed through unchanged (ivfpq_ann carries the coarse
-    cell label)."""
-    cols = [F.col("vec_id"), *[F.col(c) for c in carry]]
-    code_cols = []
-    for s, cents in enumerate(books):
-        sq = F.slice("qv", s * sub + 1, sub)
-        dists = []
-        for ci, c in enumerate(cents):
-            lit = F.array(*[F.lit(int(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(sq, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
+    cell label).
+
+    Round-10 kernel rationale (the ``_norm_bucket_frame`` economics):
+    the column-algebra form evaluated m·k ``aggregate``/``zip_with``
+    lambdas per row in CodegenFallback interpreted mode — 32
+    interpreted O(sub) walks per vector at m=4/k=8, the bulk of the
+    sf10 pq_encode row. The kernel computes the SAME exact int64
+    arithmetic in NumPy — (x−y)² sums over the ``_kq``-quantized
+    components, ``argmin`` taking the FIRST minimum (ties → lowest
+    code id, the F.least/CASE-chain rule) — so codes and err are
+    bit-identical (oracle replay + equivalence tests unchanged)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    cents = [
+        np.asarray(b, dtype=np.int64).reshape(len(b), sub) for b in books
+    ]
+
+    def gen(it):
+        for pdf in it:
+            V = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
             )
-            dists.append(d.alias(f"__d{s}_{ci}"))
-        cols.extend(dists)
-        code_cols.append((s, len(cents)))
-    withd = q.select(*cols)
-    codes, errs = [], []
-    for s, nc in code_cols:
-        best = (
-            F.col(f"__d{s}_0")
-            if nc == 1
-            else F.least(*[F.col(f"__d{s}_{ci}") for ci in range(nc)])
-        )
-        code = F.lit(None).cast("int")
-        for ci in reversed(range(nc)):
-            code = F.when(F.col(f"__d{s}_{ci}") == best, F.lit(ci)).otherwise(
-                code
-            )
-        codes.append(code)
-        errs.append(best)
-    err = errs[0]
-    for e in errs[1:]:
-        err = err + e
-    return withd.select(
-        "vec_id",
-        *carry,
-        F.array(*codes).alias("codes"),
-        err.cast("bigint").alias("err"),
+            err = np.zeros(len(V), dtype=np.int64)
+            codes = np.zeros((len(V), m), dtype=np.int32)
+            for s in range(m):
+                Vs = V[:, s * sub : (s + 1) * sub]
+                C = cents[s]
+                # (n, k) exact integer squared distances
+                D = (
+                    (Vs[:, None, :] - C[None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, s] = D.argmin(axis=1)  # first min = lowest id
+                err += D.min(axis=1)
+            out = {"vec_id": pdf["vec_id"]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["codes"] = list(codes)
+            out["err"] = err
+            yield pd.DataFrame(out)
+
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in q.schema.fields
+        if f.name in carry
+    )
+    return q.select("vec_id", *carry, "qv").mapInPandas(
+        gen,
+        f"vec_id bigint{carry_schema}, codes array<int>, err bigint",
     )
 
 def pq_ann(
