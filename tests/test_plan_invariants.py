@@ -26,12 +26,24 @@ def _plan(spark, name: str) -> str:
 
 @pytest.mark.parametrize(
     "name",
-    ["dim_join", "fact_dim_join", "hygiene_score", "ivf_ann", "cosine_topk"],
+    ["dim_join", "fact_dim_join", "hygiene_score", "ivf_ann"],
 )
 def test_joins_broadcast_never_sortmerge(spark, name):
     plan = _plan(spark, name)
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cosine_topk_joinless_kernel_plan(spark):
+    """Since round 10 the brute-force scoring ships the query set in
+    the Arrow kernel's closure — the plan must contain NO join of any
+    kind (stronger than broadcast-only: the former broadcast nested
+    loop is gone) and exactly one Python stage."""
+    plan = _plan(spark, "cosine_topk")
+    for op in ("SortMergeJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin", "BroadcastHashJoin"):
+        assert op not in plan, plan
+    assert "MapInPandas" in plan, plan
 
 
 @pytest.mark.parametrize(
