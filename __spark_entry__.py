@@ -2659,12 +2659,18 @@ FROM part
 
 def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual fingerprints (image pHash / audio energy-delta) over
-    the synthesized BMP/WAV payloads — the multimodal near-dup
-    primitive. A 2D DCT is not SQL: rows-only driver check; the
-    robustness property (fingerprint survives resize/decimation) and
-    exact fixture hashes are pinned in ``tests/test_round9.py``. See
-    ``multimodal.media_phash``."""
-    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    the structured BMP/WAV payloads — the multimodal near-dup
+    primitive, end-to-end: synthesize payloads executor-side, parse the
+    container bytes, fingerprint. Round 11: the fingerprint pipeline is
+    integer-exact (fixed-point ``COS_Q16`` DCT, integer medians /
+    energy comparisons) and the structured corpus is a pure integer
+    function of doc_id, so the oracle replays every bit in DuckDB from
+    the documents table alone (``SQL_MEDIA_PHASH``) — full value-hash
+    driver check. Robustness properties and fixture hashes stay pinned
+    in ``tests/test_round9.py``. See ``multimodal.media_phash``."""
+    media = multimodal.synthesize_structured_media(
+        _t(spark, sf_dir, "documents")
+    )
     return multimodal.media_phash(media)
 
 
@@ -2692,6 +2698,106 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planted variants. Only the MIH task geometry (s) depends on it.
     n_assets = int(_t(spark, sf_dir, "documents").count() * 1.2)
     return multimodal.media_near_dup(fp, max_hamming=7, n_assets=n_assets)
+
+
+def _phash_fp_ctes() -> str:
+    """Shared oracle CTE chain: fingerprint table ``fp(doc_id,
+    media_type, phash)`` replaying the ENTIRE structured-media pipeline
+    in SQL — ``_hash_grid``'s murmur-finalizer (uint32 emulated with
+    mod-2^32 BIGINT steps; the two multiplies go through HUGEINT to
+    dodge signed-64 overflow), then per modality:
+
+    - image/bmp (even doc_ids): pooled luma is exactly 256*g (grayscale
+      4x4-upsampled grid, round-half-up mean), the 16-point DCT-II uses
+      the same fixed-point table ``multimodal.COS_Q16`` as a list
+      literal (basis[k][n] = COS[((2n+1)k) mod 64]), the median of the
+      63 AC coefficients is ``quantile_disc(0.5)`` (= the exact middle
+      element numpy's partition picks for an odd count), and the bit at
+      flatten position p = u*8+v carries weight 2^(63-p).
+    - audio/wav (odd doc_ids): frame amplitude 10 + (g*100)//255;
+      rising-energy bit f carries weight 2^(62-f).
+
+    Every step is integer arithmetic on both sides, so the driver's
+    value-hash comparison is exact (prototype-verified over 400 docs,
+    0 mismatches)."""
+    cl = "[" + ",".join(str(c) for c in multimodal.COS_Q16) + "]"
+    return f"""
+cells AS (
+  SELECT d.doc_id, i.range AS i, j.range AS j,
+         CASE WHEN d.doc_id % 2 = 0 THEN 'image/bmp'
+              ELSE 'audio/wav' END AS media_type
+  FROM (SELECT doc_id FROM documents) d, range(16) i, range(16) j
+  WHERE d.doc_id % 2 = 0 OR (i.range < 8 AND j.range < 8)
+),
+m0 AS (SELECT *, xor((i*8191 + j*131 + 2654435769) % 4294967296,
+                     (doc_id * 2246822507) % 4294967296) AS x0 FROM cells),
+m1 AS (SELECT *, xor(x0, x0 >> 16) AS x1 FROM m0),
+m2 AS (SELECT *, CAST(mod(CAST(x1 AS HUGEINT) * 2246822507, 4294967296)
+                      AS BIGINT) AS x2 FROM m1),
+m3 AS (SELECT *, xor(x2, x2 >> 13) AS x3 FROM m2),
+m4 AS (SELECT *, CAST(mod(CAST(x3 AS HUGEINT) * 3266489909, 4294967296)
+                      AS BIGINT) AS x4 FROM m3),
+grid AS (SELECT doc_id, media_type, i, j,
+                (xor(x4, x4 >> 16) >> 24) AS g FROM m4),
+t1 AS (SELECT doc_id, u.range AS u, j AS b,
+              SUM(({cl})[((2*i+1)*u.range) % 64 + 1] * 256 * g) AS t
+       FROM grid, range(8) u WHERE media_type = 'image/bmp'
+       GROUP BY doc_id, u.range, j),
+d2 AS (SELECT doc_id, u, v.range AS v,
+              SUM(({cl})[((2*b+1)*v.range) % 64 + 1] * t) AS d
+       FROM t1, range(8) v
+       GROUP BY doc_id, u, v.range),
+blk AS (SELECT * FROM d2 WHERE NOT (u = 0 AND v = 0)),
+med AS (SELECT doc_id, quantile_disc(d, 0.5) AS med FROM blk
+        GROUP BY doc_id),
+bmp_ph AS (SELECT blk.doc_id,
+                  SUM(CASE WHEN d > med
+                           THEN (1::BIGINT << (63 - (u*8+v)))
+                           ELSE 0::BIGINT END) AS phash
+           FROM blk JOIN med USING (doc_id) GROUP BY blk.doc_id),
+amp AS (SELECT doc_id, (i*8+j) AS f, 10 + (g*100) // 255 AS amp
+        FROM grid WHERE media_type = 'audio/wav'),
+wav_ph AS (SELECT a1.doc_id,
+                  SUM(CASE WHEN a2.amp > a1.amp
+                           THEN (1::BIGINT << (62 - a1.f))
+                           ELSE 0::BIGINT END) AS phash
+           FROM amp a1
+           JOIN amp a2 ON a2.doc_id = a1.doc_id AND a2.f = a1.f + 1
+           GROUP BY a1.doc_id),
+fp AS (
+  SELECT doc_id, 'image/bmp' AS media_type, phash FROM bmp_ph
+  UNION ALL
+  SELECT doc_id, 'audio/wav' AS media_type, phash FROM wav_ph
+)"""
+
+
+SQL_MEDIA_PHASH = f"""
+WITH {_phash_fp_ctes()}
+SELECT doc_id, media_type, phash FROM fp
+"""
+
+# Planted variants keep their source's fingerprint EXACTLY (the
+# integer-exact pipeline is invariant under the nearest-neighbor /2
+# resize and the /4 decimation — proven in multimodal._phash_* and
+# property-tested), so the oracle fingerprints the variant rows by
+# replaying phash(original doc_id) and brute-forces the pair set the
+# MIH miner is property-tested to equal.
+SQL_MEDIA_NEAR_DUP = f"""
+WITH {_phash_fp_ctes()},
+fpv AS (
+  SELECT doc_id, media_type, phash FROM fp
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, media_type, phash
+  FROM fp WHERE doc_id % 10 < 2
+)
+SELECT f1.media_type AS media_type,
+       f1.doc_id AS doc_a, f2.doc_id AS doc_b,
+       CAST(bit_count(xor(f1.phash, f2.phash)) AS BIGINT) AS hamming
+FROM fpv f1
+JOIN fpv f2
+  ON f1.media_type = f2.media_type AND f1.doc_id < f2.doc_id
+WHERE bit_count(xor(f1.phash, f2.phash)) <= 7
+"""
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5123,8 +5229,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "ccnet_bucket": (q_ccnet_bucket, SQL_CCNET_BUCKET),
     "media_transform": (q_media_transform, SQL_MEDIA_TRANSFORM),
-    "media_phash": (q_media_phash, None),
-    "media_near_dup": (q_media_near_dup, None),
+    "media_phash": (q_media_phash, SQL_MEDIA_PHASH),
+    "media_near_dup": (q_media_near_dup, SQL_MEDIA_NEAR_DUP),
     "quality_weighted_sample": (
         q_quality_weighted_sample,
         SQL_QUALITY_WEIGHTED_SAMPLE,

@@ -723,8 +723,12 @@ def exact_recount(
     )
 
 
+GHH_MAX_SKETCH_GROUPS = 100_000
+
+
 def group_heavy_hitters(
-    df: DataFrame, group: str, col: str, phi: float = 0.01
+    df: DataFrame, group: str, col: str, phi: float = 0.01,
+    max_sketch_groups: int = GHH_MAX_SKETCH_GROUPS,
 ) -> DataFrame:
     """Per-GROUP exact heavy hitters — every value whose frequency
     within its group exceeds ``phi``·n_group — the per-language
@@ -746,9 +750,14 @@ def group_heavy_hitters(
 
     Memory contract (the documented limit): the sketch is c counters ×
     groups-per-partition; right for G up to ~10⁵ groups (languages,
-    sources, domains). A 10⁹-cardinality group key wants the plain
-    per-(group,value) aggregate instead — with that many groups the
-    vocabulary shuffle IS group-bounded already. Rows with a NULL
+    sources, domains). Round 11: that limit is now a SIZE GATE, not
+    documentation — a cheap ``approx_count_distinct(group)`` probe
+    (one column-pruned scan, partial-agg combined) routes
+    G > ``max_sketch_groups`` to the plain per-(group, value)
+    aggregate + per-group window total instead: with that many groups
+    the vocabulary shuffle IS group-bounded already, and per-partition
+    per-group sketches would be the memory blowup. Both paths are
+    EXACT, so the gate can never change values. Rows with a NULL
     group or NULL value are excluded (same contract both engines).
 
     Returns (group, value, cnt), ordered by (group, cnt desc, value).
@@ -756,6 +765,25 @@ def group_heavy_hitters(
     import math
 
     import pandas as pd
+
+    base = df.where(F.col(group).isNotNull() & F.col(col).isNotNull())
+    n_groups = df.agg(F.approx_count_distinct(group).alias("g")).first()["g"]
+    if n_groups > max_sketch_groups:
+        from pyspark.sql.window import Window
+
+        counts = base.groupBy(group, col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # per-group total via a window over the already-(group,value)-
+        # bounded counts — one group-keyed exchange, no join, no
+        # second base scan
+        n_g = F.sum("cnt").over(Window.partitionBy(group))
+        return (
+            counts.withColumn("__n", n_g)
+            .where(F.col("cnt") > F.lit(phi) * F.col("__n"))
+            .select(group, col, "cnt")
+            .orderBy(F.asc(group), F.desc("cnt"), F.asc(col))
+        )
 
     c = max(1, math.ceil(1.0 / phi))
 
@@ -801,7 +829,6 @@ def group_heavy_hitters(
         .select(group, col)
         .distinct()
     )
-    base = df.where(F.col(group).isNotNull() & F.col(col).isNotNull())
     return (
         base.join(F.broadcast(cand), on=[group, col], how="left_semi")
         .groupBy(group, col)

@@ -379,14 +379,42 @@ def transform_media(
     return media.mapInPandas(_tx, schema=MEDIA_SCHEMA)
 
 
+# Fixed-point DCT-II cosine table, COS_Q16[t] = round(cos(pi*t/32) *
+# 2^16): the 16-point DCT basis is B[k,n] = COS_Q16[((2n+1)*k) mod 64]
+# (cosine period 2*pi = 64 table steps). INTEGER by construction so the
+# whole fingerprint — luma, pooling, DCT, median, bits — is exact int64
+# arithmetic, replayable bit-for-bit by the DuckDB oracle SQL
+# (SQL_MEDIA_PHASH embeds this same table as a literal). Magnitude
+# bound: |dct| <= 16*16 * 2^16 (basis) * 2^16 (basis) * 2^16 (pooled
+# luma <= 255*256) = 2^56 — no int64 overflow.
+COS_Q16 = (
+    65536, 65220, 64277, 62714, 60547, 57798, 54491, 50660,
+    46341, 41576, 36410, 30893, 25080, 19024, 12785, 6424,
+    0, -6424, -12785, -19024, -25080, -30893, -36410, -41576,
+    -46341, -50660, -54491, -57798, -60547, -62714, -64277, -65220,
+    -65536, -65220, -64277, -62714, -60547, -57798, -54491, -50660,
+    -46341, -41576, -36410, -30893, -25080, -19024, -12785, -6424,
+    0, 6424, 12785, 19024, 25080, 30893, 36410, 41576,
+    46341, 50660, 54491, 57798, 60547, 62714, 64277, 65220,
+)
+
+
 def _phash_bmp(p: bytes, grid: int = 8) -> int:
-    """Perceptual hash of a 24-bit BMP: luma plane → bilinear-ish mean
+    """Perceptual hash of a 24-bit BMP: luma plane → nearest-bin mean
     pooling to a 16×16 grid → 2D DCT-II → top-left ``grid``×``grid``
     low-frequency block (DC dropped) → one bit per coefficient,
-    above/below the block median. Pure numpy (explicit cosine-basis
-    matmul, no scipy); the classic pHash construction, so the hash is
-    stable under resizing/re-encoding — the property the near-dup test
-    asserts via ``_resize_bmp``."""
+    above/below the block median. The classic pHash construction, so
+    the hash is stable under resizing/re-encoding — the property the
+    near-dup test asserts via ``_resize_bmp``.
+
+    INTEGER-EXACT (round 11): luma stays at the 256× integer scale
+    (29B+150G+77R, no division), pooling is a round-half-up integer
+    mean, the DCT uses the ``COS_Q16`` fixed-point basis, and the
+    median of the 63 AC coefficients is the exact middle element
+    (odd count → ``np.partition(...)[31]``, never float — dct values
+    reach 2^56, past float64's 2^53 exact-integer range). Every bit is
+    therefore replayable in pure SQL, which is what gives
+    ``media_phash``/``media_near_dup`` full value-hash oracles."""
     import numpy as np
 
     w = int.from_bytes(p[18:22], "little", signed=True)
@@ -397,21 +425,26 @@ def _phash_bmp(p: bytes, grid: int = 8) -> int:
     # BGR -> integer-weighted luma (ITU-R 601 ratios over 256), fully
     # vectorized: view the pixel array as (h, stride) and slice off the
     # row padding — the per-row Python loop was ~10x the whole DCT cost
-    # at corpus scale
+    # at corpus scale. Kept at the 256x scale: the DCT is linear and
+    # the median scales with it, so the bits don't change and nothing
+    # leaves integer arithmetic.
     px = (
         buf[off : off + stride * h]
         .reshape(h, stride)[:, : 3 * w]
         .reshape(h, w, 3)
-        .astype(np.float64)
+        .astype(np.int64)
     )
-    img = (29 * px[:, :, 0] + 150 * px[:, :, 1] + 77 * px[:, :, 2]) / 256.0
-    # mean-pool to 16x16 (nearest-bin pooling; handles any input size)
+    img = 29 * px[:, :, 0] + 150 * px[:, :, 1] + 77 * px[:, :, 2]
+    # mean-pool to 16x16 (nearest-bin pooling; handles any input size);
+    # round-half-up integer mean: (2*sum + area) // (2*area)
     n = 16
     if h % n == 0 and w % n == 0:
-        # divisible fast path: one reshape-mean, no Python loop. Same
-        # cells, same arithmetic mean — the pinned fixture hashes assert
-        # the two paths stay bit-compatible.
-        pooled = img.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
+        # divisible fast path: one reshape-sum, no Python loop; all
+        # cells share one area. Same cells, same rounded mean — the
+        # pinned fixture hashes assert the two paths stay bit-compatible.
+        area = (h // n) * (w // n)
+        sums = img.reshape(n, h // n, n, w // n).sum(axis=(1, 3))
+        pooled = (2 * sums + area) // (2 * area)
     else:
         # general path (any w, h — including tiny payloads smaller than
         # the grid): same nearest-bin cells, but pooled via a 2D
@@ -422,17 +455,20 @@ def _phash_bmp(p: bytes, grid: int = 8) -> int:
         y0, x0 = ys[:n], xs[:n]
         y1 = np.minimum(np.maximum(y0 + 1, ys[1:]), h)
         x1 = np.minimum(np.maximum(x0 + 1, xs[1:]), w)
-        S = np.zeros((h + 1, w + 1))
+        S = np.zeros((h + 1, w + 1), dtype=np.int64)
         S[1:, 1:] = img.cumsum(axis=0).cumsum(axis=1)
         sums = (
             S[y1][:, x1] - S[y0][:, x1] - S[y1][:, x0] + S[y0][:, x0]
         )
-        pooled = sums / ((y1 - y0)[:, None] * (x1 - x0)[None, :])
+        area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+        pooled = (2 * sums + area) // (2 * area)
     k = np.arange(n)
-    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    tbl = np.asarray(COS_Q16, dtype=np.int64)
+    basis = tbl[((2 * k[None, :] + 1) * k[:, None]) % 64]
     dct = basis @ pooled @ basis.T
     block = dct[:grid, :grid].flatten()[1:]  # drop DC
-    med = float(np.median(block))
+    mid = (block.size - 1) // 2  # index 31 for the 63 AC coefficients
+    med = int(np.partition(block, mid)[mid])
     bits = 0
     for b in block > med:
         bits = (bits << 1) | int(b)
@@ -445,7 +481,14 @@ def _phash_wav(p: bytes, n_frames: int = 64) -> int:
     from 128 (unsigned PCM midpoint), one bit per adjacent frame pair
     (energy rising = 1) — the Shazam-lite shape that survives
     decimation, which is what the near-dup test asserts via
-    ``_decimate_wav``."""
+    ``_decimate_wav``.
+
+    INTEGER-EXACT (round 11): frame energies are integer sums of
+    |s-128| and the adjacent-frame "rising" comparison cross-multiplies
+    by frame lengths (sum[f+1]*len[f] > sum[f]*len[f+1]) — exactly the
+    mean comparison, no division, no float. On the structured corpus
+    (constant-amplitude frames) the comparison reduces to the integer
+    amplitudes themselves, which is what the DuckDB oracle replays."""
     import numpy as np
 
     # walk RIFF chunks to the data payload (decode_media validates the
@@ -462,20 +505,24 @@ def _phash_wav(p: bytes, n_frames: int = 64) -> int:
         raise ValueError("WAV missing data chunk")
     nb = min(nb, len(p) - off)
     s = np.frombuffer(p, dtype=np.uint8, count=nb, offset=off).astype(
-        np.float64
+        np.int64
     )
     if len(s) == 0:
         return 0
+    dev = np.abs(s - 128)
     if len(s) % n_frames == 0:
-        # divisible fast path: one reshape-mean (same frames, same mean)
-        e = np.abs(s.reshape(n_frames, -1) - 128.0).mean(axis=1)
+        # divisible fast path: one reshape-sum (same frames, same sums)
+        sums = dev.reshape(n_frames, -1).sum(axis=1)
+        lens = np.full(n_frames, len(s) // n_frames, dtype=np.int64)
     else:
-        e = np.zeros(n_frames)
+        sums = np.zeros(n_frames, dtype=np.int64)
+        lens = np.ones(n_frames, dtype=np.int64)
         bounds = (np.arange(n_frames + 1) * len(s)) // n_frames
         for i in range(n_frames):
-            a, b = bounds[i], max(bounds[i] + 1, bounds[i + 1])
-            e[i] = np.abs(s[a:min(b, len(s))] - 128.0).mean()
-    rising = e[1:] > e[:-1]
+            a, b = bounds[i], min(max(bounds[i] + 1, bounds[i + 1]), len(s))
+            sums[i] = dev[a:b].sum()
+            lens[i] = b - a
+    rising = sums[1:] * lens[:-1] > sums[:-1] * lens[1:]
     bits = 0
     for b in rising:
         bits = (bits << 1) | int(b)
@@ -502,11 +549,14 @@ def media_phash(media: DataFrame) -> DataFrame:
 
     Arrow-batched ``mapInPandas``, embarrassingly parallel, payloads
     never touch the driver. Formats needing codec libraries (JPEG/MP4)
-    raise through ``decode_media``'s documented contract. Rows-only
-    driver check (a DCT is not SQL) — the robustness PROPERTY
-    (phash(resize(x)) ≈ phash(x), phash(decimate(x)) ≈ phash(x)) is
-    what the test suite pins instead, plus exact hash values on fixed
-    fixtures for regression.
+    raise through ``decode_media``'s documented contract. Round 11:
+    both fingerprints are integer-exact end-to-end (fixed-point DCT via
+    ``COS_Q16``, integer medians / cross-multiplied energy
+    comparisons), so on the structured corpus — a pure integer function
+    of doc_id — the DuckDB oracle replays every bit and the driver
+    value-hashes the row (``SQL_MEDIA_PHASH``). The robustness PROPERTY
+    (phash(resize(x)) == phash(x), phash(decimate(x)) == phash(x)) and
+    exact fixture hashes stay pinned in tests.
     """
 
     def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -612,10 +662,15 @@ def synthesize_structured_media(
                     )
                     rows.append((i, "image/bmp", hdr + data))
                 else:
-                    amp = 10.0 + _hash_grid(i, 8, 8).reshape(64) * (100 / 255)
+                    # integer amplitudes (round 11): 10 + g*100//255 in
+                    # [10, 110], so samples are exactly 128±amp and the
+                    # frame energy IS the amplitude — the oracle SQL
+                    # replays `10 + (g*100)//255` from the hash grid
+                    g = _hash_grid(i, 8, 8).reshape(64).astype(np.int64)
+                    amp = 10 + (g * 100) // 255
                     frames = np.repeat(amp, 64)  # 64 frames × 64 samples
-                    sgn = np.tile([1.0, -1.0], 2048)
-                    s = np.clip(128.0 + frames * sgn, 0, 255).astype(np.uint8)
+                    sgn = np.tile([1, -1], 2048)
+                    s = (128 + frames * sgn).astype(np.uint8)
                     data = s.tobytes()
                     fmt = (
                         b"fmt " + (16).to_bytes(4, "little")
@@ -689,10 +744,12 @@ def media_near_dup(
     from a count the caller already has) and band widening applies
     unchanged (SCALING.md geometry contract).
 
-    Rows-only driver check: the fingerprints upstream are a DCT /
-    energy profile, not SQL. The recall property (planted
-    resized/decimated variants are recovered, distinct assets are
-    not) is pinned in tests instead."""
+    Full value-hash driver check (round 11): the upstream fingerprints
+    are integer-exact and variant-invariant, so the oracle replays
+    phash(doc_id) from the hash grid in SQL and brute-forces the pairs
+    with bit_count(xor(...)) — see ``SQL_MEDIA_NEAR_DUP``. The recall
+    property (planted resized/decimated variants are recovered,
+    distinct assets are not) stays pinned in tests as well."""
     import numpy as np
 
     from .dedup import _np_pop64

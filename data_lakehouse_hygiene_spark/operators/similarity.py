@@ -744,16 +744,26 @@ def cosine_topk(
                 np.floor(V * V * scale + 0.5).astype(np.int64).sum(axis=1)
             )
             nrm = np.sqrt(qself.astype(np.float64) / scale)
+            # zero-norm guard (mirrors cosine_pairs' norm > 0 filter): a
+            # vector whose norm quantizes to 0 while some dot quantizes
+            # nonzero would otherwise yield ±inf, which survives Arrow
+            # and ranks first under desc
+            nz = qself != 0
             frames = []
             for qid, qv, qnorm in Q:
+                if qnorm == 0.0:
+                    continue
                 acc = (
                     np.floor(V * qv[None, :] * scale + 0.5)
                     .astype(np.int64)
                     .sum(axis=1)
                 )
-                cos = (acc.astype(np.float64) / scale) / (qnorm * nrm)
+                cos = np.where(
+                    nz, (acc.astype(np.float64) / scale)
+                    / (qnorm * np.where(nz, nrm, 1.0)), 0.0
+                )
                 cosq = np.floor(cos * 1e6 + 0.5) / 1e6
-                m = ids != qid
+                m = (ids != qid) & nz
                 frames.append(
                     pd.DataFrame(
                         {
@@ -763,7 +773,17 @@ def cosine_topk(
                         }
                     )
                 )
-            yield pd.concat(frames, ignore_index=True)
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int64"),
+                        "vec_id": pd.Series(dtype="int64"),
+                        "cosine": pd.Series(dtype="float64"),
+                    }
+                )
+            )
 
     scored = df.select("vec_id", vec_col).mapInPandas(
         gen, "query_id bigint, vec_id bigint, cosine double"
@@ -1050,9 +1070,14 @@ def _norm_bucket_frame(
                 }
             )
 
+    # carry the INPUT element type through (array<float> vs array<double>):
+    # hard-coding float would silently downcast a double corpus before
+    # the exact-cosine re-rank, where the old norms()+lsh_bucket path
+    # preserved it
+    vec_t = df.schema[vec_col].dataType.simpleString()
     return df.select("vec_id", vec_col).mapInPandas(
         gen,
-        f"vec_id bigint, {vec_col} array<float>, norm double, bucket int",
+        f"vec_id bigint, {vec_col} {vec_t}, norm double, bucket int",
     )
 
 
@@ -1235,12 +1260,25 @@ def _kmeans_assign(
             V = np.stack(
                 [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
             )
-            D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # chip the (rows, k, dim) int64 difference temp over rows
+            # (the _mih_kernel convention): the project session pins
+            # 1024-row Arrow batches, but library callers on a default
+            # session (10k rows/batch) would otherwise materialize
+            # multi-GB temps per task
+            cl = np.empty(len(V), dtype=np.int32)
+            ds = np.empty(len(V), dtype=np.int64)
+            for c0 in range(0, len(V), 1024):
+                c1 = min(c0 + 1024, len(V))
+                D = (
+                    (V[c0:c1, None, :] - C[None, :, :]) ** 2
+                ).sum(axis=2)
+                cl[c0:c1] = D.argmin(axis=1).astype(np.int32)
+                ds[c0:c1] = D.min(axis=1)
             out = {"vec_id": pdf["vec_id"], "qv": pdf["qv"]}
             for c in carry:
                 out[c] = pdf[c]
-            out["cluster"] = D.argmin(axis=1).astype(np.int32)
-            out["dist"] = D.min(axis=1)
+            out["cluster"] = cl
+            out["dist"] = ds
             yield pd.DataFrame(out)
 
     carry_schema = "".join(
@@ -1765,7 +1803,15 @@ def ivfpq_ann(
 
     with ThreadPoolExecutor(max_workers=2) as _ex:
         _fq = _ex.submit(_collect_queries)
-        _fcm = _ex.submit(_collect_cell_means) if n_probe > 1 else None
+
+        def _means_if_queries():
+            # gate on the query collect (same thread pool, still fully
+            # overlapped with the fit in the warm path): when the query
+            # predicate matches no rows the result is discarded by the
+            # empty-queries early return below, so don't submit the job
+            return _collect_cell_means() if _fq.result() else None
+
+        _fcm = _ex.submit(_means_if_queries) if n_probe > 1 else None
         books = _pq_fit_books(q, m, sub, n_codes, n_iter)
         queries = _fq.result()
         cm = _fcm.result() if _fcm is not None else None

@@ -1,0 +1,233 @@
+"""Round-11 additions: the integer-exact perceptual fingerprints (the
+change that gives media_phash/media_near_dup full DuckDB value-hash
+oracles), the group_heavy_hitters high-cardinality size gate, and the
+ADVICE r10 guards (cosine_topk zero norms, lsh_ann dtype passthrough).
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ integer-exact pHash
+def test_phash_bmp_is_integer_exact_and_grid_replayable():
+    """The BMP fingerprint of a structured payload must equal the pure
+    hash-grid replay formula the DuckDB oracle implements: fixed-point
+    COS_Q16 DCT over 256*g, exact middle-element median, bit p = u*8+v
+    at weight 2^(63-p)."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        COS_Q16, _hash_grid, _phash_bmp,
+    )
+
+    C = np.array(
+        [[COS_Q16[((2 * n + 1) * k) % 64] for n in range(16)]
+         for k in range(16)],
+        dtype=np.int64,
+    )
+    for doc_id in (0, 2, 44, 1000, 123456):
+        g = _hash_grid(doc_id, 16, 16)
+        img = np.kron(g, np.ones((4, 4), dtype=np.uint8))
+        data = np.repeat(img, 3, axis=1).astype(np.uint8).tobytes()
+        size = 54 + len(data)
+        hdr = (
+            b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + (64).to_bytes(4, "little", signed=True)
+            + (64).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(data).to_bytes(4, "little") + b"\0" * 16
+        )
+        dct = C @ (256 * g.astype(np.int64)) @ C.T
+        block = dct[:8, :8].flatten()[1:]
+        med = int(np.partition(block, 31)[31])
+        bits = 0
+        for b in block > med:
+            bits = (bits << 1) | int(b)
+        assert _phash_bmp(hdr + data) == bits
+
+
+def test_phash_wav_is_integer_exact_and_grid_replayable():
+    """The WAV fingerprint of a structured payload must equal the amp
+    comparison chain the oracle replays: amp = 10 + (g*100)//255,
+    rising bit f at weight 2^(62-f)."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _hash_grid, _phash_wav,
+    )
+
+    for doc_id in (1, 3, 45, 999, 54321):
+        g = _hash_grid(doc_id, 8, 8).reshape(64).astype(np.int64)
+        amp = 10 + (g * 100) // 255
+        frames = np.repeat(amp, 64)
+        sgn = np.tile([1, -1], 2048)
+        s = (128 + frames * sgn).astype(np.uint8)
+        data = s.tobytes()
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        )
+        chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+        p = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+        bits = 0
+        for f in range(63):
+            bits = (bits << 1) | int(amp[f + 1] > amp[f])
+        assert _phash_wav(p) == bits
+
+
+def test_phash_variants_are_exactly_invariant():
+    """The oracle fingerprints planted variants by replaying the
+    ORIGINAL doc's phash — valid only because resize(/2) and
+    decimate(/4) leave the integer fingerprint EXACTLY unchanged (not
+    merely within Hamming budget)."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _decimate_wav, _phash_bmp, _phash_wav, _resize_bmp,
+    )
+    from data_lakehouse_hygiene_spark.operators import multimodal as mm
+
+    # reuse the library synthesizer via a local frame-free call path:
+    # build payloads exactly as synthesize_structured_media does
+    def synth(i):
+        g = mm._hash_grid(i, 16, 16)
+        if i % 2 == 0:
+            img = np.kron(g, np.ones((4, 4), dtype=np.uint8))
+            data = np.repeat(img, 3, axis=1).astype(np.uint8).tobytes()
+            size = 54 + len(data)
+            hdr = (
+                b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+                + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+                + (64).to_bytes(4, "little", signed=True)
+                + (64).to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                + (0).to_bytes(4, "little")
+                + len(data).to_bytes(4, "little") + b"\0" * 16
+            )
+            return hdr + data
+        g8 = mm._hash_grid(i, 8, 8).reshape(64).astype(np.int64)
+        amp = 10 + (g8 * 100) // 255
+        s = (128 + np.repeat(amp, 64) * np.tile([1, -1], 2048)).astype(
+            np.uint8
+        )
+        data = s.tobytes()
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        )
+        chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+        return (
+            b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+            + b"WAVE" + chunks
+        )
+
+    for i in range(0, 40, 2):
+        p = synth(i)
+        assert _phash_bmp(_resize_bmp(p, 2)) == _phash_bmp(p)
+        assert _phash_bmp(_resize_bmp(p, 4)) == _phash_bmp(p)
+    for i in range(1, 41, 2):
+        p = synth(i)
+        assert _phash_wav(_decimate_wav(p, 4)) == _phash_wav(p)
+
+
+def test_media_oracles_registered():
+    """Both media rows must now carry oracle SQL (the last two
+    no_oracle rows of rounds 9/10)."""
+    import __spark_entry__ as m
+
+    sqls = m.oracle_sql()
+    assert "media_phash" in sqls and "media_near_dup" in sqls
+    assert "bit_count" in sqls["media_near_dup"]
+
+
+# ------------------------------------ group_heavy_hitters size gate
+def test_group_heavy_hitters_gate_paths_agree(spark):  # noqa: F811
+    """The high-cardinality fallback (plain group-bounded aggregate +
+    window total) must produce exactly the MG-sketch path's output —
+    the gate can move the plan, never the values."""
+    from data_lakehouse_hygiene_spark.operators.aggregates import (
+        group_heavy_hitters,
+    )
+
+    rows = []
+    for g in range(60):
+        rows += [(f"g{g}", "hot")] * 10 + [(f"g{g}", f"v{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(16)
+    via_sketch = [
+        tuple(r)
+        for r in group_heavy_hitters(df, "g", "v", phi=0.3).collect()
+    ]
+    via_plain = [
+        tuple(r)
+        for r in group_heavy_hitters(
+            df, "g", "v", phi=0.3, max_sketch_groups=10
+        ).collect()
+    ]
+    assert via_plain == via_sketch
+    assert {t[1] for t in via_plain} == {"hot"}
+    assert len(via_plain) == 60
+
+
+def test_group_heavy_hitters_gated_plan_has_no_sketch(spark):  # noqa: F811
+    """Past the gate the plan must be the plain aggregate: no Python
+    stage (the MG sketch is the only mapInPandas in this operator)."""
+    from data_lakehouse_hygiene_spark.operators.aggregates import (
+        group_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i}", "x") for i in range(50)], "g string, v string"
+    )
+    plan = group_heavy_hitters(
+        df, "g", "v", phi=0.5, max_sketch_groups=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------ ADVICE r10 guards
+def test_cosine_topk_zero_norm_vectors_never_rank(spark):  # noqa: F811
+    """A corpus vector whose norm quantizes to zero must be dropped
+    (old kernel: cosine=inf ranked it first); a zero-norm query yields
+    no rows for that query id."""
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1e-7, 1e-7]),  # norm quantizes to 0 at DOT_SCALE
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(
+        df, "embedding", query_pred=F.col("vec_id") == 0, k=4
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 2 not in ids
+    assert all(np.isfinite(r["cosine"]) for r in out)
+    # zero-norm query: no output rows, no crash
+    out2 = cosine_topk(
+        df, "embedding", query_pred=F.col("vec_id") == 2, k=4
+    ).collect()
+    assert out2 == []
+
+
+def test_lsh_ann_preserves_double_element_type(spark):  # noqa: F811
+    """lsh_ann on an array<double> corpus must not silently downcast
+    the vectors to float before the exact re-rank."""
+    from data_lakehouse_hygiene_spark.operators.similarity import (
+        _norm_bucket_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.5, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    out = _norm_bucket_frame(df, "embedding", 8)
+    assert out.schema["embedding"].dataType.simpleString() == "array<double>"
+    df32 = df.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out32 = _norm_bucket_frame(df32, "embedding", 8)
+    assert out32.schema["embedding"].dataType.simpleString() == "array<float>"

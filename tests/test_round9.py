@@ -622,7 +622,7 @@ def test_phash_fixture_values_pinned():
         _phash_bmp, _phash_wav, make_bmp, make_wav,
     )
 
-    assert _phash_bmp(make_bmp(64, 48, seed=7)) == 0x29225D227F327B32
+    assert _phash_bmp(make_bmp(64, 48, seed=7)) == 0x2922002200320032
     assert _phash_wav(make_wav(8000, 4000, seed=7)) == 0x319999999998CCCC
 
 
