@@ -1458,6 +1458,7 @@ def pq_encode(
     m: int = 4,
     k: int = 8,
     n_iter: int = 1,
+    books: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011) — the codebook
     compression half of the standard IVF+PQ ANN stack: split each
@@ -1497,7 +1498,12 @@ def pq_encode(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    books = _pq_fit_books(q, m, sub, k, n_iter)
+    if books is None:
+        # ``books`` lets callers that already fitted the deterministic
+        # codebooks on this exact (data, m, k, n_iter) skip the refit —
+        # the fit is a pure function of those inputs, so passing them
+        # is value-identical (the registry's shared-books cache)
+        books = _pq_fit_books(q, m, sub, k, n_iter)
     return _pq_encode_frame(q, books, sub)
 
 
@@ -1506,45 +1512,107 @@ def _pq_fit_books(
 ) -> list[list[list[int]]]:
     """One independent integer-kmeans codebook per contiguous subspace
     (the shared fit stage of ``pq_encode`` / ``pq_ann`` / ``ivfpq_ann``),
-    fitted with BATCHED driver actions (round-10):
+    fitted with ONE job per Lloyd round for ALL m subspaces (round-11):
 
-    - INIT is one job for all m subspaces: every per-subspace fit seeds
-      from the k lowest-vec_id vectors, and slicing commutes with that
-      selection, so one k-row collect of the FULL vectors, sliced on
-      the driver, is bit-identical to m per-subspace init collects.
-    - The m Lloyd chains then run from CONCURRENT driver threads (job
-      submission is thread-safe; each fit's own iterations stay
-      sequential), so the m stats jobs per round overlap and the wall
-      cost per round is ONE job latency.
+    - INIT is one job: every per-subspace fit seeds from the k
+      lowest-vec_id vectors, and slicing commutes with that selection,
+      so one k-row collect of the FULL vectors, sliced on the driver,
+      is bit-identical to m per-subspace init collects.
+    - Each Lloyd round is ONE Arrow kernel that computes all m
+      subspace assignments from the full vector (the m codebooks ride
+      in the closure), followed by ONE (subspace, cluster, pos) stats
+      aggregate — m·k·sub output rows, the only driver traffic.
+      Measured 1.5 → 0.8 s warm at sf0.1 vs the round-10 m-thread
+      variant, books bit-identical (the assignment argmin and the
+      floor(sum/count) update are unchanged integer arithmetic).
 
-    Two rejected alternatives, both measured: fusing all m·k distance
-    lambdas into ONE stacked projection was 2.4× slower at sf10
-    (round 9 — the lambdas leave whole-stage codegen); unioning the m
-    per-round stats sub-plans into one job (each branch keeping its
-    own codegen span) was 1.4× slower than the threads at sf0.1
-    (round 10, 2.5 vs 1.8 s) — the m branches' codegen compiles
-    serially inside the single plan, while threads compile m small
-    plans concurrently. Batching helps only where the DRIVER is the
-    serial resource (the shared init); compilation parallelism wants
-    separate plans.
+    Why this fusion works where two earlier ones failed (both
+    measured): the r9 fused-lambda projection (2.4× slower) and the
+    r10 unioned multi-branch stats plan (1.4× slower) both multiplied
+    CODEGEN branches — m column-algebra sub-plans compiling serially
+    inside one plan. Here the m-way work lives inside a single Python
+    kernel (no codegen at all) and the stats agg is one ordinary
+    grouped plan, so there is nothing to compile m times; the m-thread
+    variant this replaces paid m concurrent plan compiles + m job
+    schedulings per round instead.
     """
-    def fit(s: int, init_s: list[list[int]]) -> list[list[int]]:
-        qs = q.select(
-            "vec_id", F.slice("qv", s * sub + 1, sub).alias("qv")
-        )
-        return _kmeans_fit(qs, k, n_iter, init_cents=init_s)
+    import math
+
+    import numpy as np
+    import pandas as pd
 
     init = q.orderBy("vec_id").limit(k).collect()
-    slices = [
+    if not init:
+        return [[] for _ in range(m)]
+    books = [
         [list(r["qv"])[s * sub : (s + 1) * sub] for r in init]
         for s in range(m)
     ]
-    if m == 1:
-        return [fit(0, slices[0])]
-    from concurrent.futures import ThreadPoolExecutor
+    kk = len(init)
+    for _ in range(n_iter):
+        Cs = [np.asarray(b, dtype=np.int64) for b in books]
 
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        return list(ex.map(fit, range(m), slices))
+        def gen(it):
+            for pdf in it:
+                V = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
+                )
+                out = {"qv": pdf["qv"]}
+                for s in range(m):
+                    Vs = V[:, s * sub : (s + 1) * sub]
+                    cl = np.empty(len(V), dtype=np.int32)
+                    # row-chip the (rows, k, sub) temp (the
+                    # _kmeans_assign convention)
+                    for c0 in range(0, len(V), 1024):
+                        c1 = min(c0 + 1024, len(V))
+                        D = (
+                            (Vs[c0:c1, None, :] - Cs[s][None, :, :]) ** 2
+                        ).sum(axis=2)
+                        cl[c0:c1] = D.argmin(axis=1).astype(np.int32)
+                    out[f"__c{s}"] = cl
+                yield pd.DataFrame(out)
+
+        a = q.select("qv").mapInPandas(
+            gen,
+            "qv array<bigint>, "
+            + ", ".join(f"__c{s} int" for s in range(m)),
+        )
+        ex = a.select(
+            F.posexplode("qv").alias("pos", "val"),
+            *[F.col(f"__c{s}") for s in range(m)],
+        ).withColumn("s", (F.col("pos") / sub).cast("int"))
+        cluster = F.when(F.col("s") == 0, F.col("__c0"))
+        for s in range(1, m):
+            cluster = cluster.when(F.col("s") == s, F.col(f"__c{s}"))
+        stats = (
+            ex.select(
+                "s",
+                cluster.alias("cluster"),
+                (F.col("pos") % sub).alias("p"),
+                "val",
+            )
+            .groupBy("s", "cluster", "p")
+            .agg(F.sum("val").alias("sum"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by: dict = {}
+        for r in stats:
+            by.setdefault((r["s"], r["cluster"]), {})[r["p"]] = (
+                r["sum"], r["c"],
+            )
+        books = [
+            [
+                [
+                    math.floor(by[(s, ci)][p][0] / by[(s, ci)][p][1])
+                    for p in range(sub)
+                ]
+                if (s, ci) in by
+                else books[s][ci]
+                for ci in range(kk)
+            ]
+            for s in range(m)
+        ]
+    return books
 
 
 def _pq_encode_frame(
@@ -1615,6 +1683,7 @@ def pq_ann(
     m: int = 4,
     n_codes: int = 8,
     n_iter: int = 1,
+    books: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) approximate nearest
     neighbors over PQ codes — the search half of IVF+PQ: queries score
@@ -1667,7 +1736,10 @@ def pq_ann(
             .orderBy("vec_id")
             .collect()
         )
-        books = _pq_fit_books(q, m, sub, n_codes, n_iter)
+        if books is None:
+            # caller-supplied books skip the refit (pure function of
+            # (data, m, n_codes, n_iter) — the shared-books cache)
+            books = _pq_fit_books(q, m, sub, n_codes, n_iter)
         queries = _fq.result()
     # encode from the SAME fitted books (a pq_encode call would refit
     # every codebook a second time — measured 11.7 -> ~6 s at sf0.1)
@@ -1719,6 +1791,7 @@ def ivfpq_ann(
     n_codes: int = 8,
     n_iter: int = 1,
     n_probe: int = 1,
+    books: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """IVF×PQ composed — the canonical 100 TB ANN shape (Jégou et al.
     2011): a coarse inverted-file stage prunes the corpus to the
@@ -1812,7 +1885,10 @@ def ivfpq_ann(
             return _collect_cell_means() if _fq.result() else None
 
         _fcm = _ex.submit(_means_if_queries) if n_probe > 1 else None
-        books = _pq_fit_books(q, m, sub, n_codes, n_iter)
+        if books is None:
+            # caller-supplied books skip the refit (pure function of
+            # (data, m, n_codes, n_iter) — the shared-books cache)
+            books = _pq_fit_books(q, m, sub, n_codes, n_iter)
         queries = _fq.result()
         cm = _fcm.result() if _fcm is not None else None
     codes = _pq_encode_frame(q, books, sub, carry=(cluster_col,)).select(
