@@ -5633,6 +5633,53 @@ _REGISTRY = {
     for n in _R10_PREFIX + [n for n in _REGISTRY if n not in _R10_PREFIX]
 }
 
+# Round-11 rotation (driver samples the FIRST 50 rows). Priority:
+# (a) the two media rows whose fingerprints went integer-exact this
+#     round, gaining FULL value-hash oracles — their first-ever driver
+#     hash check (they were `err: no_oracle` rows-only before);
+# (b) every row whose CODE PATH changed this round: the round-10-review
+#     fixes (group_heavy_hitters G-gate, cosine_topk zero-norm guard,
+#     lsh_ann element-type carry, kmeans temp chipping) and the fused
+#     single-job PQ fit + shared-books cache (pq_encode, pq_ann,
+#     ivfpq_ann, ivf_ann, kmeans_assign, ann_recall, semantic_dedup,
+#     embedding_near_dup), plus simhash_near_dup (shares the MIH pair
+#     stage the sf100 tail work touches);
+# (c) ALL 26 rows whose latest official check is still r6 — the oldest
+#     cohort (computed from CORRECTNESS_r01..r10 keys);
+# (d) 10 fills from the r8 cohort, heaviest / most-compound plans
+#     first. After r11 lands, no row's latest official check is older
+#     than r8. 2 + 12 + 26 + 10 = 50.
+_R11_NEW_ORACLE = [
+    "media_phash", "media_near_dup",
+]
+_R11_MODIFIED = [
+    "group_heavy_hitters", "cosine_topk", "lsh_ann", "kmeans_assign",
+    "pq_encode", "pq_ann", "ivfpq_ann", "ivf_ann", "ann_recall",
+    "semantic_dedup", "embedding_near_dup", "simhash_near_dup",
+]
+_R11_STALE_R6 = [
+    "case_classify", "cast_numeric", "cdc_apply", "conditional_agg_pct",
+    "correlated_subquery", "dim_join", "distinct_count", "drop_null_ts",
+    "embedding_quantize", "fact_dim_join", "gap_fill", "global_avg",
+    "global_count", "global_max_min", "global_sum", "group_count_ordered",
+    "grouping_sets", "project_serving", "range_join", "scd2_history",
+    "since_last_event", "sweaty_filter", "time_bucket_avg",
+    "train_test_split", "window_funcs", "zorder_key",
+]
+_R11_FILL_R8 = [
+    "simhash_fp", "streaming_near_dup", "incremental_near_dup",
+    "hygiene_score", "curation_funnel", "lsh_near_dup", "exact_dedup",
+    "doc_fingerprint", "substring_dedup", "quality_weighted_sample",
+]
+_R11_PREFIX = (
+    _R11_NEW_ORACLE + _R11_MODIFIED + _R11_STALE_R6 + _R11_FILL_R8
+)
+assert len(_R11_PREFIX) == 50 and len(set(_R11_PREFIX)) == 50
+_REGISTRY = {
+    n: _REGISTRY[n]
+    for n in _R11_PREFIX + [n for n in _REGISTRY if n not in _R11_PREFIX]
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

@@ -360,20 +360,73 @@ def transform_media(
     """
 
     def _tx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for doc_id, mt, payload in zip(
-                pdf["doc_id"], pdf["media_type"], pdf["payload"]
-            ):
-                p = bytes(payload)
-                if p[:2] == b"BM":
-                    rows.append((int(doc_id), mt, _resize_bmp(p, scale_div)))
+            payloads = [bytes(p) for p in pdf["payload"]]
+            out = [b""] * len(payloads)
+            groups: dict = {}
+            for i, p in enumerate(payloads):
+                if p[:2] != b"BM":
+                    out[i] = _decimate_wav(p, sample_every)
+                    continue
+                w = int.from_bytes(p[18:22], "little", signed=True)
+                h = int.from_bytes(p[22:26], "little", signed=True)
+                bpp = int.from_bytes(p[28:30], "little")
+                off = int.from_bytes(p[10:14], "little")
+                stride = (3 * w + 3) // 4 * 4
+                if bpp == 24 and 0 < w and 0 < h and (
+                    off + stride * h <= len(p)
+                ):
+                    groups.setdefault((len(p), w, h, off), []).append(i)
                 else:
-                    rows.append(
-                        (int(doc_id), mt, _decimate_wav(p, sample_every))
+                    out[i] = _resize_bmp(p, scale_div)
+            # same-geometry BMPs resize as one strided gather per group
+            # (the scalar per-pixel Python loop was ~1k iterations per
+            # 64→32 asset); byte output identical by construction
+            for (L, w, h, off), idxs in groups.items():
+                in_stride = (3 * w + 3) // 4 * 4
+                ow, oh = max(1, w // scale_div), max(1, h // scale_div)
+                out_stride = (3 * ow + 3) // 4 * 4
+                rows_idx = (np.arange(oh) * h) // oh
+                byte_idx = (
+                    ((np.arange(ow) * w) // ow)[:, None] * 3
+                    + np.arange(3)[None, :]
+                ).reshape(-1)
+                size = 54 + out_stride * oh
+                hdr = (
+                    b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+                    + (54).to_bytes(4, "little")
+                    + (40).to_bytes(4, "little")
+                    + ow.to_bytes(4, "little", signed=True)
+                    + oh.to_bytes(4, "little", signed=True)
+                    + (1).to_bytes(2, "little")
+                    + (24).to_bytes(2, "little")
+                    + (0).to_bytes(4, "little")
+                    + (out_stride * oh).to_bytes(4, "little")
+                    + b"\x00" * 16
+                )
+                for c0 in range(0, len(idxs), _PHASH_CHIP):
+                    chip = idxs[c0 : c0 + _PHASH_CHIP]
+                    raw = np.frombuffer(
+                        b"".join(payloads[i] for i in chip), dtype=np.uint8
+                    ).reshape(len(chip), L)
+                    px = raw[:, off : off + in_stride * h].reshape(
+                        len(chip), h, in_stride
                     )
+                    body = px[:, rows_idx][:, :, byte_idx]
+                    buf = np.zeros(
+                        (len(chip), oh, out_stride), dtype=np.uint8
+                    )
+                    buf[:, :, : 3 * ow] = body
+                    for i, b in zip(chip, buf):
+                        out[i] = hdr + b.tobytes()
             yield pd.DataFrame(
-                rows, columns=["doc_id", "media_type", "payload"]
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                }
             )
 
     return media.mapInPandas(_tx, schema=MEDIA_SCHEMA)
@@ -529,6 +582,156 @@ def _phash_wav(p: bytes, n_frames: int = 64) -> int:
     return bits
 
 
+# Row chip for the batched fingerprint kernels: bounds the (chip, h, w,
+# 3) int64 luma temp (~25 MB at 256 rows of 64×64 BMP) so 32 parallel
+# tasks stay well inside the heap even on default Arrow batch sizes.
+_PHASH_CHIP = 256
+
+
+def _bits_from_bool_rows(b) -> "np.ndarray":  # noqa: F821
+    """MSB-first bit packing of a (B, nbits) bool matrix into int64 —
+    the vectorized form of the scalar ``(bits << 1) | bit`` loop. nbits
+    ≤ 63 keeps every value in [0, 2^63), so no sign handling needed."""
+    import numpy as np
+
+    nbits = b.shape[1]
+    assert nbits <= 63
+    pw = np.left_shift(np.int64(1), np.arange(nbits - 1, -1, -1))
+    return (b.astype(np.int64) * pw[None, :]).sum(axis=1)
+
+
+def _phash_bmp_batch(raw, w: int, h: int, off: int, grid: int = 8):
+    """Batched ``_phash_bmp``: one (B, L) uint8 payload matrix of
+    SAME-GEOMETRY BMPs → (B,) int64 fingerprints. Every step is the
+    scalar function's integer arithmetic with a leading batch axis
+    (batched reshape-pool / integral-image pool, one stacked DCT
+    matmul, per-row exact median, MSB-first bit pack), so the bits are
+    bit-identical by construction — the batch-vs-scalar property test
+    pins it. The per-asset Python dispatch (~20 tiny-array NumPy calls
+    per payload) dominated fingerprinting at corpus scale; batching
+    amortizes it across the Arrow batch."""
+    import numpy as np
+
+    stride = (3 * w + 3) // 4 * 4
+    B = raw.shape[0]
+    px = (
+        raw[:, off : off + stride * h]
+        .reshape(B, h, stride)[:, :, : 3 * w]
+        .reshape(B, h, w, 3)
+        .astype(np.int64)
+    )
+    img = 29 * px[:, :, :, 0] + 150 * px[:, :, :, 1] + 77 * px[:, :, :, 2]
+    n = 16
+    if h % n == 0 and w % n == 0:
+        area = (h // n) * (w // n)
+        sums = img.reshape(B, n, h // n, n, w // n).sum(axis=(2, 4))
+        pooled = (2 * sums + area) // (2 * area)
+    else:
+        ys = (np.arange(n + 1) * h) // n
+        xs = (np.arange(n + 1) * w) // n
+        y0, x0 = ys[:n], xs[:n]
+        y1 = np.minimum(np.maximum(y0 + 1, ys[1:]), h)
+        x1 = np.minimum(np.maximum(x0 + 1, xs[1:]), w)
+        S = np.zeros((B, h + 1, w + 1), dtype=np.int64)
+        S[:, 1:, 1:] = img.cumsum(axis=1).cumsum(axis=2)
+        sums = (
+            S[:, y1[:, None], x1[None, :]]
+            - S[:, y0[:, None], x1[None, :]]
+            - S[:, y1[:, None], x0[None, :]]
+            + S[:, y0[:, None], x0[None, :]]
+        )
+        area = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[None, :, :]
+        pooled = (2 * sums + area) // (2 * area)
+    k = np.arange(n)
+    tbl = np.asarray(COS_Q16, dtype=np.int64)
+    basis = tbl[((2 * k[None, :] + 1) * k[:, None]) % 64]
+    dct = basis[None, :, :] @ pooled @ basis.T[None, :, :]
+    block = dct[:, :grid, :grid].reshape(B, grid * grid)[:, 1:]
+    mid = (block.shape[1] - 1) // 2
+    med = np.partition(block, mid, axis=1)[:, mid]
+    return _bits_from_bool_rows(block > med[:, None])
+
+
+def _phash_wav_batch(raw, off: int, nb: int, n_frames: int = 64):
+    """Batched ``_phash_wav``: (B, L) uint8 payload matrix of WAVs
+    sharing one (data offset, byte count) layout → (B,) int64
+    fingerprints; integer arithmetic identical to the scalar function
+    (cumsum frame sums on the general path replay the same per-frame
+    [a, b) bounds)."""
+    import numpy as np
+
+    s = raw[:, off : off + nb].astype(np.int64)
+    dev = np.abs(s - 128)
+    B, ns = dev.shape
+    if ns % n_frames == 0:
+        sums = dev.reshape(B, n_frames, -1).sum(axis=2)
+        lens = np.full(n_frames, ns // n_frames, dtype=np.int64)[None, :]
+    else:
+        bounds = (np.arange(n_frames + 1) * ns) // n_frames
+        a = bounds[:n_frames]
+        b = np.minimum(np.maximum(a + 1, bounds[1:]), ns)
+        cs = np.zeros((B, ns + 1), dtype=np.int64)
+        cs[:, 1:] = dev.cumsum(axis=1)
+        sums = cs[:, b] - cs[:, a]
+        lens = np.broadcast_to((b - a).astype(np.int64), (B, n_frames))
+    rising = sums[:, 1:] * lens[:, :-1] > sums[:, :-1] * lens[:, 1:]
+    return _bits_from_bool_rows(rising)
+
+
+def _phash_payloads(payloads: list) -> list:
+    """Fingerprint a list of raw payloads, batching same-geometry
+    containers through the vectorized kernels and falling back to the
+    scalar functions for odd shapes (empty WAV data chunk, geometry
+    that doesn't cover the byte range). Returns signed-int64 phashes in
+    input order."""
+    import numpy as np
+
+    out = [0] * len(payloads)
+    groups: dict = {}
+    for i, p in enumerate(payloads):
+        if p[:2] == b"BM":
+            if len(p) >= 54:
+                w = int.from_bytes(p[18:22], "little", signed=True)
+                h = int.from_bytes(p[22:26], "little", signed=True)
+                off = int.from_bytes(p[10:14], "little")
+                stride = (3 * w + 3) // 4 * 4
+                if 0 < w and 0 < h and off + stride * h <= len(p):
+                    groups.setdefault(
+                        ("b", len(p), w, h, off), []
+                    ).append(i)
+                    continue
+            out[i] = _phash_bmp(p)  # odd geometry: scalar (raises as before)
+        else:
+            pos, doff, nb = 12, None, None
+            while pos + 8 <= len(p):
+                cid = p[pos : pos + 4]
+                clen = int.from_bytes(p[pos + 4 : pos + 8], "little")
+                if cid == b"data":
+                    doff, nb = pos + 8, clen
+                    break
+                pos += 8 + clen + (clen % 2)
+            if doff is None:
+                raise ValueError("WAV missing data chunk")
+            nb = min(nb, len(p) - doff)
+            if nb > 0:
+                groups.setdefault(("w", len(p), doff, nb), []).append(i)
+            else:
+                out[i] = 0
+    for key, idxs in groups.items():
+        for c0 in range(0, len(idxs), _PHASH_CHIP):
+            chip = idxs[c0 : c0 + _PHASH_CHIP]
+            raw = np.frombuffer(
+                b"".join(payloads[i] for i in chip), dtype=np.uint8
+            ).reshape(len(chip), key[1])
+            if key[0] == "b":
+                hs = _phash_bmp_batch(raw, key[2], key[3], key[4])
+            else:
+                hs = _phash_wav_batch(raw, key[2], key[3])
+            for i, ph in zip(chip, hs):
+                out[i] = int(ph)
+    return out
+
+
 PHASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -561,24 +764,47 @@ def media_phash(media: DataFrame) -> DataFrame:
 
     def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, mt, payload in zip(
-                pdf["doc_id"], pdf["media_type"], pdf["payload"]
-            ):
-                p = bytes(payload)
-                if p[:2] == b"BM":
-                    ph = _phash_bmp(p)
-                else:
-                    ph = _phash_wav(p)
-                # top bit could set the sign; store as signed 64-bit
-                if ph >= 1 << 63:
-                    ph -= 1 << 64
-                rows.append((int(doc_id), mt, ph))
+            payloads = [bytes(p) for p in pdf["payload"]]
+            hs = _phash_payloads(payloads)
+            # both fingerprints are 63-bit (the DC / first-frame slot is
+            # dropped), so the sign bit is never set — no wrap needed
             yield pd.DataFrame(
-                rows, columns=["doc_id", "media_type", "phash"]
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "phash": pd.Series(hs, dtype="int64"),
+                }
             )
 
     return media.mapInPandas(_ph, schema=PHASH_SCHEMA)
+
+
+def _hash_grid_batch(doc_ids, rows: int, cols: int):
+    """Batched ``_hash_grid``: (B,) doc ids → (B, rows, cols) uint8
+    grids, one avalanche per cell, identical values to the scalar form
+    (uint64 product replays Python's exact ``(doc_id * K) & 0xFFFFFFFF``
+    for any id below 2^64 / K)."""
+    import numpy as np
+
+    i = np.arange(rows, dtype=np.uint32)[None, :, None]
+    j = np.arange(cols, dtype=np.uint32)[None, None, :]
+    with np.errstate(over="ignore"):
+        d = (
+            (
+                np.asarray(doc_ids, dtype=np.uint64)
+                * np.uint64(0x85EBCA6B)
+            )
+            & np.uint64(0xFFFFFFFF)
+        ).astype(np.uint32)[:, None, None]
+        x = (
+            i * np.uint32(8191) + j * np.uint32(131) + np.uint32(0x9E3779B9)
+        ) ^ d
+        x ^= x >> np.uint32(16)
+        x = x * np.uint32(0x85EBCA6B)
+        x ^= x >> np.uint32(13)
+        x = x * np.uint32(0xC2B2AE35)
+        x ^= x >> np.uint32(16)
+    return (x >> np.uint32(24)).astype(np.uint8)
 
 
 def _hash_grid(doc_id: int, rows: int, cols: int):
@@ -626,72 +852,82 @@ def synthesize_structured_media(
     corpus. Arrow ``mapInPandas``, payloads built executor-side."""
     import numpy as np
 
+    # constant container headers (all images are 64×64 BMPs, all audio
+    # 4096-sample WAVs — only the content bytes vary per doc)
+    _bmp_data_len = 64 * 192
+    _bmp_hdr = (
+        b"BM" + (54 + _bmp_data_len).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (64).to_bytes(4, "little", signed=True)
+        + (64).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + _bmp_data_len.to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    _fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    _wav_hdr = (
+        b"RIFF" + (4 + len(_fmt) + 8 + 4096).to_bytes(4, "little")
+        + b"WAVE" + _fmt + b"data" + (4096).to_bytes(4, "little")
+    )
+
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                if len(rows) >= _YIELD_ROWS:
-                    # yield in small chunks: each yielded frame becomes
-                    # one Arrow batch, and 10k payload rows x 12 KB per
-                    # input batch OOM'd the 500k-doc rehearsal — payload
-                    # memory must be bounded per yield, not per input
-                    # batch
-                    yield pd.DataFrame(
-                        rows, columns=["doc_id", "media_type", "payload"]
-                    )
-                    rows = []
-                i = int(doc_id)
-                if i % 2 == 0:
-                    g = _hash_grid(i, 16, 16)
-                    img = np.kron(g, np.ones((4, 4), dtype=np.uint8))
-                    data = (
-                        np.repeat(img, 3, axis=1).astype(np.uint8).tobytes()
-                    )  # 64px × 3 bytes = 192 = stride (no pad needed)
-                    size = 54 + len(data)
-                    hdr = (
-                        b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
-                        + (54).to_bytes(4, "little")
-                        + (40).to_bytes(4, "little")
-                        + (64).to_bytes(4, "little", signed=True)
-                        + (64).to_bytes(4, "little", signed=True)
-                        + (1).to_bytes(2, "little")
-                        + (24).to_bytes(2, "little")
-                        + (0).to_bytes(4, "little")
-                        + len(data).to_bytes(4, "little")
-                        + b"\0" * 16
-                    )
-                    rows.append((i, "image/bmp", hdr + data))
-                else:
+            ids_all = pdf["doc_id"].to_numpy()
+            # yield in _YIELD_ROWS chunks: each yielded frame becomes one
+            # Arrow batch, and 10k payload rows × 12 KB per input batch
+            # OOM'd the 500k-doc rehearsal — payload memory must be
+            # bounded per yield, not per input batch. Content bytes are
+            # computed BATCHED per chunk (one avalanche/upscale pass for
+            # every even id, one amplitude pass for every odd id); only
+            # the per-row tobytes() stays a Python loop.
+            for c0 in range(0, len(ids_all), _YIELD_ROWS):
+                ids = ids_all[c0 : c0 + _YIELD_ROWS]
+                ev = ids[ids % 2 == 0]
+                od = ids[ids % 2 == 1]
+                payload: dict = {}
+                if len(ev):
+                    g = _hash_grid_batch(ev, 16, 16)
+                    img = np.repeat(np.repeat(g, 4, axis=1), 4, axis=2)
+                    data = np.repeat(img, 3, axis=2)  # (E, 64, 192) BGR
+                    for i, d in zip(ev, data):
+                        payload[int(i)] = _bmp_hdr + d.tobytes()
+                if len(od):
                     # integer amplitudes (round 11): 10 + g*100//255 in
                     # [10, 110], so samples are exactly 128±amp and the
                     # frame energy IS the amplitude — the oracle SQL
                     # replays `10 + (g*100)//255` from the hash grid
-                    g = _hash_grid(i, 8, 8).reshape(64).astype(np.int64)
+                    g = (
+                        _hash_grid_batch(od, 8, 8)
+                        .reshape(len(od), 64)
+                        .astype(np.int64)
+                    )
                     amp = 10 + (g * 100) // 255
-                    frames = np.repeat(amp, 64)  # 64 frames × 64 samples
-                    sgn = np.tile([1, -1], 2048)
+                    frames = np.repeat(amp, 64, axis=1)  # (O, 4096)
+                    sgn = np.tile([1, -1], 2048)[None, :]
                     s = (128 + frames * sgn).astype(np.uint8)
-                    data = s.tobytes()
-                    fmt = (
-                        b"fmt " + (16).to_bytes(4, "little")
-                        + (1).to_bytes(2, "little")
-                        + (1).to_bytes(2, "little")
-                        + (8000).to_bytes(4, "little")
-                        + (8000).to_bytes(4, "little")
-                        + (1).to_bytes(2, "little")
-                        + (8).to_bytes(2, "little")
-                    )
-                    chunks = (
-                        fmt + b"data" + len(data).to_bytes(4, "little") + data
-                    )
-                    payload = (
-                        b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
-                        + b"WAVE" + chunks
-                    )
-                    rows.append((i, "audio/wav", payload))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "media_type", "payload"]
-            )
+                    for i, d in zip(od, s):
+                        payload[int(i)] = _wav_hdr + d.tobytes()
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [int(i) for i in ids],
+                        "media_type": [
+                            "image/bmp" if i % 2 == 0 else "audio/wav"
+                            for i in ids
+                        ],
+                        "payload": [payload[int(i)] for i in ids],
+                    }
+                )
 
     return df.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 

@@ -231,3 +231,125 @@ def test_lsh_ann_preserves_double_element_type(spark):  # noqa: F811
     )
     out32 = _norm_bucket_frame(df32, "embedding", 8)
     assert out32.schema["embedding"].dataType.simpleString() == "array<float>"
+
+
+# --------------------------------------- batched fingerprint kernels
+def test_phash_batch_equals_scalar_across_geometries():
+    """_phash_payloads routes same-geometry payloads through the batched
+    kernels; every fingerprint must equal the scalar function's —
+    including the non-divisible pooling / frame paths and the
+    sub-grid-tiny shapes."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _phash_bmp, _phash_payloads, _phash_wav, make_bmp, make_wav,
+    )
+
+    payloads = []
+    for w, h, seed in [
+        (64, 64, 1), (64, 64, 2), (32, 32, 3), (48, 48, 4), (17, 9, 5),
+        (64, 48, 6), (5, 5, 7), (16, 16, 8), (33, 65, 9),
+    ]:
+        payloads.append(make_bmp(w, h, seed=seed))
+    for sr, ns, seed in [
+        (8000, 4096, 1), (8000, 4096, 2), (8000, 1024, 3),
+        (8000, 1000, 4), (4000, 77, 5), (8000, 63, 6),
+    ]:
+        payloads.append(make_wav(sr, ns, seed=seed))
+    got = _phash_payloads(payloads)
+    want = [
+        _phash_bmp(p) if p[:2] == b"BM" else _phash_wav(p)
+        for p in payloads
+    ]
+    assert got == want
+
+
+def test_hash_grid_batch_equals_scalar():
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _hash_grid, _hash_grid_batch,
+    )
+
+    ids = np.array([0, 2, 4, 123456, 999_999_998, 2**40], dtype=np.int64)
+    got = _hash_grid_batch(ids, 16, 16)
+    for n, i in enumerate(ids):
+        assert (got[n] == _hash_grid(int(i), 16, 16)).all()
+
+
+def test_synthesize_structured_media_payload_bytes_pinned(spark):  # noqa: F811
+    """The batched synthesis must emit byte-identical payloads to the
+    scalar construction (header layout included), for both modalities."""
+    from data_lakehouse_hygiene_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(8)] + [(123456,), (54321,)], "doc_id long"
+    )
+    out = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in multimodal.synthesize_structured_media(df).collect()
+    }
+    for i, p in out.items():
+        if i % 2 == 0:
+            g = multimodal._hash_grid(i, 16, 16)
+            img = np.kron(g, np.ones((4, 4), dtype=np.uint8))
+            data = np.repeat(img, 3, axis=1).astype(np.uint8).tobytes()
+            size = 54 + len(data)
+            hdr = (
+                b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+                + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+                + (64).to_bytes(4, "little", signed=True)
+                + (64).to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                + (0).to_bytes(4, "little")
+                + len(data).to_bytes(4, "little") + b"\0" * 16
+            )
+            assert p == hdr + data, i
+        else:
+            g = multimodal._hash_grid(i, 8, 8).reshape(64).astype(np.int64)
+            amp = 10 + (g * 100) // 255
+            frames = np.repeat(amp, 64)
+            sgn = np.tile([1, -1], 2048)
+            s = (128 + frames * sgn).astype(np.uint8)
+            data = s.tobytes()
+            fmt = (
+                b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + (8000).to_bytes(4, "little")
+                + (8000).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            )
+            chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+            want = (
+                b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+                + b"WAVE" + chunks
+            )
+            assert p == want, i
+
+
+def test_transform_media_batched_resize_equals_scalar(spark):  # noqa: F811
+    """The grouped strided-gather resize must emit byte-identical BMPs
+    to _resize_bmp, across divisible and non-divisible geometries."""
+    from data_lakehouse_hygiene_spark.operators import multimodal
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _decimate_wav, _resize_bmp, make_bmp, make_wav,
+    )
+
+    rows = [
+        (0, "image/bmp", make_bmp(64, 64, seed=1)),
+        (2, "image/bmp", make_bmp(64, 64, seed=2)),
+        (4, "image/bmp", make_bmp(17, 9, seed=3)),
+        (6, "image/bmp", make_bmp(33, 65, seed=4)),
+        (1, "audio/wav", make_wav(8000, 4096, seed=5)),
+        (3, "audio/wav", make_wav(8000, 1000, seed=6)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in multimodal.transform_media(
+            df, scale_div=2, sample_every=4
+        ).collect()
+    }
+    for doc_id, mt, p in rows:
+        want = (
+            _resize_bmp(p, 2) if mt == "image/bmp" else _decimate_wav(p, 4)
+        )
+        assert out[doc_id] == want, doc_id
