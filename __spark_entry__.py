@@ -2685,12 +2685,17 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant at Hamming ≤ 7, nothing across distinct assets. Rows-only
     driver check (DCT fingerprints are not SQL); the recall/precision
     property is pinned in ``tests/test_round9.py``."""
-    base = multimodal.synthesize_structured_media(
-        _t(spark, sf_dir, "documents")
-    )
-    planted = base.where(F.col("doc_id") % 10 < 2).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
-    )
+    docs = _t(spark, sf_dir, "documents")
+    base = multimodal.synthesize_structured_media(docs)
+    # plant from a FILTERED INPUT: a where() above the synthesis kernel
+    # cannot push through mapInPandas, so the variants arm would
+    # re-synthesize the whole corpus to keep 20% of it; filtering the
+    # doc_id scan first synthesizes only the planted 20% (payloads are
+    # a pure per-row function of doc_id, so the result is identical —
+    # +10^9 keeps parity, hence modality)
+    planted = multimodal.synthesize_structured_media(
+        docs.where(F.col("doc_id") % 10 < 2)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
     variants = multimodal.transform_media(planted, scale_div=2, sample_every=4)
     fp = multimodal.media_phash(base.unionByName(variants))
     # n_assets from the documents parquet footer (metadata-only count —

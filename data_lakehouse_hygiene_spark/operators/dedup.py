@@ -907,22 +907,21 @@ def _simhash_mih_pairs(
     w = 64 // b
     mask = (1 << w) - 1
     r = max_hamming // b
-    # Sub-bit count s: tasks = b·2^s, two-sided sizing. Above ~14M docs
-    # the ~500k-rows-per-task target GROWS s (resolve_planes convention,
-    # sized by the dispatcher's one count() job); below ~100k docs the
-    # 2k-rows-per-task floor SHRINKS it toward s = 4 (16 tasks/band;
-    # 2^s = 256 — 1024 tasks at b=4 — is the second-decade-tuned value
-    # and still the mid-scale default, but at bench-scale corpora the
-    # near-empty bucket slices pay one applyInPandas group call each —
-    # measured ~1.7 s of pure per-group overhead on 6k rows in the
-    # media twin of this kernel). Any s in [1, w-1] is value-exact;
-    # s ≤ w-1 keeps at least one low bit in-task.
-    s = 8
+    # Sub-bit count s: tasks = b·2^s. Floor-first sizing (round 11,
+    # ported from the media twin's A/B — s = 4 measured ~10% faster
+    # than the old s = 8 start at 1.8M assets): start at the s = 4
+    # small-corpus floor (16 tasks/band; near-empty bucket slices pay
+    # one applyInPandas group call each, measured ~1.7 s of pure
+    # per-group overhead on 6k rows) and GROW only while the
+    # ~500k-rows-per-task target is exceeded — fewer sub bits ship
+    # fewer variant rows per doc (1+s per band) while the extra
+    # in-task neighbor-bit compares stay NumPy-cheap. Any s in
+    # [1, w-1] is value-exact; s ≤ w-1 keeps at least one low bit
+    # in-task.
+    s = min(4, w - 1)
     if n_docs:
         while s < min(w - 1, 16) and n_docs * (1 + s) * b > 500_000 * b * (1 << s):
             s += 1
-        while s > 4 and n_docs * (1 + s) * b < 2_000 * b * (1 << s):
-            s -= 1
     low = w - s
     sigs = agg.select(
         "doc_id", _swar_half(0, "sh_lo"), _swar_half(32, "sh_hi")

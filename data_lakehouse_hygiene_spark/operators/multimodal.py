@@ -998,16 +998,18 @@ def media_near_dup(
         " <= 1 (single-bit variant enumeration)"
     )
     mask = (1 << width) - 1
-    # Sub-bit count s: tasks = modalities·b·2^s. Two-sided sizing (same
-    # rule as _simhash_mih_pairs): above ~14M assets the
-    # 500k-rows-per-task target GROWS s; below ~100k assets the
-    # 2k-rows-per-task floor SHRINKS it toward s = 4 (16 tasks/band —
-    # small corpora otherwise pay one applyInPandas group-call per
-    # near-empty bucket slice, measured ~1.7 s of pure per-group
-    # overhead on 6k assets at s = 8). Any s in [1, w-1] is exact —
-    # only transport/parallelism move; s ≤ w-1 keeps at least one low
-    # bit in-task.
-    s = min(8, width - 1)
+    # Sub-bit count s: tasks = modalities·b·2^s. Floor-first sizing
+    # (round 11): start at s = 4 — 16 tasks/band, the small-corpus
+    # floor where per-group applyInPandas overhead stays negligible —
+    # and GROW only while the 500k-rows-per-task target is exceeded
+    # (n·(1+s) rows per band spread over 2^s tasks). Fewer sub bits
+    # means fewer variant rows per asset (1+s per band), and the
+    # round-11 A/B at 1.8M assets measured s = 4 ~10% faster than the
+    # old s = 8 start — transport scales with (1+s) while the extra
+    # in-task neighbor-bit compares are NumPy-cheap. Any s in
+    # [1, w-1] is exact — only transport/parallelism move; s ≤ w-1
+    # keeps at least one low bit in-task.
+    s = min(4, width - 1)
     if n_assets:
         while (
             s < min(width - 1, 16)
@@ -1015,10 +1017,6 @@ def media_near_dup(
             > 500_000 * n_bands * (1 << s)
         ):
             s += 1
-        while s > 4 and n_assets * (1 + s) * n_bands < 2_000 * n_bands * (
-            1 << s
-        ):
-            s -= 1
     low = width - s
     structs = []
     for k in range(n_bands):
