@@ -2682,9 +2682,10 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``media_phash``), then banded Hamming pair mining
     (``media_near_dup`` — the SimHash pigeonhole blocking applied to
     media). Expected output: exactly one pair (i, i+10^9) per planted
-    variant at Hamming ≤ 7, nothing across distinct assets. Rows-only
-    driver check (DCT fingerprints are not SQL); the recall/precision
-    property is pinned in ``tests/test_round9.py``."""
+    variant at Hamming ≤ 7, nothing across distinct assets. Full
+    value-hash driver check (round 11): the integer-exact fingerprints
+    are replayed from the hash grid by ``SQL_MEDIA_NEAR_DUP``; the
+    recall/precision property stays pinned in ``tests/test_round9.py``."""
     docs = _t(spark, sf_dir, "documents")
     base = multimodal.synthesize_structured_media(docs)
     # plant from a FILTERED INPUT: a where() above the synthesis kernel
