@@ -705,3 +705,51 @@ def test_heavy_hitters_never_misses_and_never_fabricates(
         for r in heavy_hitters(df, "token", phi=phi).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------- batched phash kernels
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("bmp"),
+                st.integers(min_value=1, max_value=70),
+                st.integers(min_value=1, max_value=70),
+                st.integers(min_value=0, max_value=255),
+            ),
+            st.tuples(
+                st.just("wav"),
+                st.integers(min_value=1, max_value=5000),
+                st.integers(min_value=1000, max_value=16000),
+                st.integers(min_value=0, max_value=255),
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_phash_payload_batching_equals_scalar(specs):
+    """For ANY mix of container geometries — including repeated shapes
+    that trigger the batched kernels and odd shapes that fall back —
+    the batch dispatcher must reproduce the scalar fingerprints bit
+    for bit (non-divisible pooling/frame paths included)."""
+    from data_lakehouse_hygiene_spark.operators.multimodal import (
+        _phash_bmp, _phash_payloads, _phash_wav, make_bmp, make_wav,
+    )
+
+    payloads = []
+    for kind, a, b, seed in specs:
+        if kind == "bmp":
+            payloads.append(make_bmp(a, b, seed=seed))
+        else:
+            payloads.append(make_wav(b, a, seed=seed))
+    # duplicate the list so every geometry also exercises the batch
+    # path (group size >= 2) alongside any singleton fallback
+    payloads = payloads + payloads
+    got = _phash_payloads(payloads)
+    want = [
+        _phash_bmp(p) if p[:2] == b"BM" else _phash_wav(p)
+        for p in payloads
+    ]
+    assert got == want
