@@ -2779,8 +2779,13 @@ fp AS (
 
 SQL_MEDIA_PHASH = f"""
 WITH {_phash_fp_ctes()}
-SELECT doc_id, media_type, phash FROM fp
+SELECT doc_id, media_type, CAST(phash AS BIGINT) AS phash FROM fp
 """
+# ^ the final CAST matters only for pandas-path probes: DuckDB's
+# SUM(BIGINT) promotes to HUGEINT, which fetchall() returns exactly
+# (the driver's check) but .df() downcasts to float64 — 63-bit
+# fingerprints exceed float64's 2^53 exact range and would read as a
+# phantom mismatch. The value always fits BIGINT (63 bits).
 
 # Planted variants keep their source's fingerprint EXACTLY (the
 # integer-exact pipeline is invariant under the nearest-neighbor /2
