@@ -132,10 +132,15 @@ HEADLINE = [
 # costs ~10x sf0.1, and the interleaving already decorrelates co-load).
 N_PASSES = int(os.environ.get("SPARK_GRAFT_PASSES", "5"))
 
-# Oracles exempt from the warmup+min-of-2 protocol: deliberately
-# brute-force quadratic baselines whose single run already dominates the
-# DuckDB wall time — repeating them doubles bench time for no signal.
-DUCK_SINGLE_RUN = {"embedding_near_dup"}
+# Oracles exempt from the warmup+min-of-2 protocol. Round 11 emptied the
+# list: embedding_near_dup's brute-force quadratic oracle is ~60% of the
+# whole DuckDB denominator, and its cold single-run timing swung 14-21 s
+# between otherwise-identical sessions — the ENTIRE headline-ratio noise
+# (same-run ratios read 1.11/1.26/1.47 purely on this column). Warmup +
+# min-of-2 costs ~30 s of bench wall and stabilizes the number of
+# record; re-add a query here only if its oracle grows past ~1/3 of
+# total bench time AND its timing proves stable.
+DUCK_SINGLE_RUN: set[str] = set()
 
 
 def _force(df) -> None:
