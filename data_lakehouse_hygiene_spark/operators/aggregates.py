@@ -748,15 +748,20 @@ def group_heavy_hitters(
        cnt > phi·n_g filters — EXACT output, plain windowed-HAVING
        oracle.
 
-    Memory contract (the documented limit): the sketch is c counters ×
-    groups-per-partition; right for G up to ~10⁵ groups (languages,
-    sources, domains). Round 11: that limit is now a SIZE GATE, not
-    documentation — a cheap ``approx_count_distinct(group)`` probe
-    (one column-pruned scan, partial-agg combined) routes
-    G > ``max_sketch_groups`` to the plain per-(group, value)
-    aggregate + per-group window total instead: with that many groups
-    the vocabulary shuffle IS group-bounded already, and per-partition
-    per-group sketches would be the memory blowup. Both paths are
+    Memory contract: the per-partition sketch is memory-safe at ANY
+    group cardinality (dict sizes are bounded by the partition's own
+    row count — each row inserts at most one counter and the decrement
+    only shrinks), so the real blowup risk is the SECOND pass: the
+    candidate set is ≤ c×G distinct (group, value) rows and it
+    broadcast-joins the recount. Round 11 first gated this on a
+    ``approx_count_distinct(group)`` pre-scan; the gate now reads the
+    OBSERVED candidate count off the (checkpointed, sketch-bounded)
+    candidate frame instead — no extra base scan, and the gate
+    variable is the actual broadcast size rather than a proxy for it.
+    Candidates > ``max_sketch_groups × c`` route to the plain
+    per-(group, value) aggregate + per-group window total: with that
+    many candidates the vocabulary shuffle IS candidate-bounded
+    already, and the broadcast would be the blowup. Both paths are
     EXACT, so the gate can never change values. Rows with a NULL
     group or NULL value are excluded (same contract both engines).
 
@@ -767,8 +772,8 @@ def group_heavy_hitters(
     import pandas as pd
 
     base = df.where(F.col(group).isNotNull() & F.col(col).isNotNull())
-    n_groups = df.agg(F.approx_count_distinct(group).alias("g")).first()["g"]
-    if n_groups > max_sketch_groups:
+
+    def _fallback() -> DataFrame:
         from pyspark.sql.window import Window
 
         counts = base.groupBy(group, col).agg(
@@ -819,6 +824,14 @@ def group_heavy_hitters(
     sketch = df.select(group, col).mapInPandas(
         _mg, schema=f"{group} {gtype}, {col} {vtype}, __pn bigint"
     ).localCheckpoint(eager=False)
+    # SIZE GATE on the observed candidate count (this count also
+    # materializes the checkpoint the happy path reuses, so it is the
+    # probe job — not an extra one): past the broadcast budget, the
+    # recount's candidate broadcast is the memory blowup, and the plain
+    # (group, value) aggregate is the cheaper exact plan.
+    n_cand = sketch.where(F.col(col).isNotNull()).count()
+    if n_cand > max_sketch_groups * c:
+        return _fallback()
     totals = (
         sketch.where(F.col(col).isNull())
         .groupBy(group)
