@@ -673,7 +673,19 @@ def heavy_hitters(
     sketch = df.select(col).mapInPandas(
         _mg, schema=f"{col} {dtype}, __pn bigint"
     )
-    n_parts = df.rdd.getNumPartitions()
+    # Conservative partition-count bound for the collect gate, from the
+    # SAME metadata-only size estimate spread() uses: one (over-counted)
+    # partition per 16 MB of input, floored at the core count. An
+    # overestimate only routes to the distributed path early (both paths
+    # exact); ``df.rdd.getNumPartitions()`` would be exact but forces a
+    # full plan-to-RDD translation (~0.4 s of pure driver latency per
+    # call, any scale).
+    from .dedup import _estimated_bytes
+
+    n_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        _estimated_bytes(df) // (16 << 20),
+    )
     if (c + 1) * max(1, n_parts) <= HH_COLLECT_MAX:
         rows = sketch.collect()  # ≤ (c+1)·P rows by construction
         total = sum(r["__pn"] for r in rows if r["__pn"] is not None)
