@@ -914,18 +914,30 @@ def _simhash_mih_pairs(
     # one applyInPandas group call each, measured ~1.7 s of pure
     # per-group overhead on 6k rows) and GROW only while the
     # ~500k-rows-per-task target is exceeded — fewer sub bits ship
-    # fewer variant rows per doc (1+s per band) while the extra
-    # in-task neighbor-bit compares stay NumPy-cheap. Any s in
-    # [1, w-1] is value-exact; s ≤ w-1 keeps at least one low bit
-    # in-task.
+    # fewer variant rows per doc (1 + s/2 expected per doc-band, see
+    # the set-bit rule below) while the extra in-task neighbor-bit
+    # compares stay NumPy-cheap. Any s in [1, w-1] is value-exact;
+    # s ≤ w-1 keeps at least one low bit in-task.
     s = min(4, w - 1)
     if n_docs:
-        while s < min(w - 1, 16) and n_docs * (1 + s) * b > 500_000 * b * (1 << s):
+        while s < min(w - 1, 16) and n_docs * (2 + s) * b > 1_000_000 * b * (1 << s):
             s += 1
     low = w - s
     sigs = agg.select(
         "doc_id", _swar_half(0, "sh_lo"), _swar_half(32, "sh_hi")
     ).repartition("doc_id")
+    # Key encoding: ONE bigint ``bvk`` = band_val·2 + kind — the kind
+    # flag rides the low bit, so the kernel sorts a single key (exacts
+    # land before variants of the same bucket for free) and one shipped
+    # column replaces two. SET-BIT variant rule: a top-bit flip emits a
+    # variant key only when the flipped bit is SET in the origin (the
+    # variant is a value DECREASE). A band-distance-1 pair differs in
+    # exactly that bit, so exactly one side has it set — the set side
+    # casts the variant into the cleared side's bucket, every pair is
+    # still met (full recall) but in exactly ONE orientation: expected
+    # variant volume halves (s/2 per doc-band, uniform bits) and the
+    # duplicated-discovery kernel work the old both-orientations
+    # transport paid disappears with it.
     structs = []
     for k in range(b):
         # band k covers signature bits [k·w, (k+1)·w); sh_lo holds bits
@@ -934,13 +946,14 @@ def _simhash_mih_pairs(
         shift = (k * w) % 32
         bv = f"(shiftrightunsigned({src}, {shift}) & {mask})"
         structs.append(
-            f"struct({k} AS band, cast({bv} as bigint) AS band_val,"
-            " 0 AS kind)"
+            f"struct({k} AS band, cast({bv} * 2 as bigint) AS bvk)"
         )
         if r >= 1:
             structs.extend(
-                f"struct({k} AS band, cast({bv} ^ {1 << i} as bigint)"
-                " AS band_val, 1 AS kind)"
+                f"if((shiftrightunsigned({bv}, {i}) & 1) = 1,"
+                f" struct({k} AS band,"
+                f" cast(({bv} ^ {1 << i}) * 2 + 1 as bigint) AS bvk),"
+                " null)"
                 for i in range(low, w)
             )
     ex = (
@@ -948,11 +961,14 @@ def _simhash_mih_pairs(
             "doc_id",
             "sh_lo",
             "sh_hi",
-            F.explode(F.expr("array(" + ",".join(structs) + ")")).alias(
-                "bk"
-            ),
+            F.explode(
+                F.expr(
+                    "filter(array(" + ",".join(structs) + "),"
+                    " x -> x is not null)"
+                )
+            ).alias("bk"),
         )
-        .select("doc_id", "sh_lo", "sh_hi", "bk.band", "bk.band_val", "bk.kind")
+        .select("doc_id", "sh_lo", "sh_hi", "bk.band", "bk.bvk")
     )
 
     _EMPTY = {
@@ -963,21 +979,18 @@ def _simhash_mih_pairs(
     in_task_bits = low if r >= 1 else 0
 
     def _mih_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf["band_val"].to_numpy()
-        kind = pdf["kind"].to_numpy()
-        order = np.lexsort((kind, vals))
-        vals = vals[order]
-        kind = kind[order]
+        bvk = pdf["bvk"].to_numpy()
+        order = np.argsort(bvk, kind="stable")
+        bvk = bvk[order]
+        vals = bvk >> 1
         ids = pdf["doc_id"].to_numpy()[order]
         lo_v = pdf["sh_lo"].to_numpy()[order].astype(np.uint64)
         hi_v = pdf["sh_hi"].to_numpy()[order].astype(np.uint64)
         uvals, starts = np.unique(vals, return_index=True)
         bounds = np.append(starts, len(vals))
-        # exacts sort before variants inside each bucket (kind is the
-        # lexsort minor key), so the exact segment is a prefix
-        n_exact = np.searchsorted(
-            vals * 2 + kind, uvals * 2 + 1, side="left"
-        ) - starts
+        # the packed key sorts exacts (kind bit 0) before variants of
+        # the same bucket, so the exact segment is a prefix
+        n_exact = np.searchsorted(bvk, uvals * 2 + 1, side="left") - starts
         idx = {int(v): i for i, v in enumerate(uvals)}
         outs = [pd.DataFrame(_EMPTY)]
 
@@ -1045,7 +1058,7 @@ def _simhash_mih_pairs(
         return pd.concat(outs, ignore_index=True)
 
     coarse = ex.withColumn(
-        "__sub", F.expr(f"shiftrightunsigned(band_val, {low})")
+        "__sub", F.expr(f"shiftrightunsigned(bvk, {low + 1})")
     )
     return (
         coarse.groupBy("band", "__sub")

@@ -1002,39 +1002,53 @@ def media_near_dup(
     # (round 11): start at s = 4 — 16 tasks/band, the small-corpus
     # floor where per-group applyInPandas overhead stays negligible —
     # and GROW only while the 500k-rows-per-task target is exceeded
-    # (n·(1+s) rows per band spread over 2^s tasks). Fewer sub bits
-    # means fewer variant rows per asset (1+s per band), and the
-    # round-11 A/B at 1.8M assets measured s = 4 ~10% faster than the
-    # old s = 8 start — transport scales with (1+s) while the extra
-    # in-task neighbor-bit compares are NumPy-cheap. Any s in
-    # [1, w-1] is exact — only transport/parallelism move; s ≤ w-1
-    # keeps at least one low bit in-task.
+    # (n·(1 + s/2) expected rows per band spread over 2^s tasks; see
+    # the set-bit rule below). Fewer sub bits means fewer variant rows
+    # per asset, and the round-11 A/B at 1.8M assets measured s = 4
+    # ~10% faster than the old s = 8 start — transport scales with the
+    # variant count while the extra in-task neighbor-bit compares are
+    # NumPy-cheap. Any s in [1, w-1] is exact — only
+    # transport/parallelism move; s ≤ w-1 keeps at least one low bit
+    # in-task.
     s = min(4, width - 1)
     if n_assets:
         while (
             s < min(width - 1, 16)
-            and n_assets * (1 + s) * n_bands
-            > 500_000 * n_bands * (1 << s)
+            and n_assets * (2 + s) * n_bands
+            > 1_000_000 * n_bands * (1 << s)
         ):
             s += 1
     low = width - s
+    # Key encoding + SET-BIT variant rule (the text twin's round-11
+    # transport, dedup._simhash_mih_pairs): ``bvk`` = band_val·2 + kind
+    # packs the kind flag into the key's low bit (one sort key, one
+    # shipped column), and a top-bit flip emits a variant row only when
+    # the flipped bit is SET in the origin — a band-distance-1 pair
+    # differs in exactly that bit, so exactly one side casts into the
+    # other's bucket: full recall, ONE discovery orientation, expected
+    # variant volume halved (s/2 per asset-band).
     structs = []
     for k in range(n_bands):
         bv = f"(shiftrightunsigned(phash, {width * k}) & {mask})"
-        structs.append(f"struct({k} AS band, {bv} AS band_val, 0 AS kind)")
+        structs.append(f"struct({k} AS band, {bv} * 2 AS bvk)")
         if r >= 1:
             structs.extend(
-                f"struct({k} AS band, {bv} ^ {1 << i} AS band_val, 1 AS kind)"
+                f"if((shiftrightunsigned({bv}, {i}) & 1) = 1,"
+                f" struct({k} AS band, ({bv} ^ {1 << i}) * 2 + 1 AS bvk),"
+                " null)"
                 for i in range(low, width)
             )
     ex = fp.select(
         "doc_id",
         "media_type",
         "phash",
-        F.explode(F.expr("array(" + ",".join(structs) + ")")).alias("bk"),
-    ).select(
-        "doc_id", "media_type", "phash", "bk.band", "bk.band_val", "bk.kind"
-    )
+        F.explode(
+            F.expr(
+                "filter(array(" + ",".join(structs) + "),"
+                " x -> x is not null)"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "media_type", "phash", "bk.band", "bk.bvk")
 
     _EMPTY = {
         "media_type": pd.Series(dtype="object"),
@@ -1046,20 +1060,17 @@ def media_near_dup(
 
     def _mih_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         mt = pdf["media_type"].iloc[0]
-        vals = pdf["band_val"].to_numpy()
-        kind = pdf["kind"].to_numpy()
-        order = np.lexsort((kind, vals))
-        vals = vals[order]
-        kind = kind[order]
+        bvk = pdf["bvk"].to_numpy()
+        order = np.argsort(bvk, kind="stable")
+        bvk = bvk[order]
+        vals = bvk >> 1
         ids = pdf["doc_id"].to_numpy()[order]
         ph = pdf["phash"].to_numpy()[order].astype(np.uint64)
         uvals, starts = np.unique(vals, return_index=True)
         bounds = np.append(starts, len(vals))
-        # exacts sort before variants inside each bucket (kind is the
-        # lexsort minor key), so the exact segment is a prefix
-        n_exact = np.searchsorted(
-            vals * 2 + kind, uvals * 2 + 1, side="left"
-        ) - starts
+        # the packed key sorts exacts (kind bit 0) before variants of
+        # the same bucket, so the exact segment is a prefix
+        n_exact = np.searchsorted(bvk, uvals * 2 + 1, side="left") - starts
         idx = {int(v): i for i, v in enumerate(uvals)}
         outs = [pd.DataFrame(_EMPTY)]
 
@@ -1123,7 +1134,7 @@ def media_near_dup(
         return pd.concat(outs, ignore_index=True)
 
     coarse = ex.withColumn(
-        "__sub", F.expr(f"shiftrightunsigned(band_val, {low})")
+        "__sub", F.expr(f"shiftrightunsigned(bvk, {low + 1})")
     )
     return (
         coarse.groupBy("media_type", "band", "__sub")
