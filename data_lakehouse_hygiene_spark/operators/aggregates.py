@@ -222,38 +222,38 @@ def mad_outliers(
         if out is not None:
             return out
 
-    def _disc_median(d: DataFrame, c: str, out: str) -> DataFrame:
-        w = Window.partitionBy(key).orderBy(c, id_col)
-        wc = Window.partitionBy(key)
-        return (
-            d.withColumn("__rn", F.row_number().over(w))
-            .withColumn("__cnt", F.count(F.lit(1)).over(wc))
-            .where(F.col("__rn") == F.expr("(__cnt + 1) div 2"))
-            .groupBy(key)
-            .agg(F.min(c).alias(out))
-        )
-
     # NULL contract (both plans): rows with NULL ``val`` carry no robust-
     # z-score and are excluded — SQL percentile semantics, matching
     # rank_select's ``val IS NOT NULL`` filter so the two plans stay
     # value-identical on NULL-bearing data.
+    #
+    # Both medians ride WINDOW functions over the one (key)-hash
+    # exchange instead of groupBy+broadcast-join round trips (the
+    # round-11 shape; the joins cost 4 extra jobs and ~2× wall at bench
+    # scale, value-identical by construction): the discrete median is
+    # the unique row_number == (cnt+1) div 2 element, so min(when(...))
+    # over the key partition reproduces exactly the value the old
+    # filter+groupBy picked; the second median re-sorts WITHIN the same
+    # partitioning (a sort, not an exchange).
     base = df.select(id_col, key, val).where(F.col(val).isNotNull())
-    med = _disc_median(base, val, "med")
-    dev = base.join(F.broadcast(med), key).withColumn(
+    wc = Window.partitionBy(key)
+    w1 = Window.partitionBy(key).orderBy(val, id_col)
+    mid = F.expr("(__cnt + 1) div 2")
+    ranked = base.withColumn("__rn", F.row_number().over(w1)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(wc)
+    )
+    med_w = F.min(F.when(F.col("__rn") == mid, F.col(val))).over(wc)
+    staged = ranked.withColumn("med", med_w).withColumn(
         "__adev", F.abs(F.col(val) - F.col("med"))
     )
-    mad = _disc_median(
-        dev.select(id_col, key, F.col("__adev").alias("adev")),
-        "adev",
-        "mad",
-    )
-    thresholds = med.join(mad, key)
+    w2 = Window.partitionBy(key).orderBy("__adev", id_col)
+    ranked2 = staged.withColumn("__rn2", F.row_number().over(w2))
+    mad_w = F.min(
+        F.when(F.col("__rn2") == mid, F.col("__adev"))
+    ).over(wc)
     return (
-        base.join(F.broadcast(thresholds), key)
-        .where(
-            F.abs(F.col(val) - F.col("med"))
-            > F.lit(float(n_mads)) * F.col("mad")
-        )
+        ranked2.withColumn("mad", mad_w)
+        .where(F.col("__adev") > F.lit(float(n_mads)) * F.col("mad"))
         .select(
             id_col,
             key,
@@ -316,18 +316,18 @@ def winsorize(
     hi_rn = F.greatest(
         F.ceil(F.col("__cnt") * F.lit(float(upper_pct))), F.lit(1)
     )
-    bounds = (
-        ranked.withColumn(
-            "__lo_v", F.when(F.col("__rn") == lo_rn, F.col(val))
-        )
-        .withColumn("__hi_v", F.when(F.col("__rn") == hi_rn, F.col(val)))
-        .groupBy(key)
-        .agg(
-            F.min("__lo_v").alias("lo_bound"),
-            F.min("__hi_v").alias("hi_bound"),
-        )
+    # Bound elements ride window aggregates over the SAME key exchange
+    # the rank already paid (round-11 shape, as mad_outliers): min over
+    # the unique rank-matched row per group equals the old
+    # filter+groupBy pick, and the broadcast-join round trip (2 extra
+    # jobs at bench scale) disappears — value-identical by construction.
+    out = ranked.withColumn(
+        "lo_bound",
+        F.min(F.when(F.col("__rn") == lo_rn, F.col(val))).over(wc),
+    ).withColumn(
+        "hi_bound",
+        F.min(F.when(F.col("__rn") == hi_rn, F.col(val))).over(wc),
     )
-    out = nn.join(F.broadcast(bounds), key)
     return out.select(
         id_col,
         key,
