@@ -932,6 +932,56 @@ def synthesize_structured_media(
     return df.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
+# Below this many assets the banded expression plan (no Python stage)
+# beats the MIH kernel's fixed Arrow/worker overhead; occupancy² per
+# 8-bit band bucket stays small (n/256 ≤ ~78 at the threshold).
+MEDIA_MIH_MIN_ASSETS = 20_000
+
+
+def _media_banded_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """Small-corpus pair arm: 8 disjoint 8-bit bands, exact-match
+    pigeonhole (h ≤ 7 < 8 bands ⇒ some band identical), in-row a<b pair
+    combos with full-64-bit bit_count verification — the media mirror
+    of the simhash family's small expression plan. Value-identical to
+    the MIH arm by the same argument (every qualifying pair collides in
+    ≥ 1 band; verification is exact; multi-band collisions dedup in the
+    final groupBy)."""
+    bands = F.expr(
+        "array("
+        + ",".join(
+            f"struct({k} AS band,"
+            f" (shiftrightunsigned(phash, {8 * k}) & 255) AS band_val)"
+            for k in range(8)
+        )
+        + ")"
+    )
+    ex = fp.select(
+        "doc_id", "media_type", "phash", F.explode(bands).alias("bk")
+    ).select("doc_id", "media_type", "phash", "bk.band", "bk.band_val")
+    grp = (
+        ex.groupBy("media_type", "band", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "phash"))
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
+    )
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "cast(bit_count(x.phash ^ y.phash) as bigint) AS hamming))))"
+    )
+    return (
+        grp.select("media_type", F.explode(combos).alias("p"))
+        .select("media_type", "p.doc_a", "p.doc_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("media_type", "doc_a", "doc_b")
+        .agg(F.max("hamming").alias("hamming"))
+    )
+
+
 def media_near_dup(
     fp: DataFrame,
     max_hamming: int = 7,
@@ -997,6 +1047,22 @@ def media_near_dup(
         f"per-band radius {r} > 1: raise n_bands so max_hamming//n_bands"
         " <= 1 (single-bit variant enumeration)"
     )
+    # SMALL-corpus arm (round 11, the simhash family's gated-plan
+    # precedent): below MEDIA_MIH_MIN_ASSETS the whole pair stage runs
+    # as in-row expression combos over exact-match pigeonhole bands —
+    # h ≤ 7 over 8 disjoint 8-bit bands guarantees one IDENTICAL band,
+    # so no variant keys and NO Python stage at all. The interpreted
+    # per-pair cost is occupancy²-bounded (n/256 per band), fine at
+    # this size, and the ~2 s of Arrow/worker fixed overhead the MIH
+    # kernel pays on a 6k-asset corpus disappears (sf0.1 bench row
+    # ~3.0 → ~1.5 s). Value-identical to the MIH arm (test-asserted);
+    # pass n_assets=None to force the corpus-scale plan.
+    if (
+        n_assets is not None
+        and n_assets <= MEDIA_MIH_MIN_ASSETS
+        and max_hamming <= 7
+    ):
+        return _media_banded_pairs(fp, max_hamming)
     mask = (1 << width) - 1
     # Sub-bit count s: tasks = modalities·b·2^s. Floor-first sizing
     # (round 11): start at s = 4 — 16 tasks/band, the small-corpus

@@ -406,3 +406,27 @@ def test_mih_set_bit_rule_single_orientation(spark):
         if h <= 7:
             want.add((a, b, h))
     assert got == want
+
+
+# --------------------------- round-11b: media small-arm gated plan
+def test_media_near_dup_arms_agree_and_small_arm_has_no_python(spark):
+    """The small-corpus banded expression arm must produce exactly the
+    MIH kernel arm's pair set, and its plan must contain no Python
+    stage (the gate can move the plan, never the values)."""
+    from data_lakehouse_hygiene_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base = mm.synthesize_structured_media(docs)
+    planted = mm.synthesize_structured_media(
+        docs.where(F.col("doc_id") % 10 < 2)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
+    variants = mm.transform_media(planted, scale_div=2, sample_every=4)
+    fp = mm.media_phash(base.unionByName(variants)).localCheckpoint()
+    small = mm.media_near_dup(fp, max_hamming=7, n_assets=600)
+    mih = mm.media_near_dup(fp, max_hamming=7, n_assets=None)
+    assert sorted(tuple(r) for r in small.collect()) == sorted(
+        tuple(r) for r in mih.collect()
+    )
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
