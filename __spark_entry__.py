@@ -5657,9 +5657,14 @@ _REGISTRY = {
 #     stage the sf100 tail work touches);
 # (c) ALL 26 rows whose latest official check is still r6 — the oldest
 #     cohort (computed from CORRECTNESS_r01..r10 keys);
-# (d) 10 fills from the r8 cohort, heaviest / most-compound plans
+# (d) the 3 rows whose code paths changed in the round's SECOND half
+#     (mad_outliers / winsorize moved their medians and clip bounds
+#     onto window aggregates over one exchange; heavy_hitters swapped
+#     its RDD partition probe for the metadata size estimate —
+#     group_heavy_hitters, also reworked, is already in (b)), then
+# (e) 7 fills from the r8 cohort, heaviest / most-compound plans
 #     first. After r11 lands, no row's latest official check is older
-#     than r8. 2 + 12 + 26 + 10 = 50.
+#     than r8. 2 + 12 + 26 + 3 + 7 = 50.
 _R11_NEW_ORACLE = [
     "media_phash", "media_near_dup",
 ]
@@ -5677,13 +5682,16 @@ _R11_STALE_R6 = [
     "since_last_event", "sweaty_filter", "time_bucket_avg",
     "train_test_split", "window_funcs", "zorder_key",
 ]
+_R11_MODIFIED_LATE = [
+    "mad_outliers", "winsorize", "heavy_hitters",
+]
 _R11_FILL_R8 = [
     "simhash_fp", "streaming_near_dup", "incremental_near_dup",
     "hygiene_score", "curation_funnel", "lsh_near_dup", "exact_dedup",
-    "doc_fingerprint", "substring_dedup", "quality_weighted_sample",
 ]
 _R11_PREFIX = (
-    _R11_NEW_ORACLE + _R11_MODIFIED + _R11_STALE_R6 + _R11_FILL_R8
+    _R11_NEW_ORACLE + _R11_MODIFIED + _R11_STALE_R6
+    + _R11_MODIFIED_LATE + _R11_FILL_R8
 )
 assert len(_R11_PREFIX) == 50 and len(set(_R11_PREFIX)) == 50
 _REGISTRY = {
