@@ -2701,7 +2701,12 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = multimodal.media_phash(base.unionByName(variants))
     # n_assets from the documents parquet footer (metadata-only count —
     # never re-runs the phash pipeline): one asset per doc + the ~20%
-    # planted variants. Only the MIH task geometry (s) depends on it.
+    # planted variants. n_assets both SELECTS the plan (corpora at or
+    # under MEDIA_MIH_MIN_ASSETS take the no-Python banded expression
+    # arm) and sizes the MIH task geometry (s) on the kernel arm; the
+    # 1.2x footer estimate only needs to be order-of-magnitude right —
+    # both arms are value-identical (test-pinned), so a wrong estimate
+    # can only move the plan, never the rows.
     n_assets = int(_t(spark, sf_dir, "documents").count() * 1.2)
     return multimodal.media_near_dup(fp, max_hamming=7, n_assets=n_assets)
 

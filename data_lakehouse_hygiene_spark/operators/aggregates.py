@@ -673,17 +673,33 @@ def heavy_hitters(
     sketch = df.select(col).mapInPandas(
         _mg, schema=f"{col} {dtype}, __pn bigint"
     )
-    # Conservative partition-count bound for the collect gate, from the
-    # SAME metadata-only size estimate spread() uses: one (over-counted)
-    # partition per 16 MB of input, floored at the core count. An
-    # overestimate only routes to the distributed path early (both paths
-    # exact); ``df.rdd.getNumPartitions()`` would be exact but forces a
-    # full plan-to-RDD translation (~0.4 s of pure driver latency per
-    # call, any scale).
+    # Partition-count bound for the collect gate, from the SAME
+    # metadata-only size estimate spread() uses: one (over-counted)
+    # partition per 16 MB of input, floored at BOTH the core count and
+    # the session's shuffle fan-out (shuffle-output inputs have
+    # spark.sql.shuffle.partitions tasks regardless of size — the
+    # round-11 review's undercount case). An overestimate only routes to
+    # the distributed path early (both paths exact);
+    # ``df.rdd.getNumPartitions()`` would be exact but forces a full
+    # plan-to-RDD translation (~0.4 s of pure driver latency per call,
+    # any scale). Remaining deliberate undercounts: many-small-files
+    # scans (openCostInBytes inflates splits past bytes/16MB) and
+    # unknown-stats plans (estimate 0) can still exceed the bound — only
+    # the bounded-collect guarantee weakens, never exactness, and
+    # HH_COLLECT_MAX keeps ~order-of-magnitude headroom for it (2M rows
+    # of (value, count) pairs is tens of MB on a driver sized in GBs).
     from .dedup import _estimated_bytes
 
+    spark = df.sparkSession
+    try:
+        shuffle_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:  # e.g. "auto" under some AQE configs
+        shuffle_parts = 200
     n_parts = max(
-        df.sparkSession.sparkContext.defaultParallelism,
+        spark.sparkContext.defaultParallelism,
+        shuffle_parts,
         _estimated_bytes(df) // (16 << 20),
     )
     if (c + 1) * max(1, n_parts) <= HH_COLLECT_MAX:
@@ -737,6 +753,24 @@ def exact_recount(
 
 GHH_MAX_SKETCH_GROUPS = 100_000
 
+# Per-partition live-entry budget for the group_heavy_hitters sketch
+# dicts: past ~this many counter entries ((c+1) per group present) the
+# partition FLUSHES its sketches/totals as output rows and restarts with
+# empty dicts. A flush segment is a valid MG mini-partition (pigeonhole
+# survives splitting: f > phi·n over the partition implies f > phi·n_seg
+# in some segment, by the same Σ argument as the partition-level proof),
+# so candidates stay a superset and the recount keeps the output exact.
+# 2^20 entries ≈ tens of MB of Python dict — executor-safe even when the
+# group cardinality approaches the partition row count.
+GHH_FLUSH_ENTRIES = 1 << 20
+
+# Coarse pre-gate budget: inputs estimated LARGER than this pay one
+# approx_count_distinct(group) scan before sketching, so an input that
+# is clearly in the high-G fallback regime never builds (and then
+# discards) the sketch pass at all. Small inputs skip the probe — the
+# wasted-sketch cost it avoids is proportional to input size.
+GHH_PREGATE_BYTES = 1 << 30
+
 
 def group_heavy_hitters(
     df: DataFrame, group: str, col: str, phi: float = 0.01,
@@ -760,21 +794,35 @@ def group_heavy_hitters(
        cnt > phi·n_g filters — EXACT output, plain windowed-HAVING
        oracle.
 
-    Memory contract: the per-partition sketch is memory-safe at ANY
-    group cardinality (dict sizes are bounded by the partition's own
-    row count — each row inserts at most one counter and the decrement
-    only shrinks), so the real blowup risk is the SECOND pass: the
-    candidate set is ≤ c×G distinct (group, value) rows and it
-    broadcast-joins the recount. Round 11 first gated this on a
-    ``approx_count_distinct(group)`` pre-scan; the gate now reads the
-    OBSERVED candidate count off the (checkpointed, sketch-bounded)
-    candidate frame instead — no extra base scan, and the gate
-    variable is the actual broadcast size rather than a proxy for it.
-    Candidates > ``max_sketch_groups × c`` route to the plain
-    per-(group, value) aggregate + per-group window total: with that
-    many candidates the vocabulary shuffle IS candidate-bounded
-    already, and the broadcast would be the blowup. Both paths are
-    EXACT, so the gate can never change values. Rows with a NULL
+    Memory contract (round-12 hardening): the per-partition sketch dicts
+    hold ≤ (c+1) entries per group PRESENT in the partition, which at
+    high group cardinality approaches one entry per row — GBs of Python
+    dict for a large partition. ``GHH_FLUSH_ENTRIES`` bounds that: past
+    the budget the partition flushes its sketches/totals as output rows
+    and restarts. A flush segment is a valid MG mini-partition — the
+    pigeonhole argument splits: f > phi·n over the partition implies
+    f > phi·n_seg in some segment — so candidates remain a superset and
+    the recount keeps the output exact (totals rows are additive under
+    the downstream per-group SUM; duplicate candidate rows fall to the
+    DISTINCT). The SECOND-pass blowup risk is the candidate broadcast
+    (≤ c×G rows), gated twice:
+
+    - COARSE pre-gate: inputs estimated above ``GHH_PREGATE_BYTES`` pay
+      one ``approx_count_distinct(group)`` scan first; since every group
+      present contributes ≥ 1 candidate, an estimate clearly past
+      ``max_sketch_groups × c`` proves the observed gate below would
+      fire — route to the exact fallback WITHOUT building (and then
+      discarding) the sketch pass. Small inputs skip the probe: the
+      wasted-sketch cost it would avoid is itself small.
+    - OBSERVED gate: the actual candidate count off the (checkpointed,
+      sketch-bounded) candidate frame — the gate variable is the real
+      broadcast size, catching borderline cases the coarse estimate
+      missed. Candidates > ``max_sketch_groups × c`` route to the plain
+      per-(group, value) aggregate + per-group window total: with that
+      many candidates the vocabulary shuffle IS candidate-bounded
+      already, and the broadcast would be the blowup.
+
+    All paths are EXACT, so no gate can change values. Rows with a NULL
     group or NULL value are excluded (same contract both engines).
 
     Returns (group, value, cnt), ordered by (group, cnt desc, value).
@@ -804,11 +852,36 @@ def group_heavy_hitters(
 
     c = max(1, math.ceil(1.0 / phi))
 
+    from .dedup import _estimated_bytes
+
+    if _estimated_bytes(base) > GHH_PREGATE_BYTES:
+        # Coarse pre-gate (see docstring): the 0.8 margin absorbs HLL
+        # error in the conservative direction — the pre-gate fires only
+        # when CLEARLY past budget; borderline inputs still sketch and
+        # hit the observed gate. Both paths exact, so routing here can
+        # never change values.
+        g_est = base.agg(
+            F.approx_count_distinct(group).alias("__g")
+        ).collect()[0]["__g"]
+        if g_est * 0.8 > max_sketch_groups * c:
+            return _fallback()
+
     from collections import Counter
+
+    # bound driver-side so the closure ships the VALUE (executor
+    # workers re-import the module; a global read there would not see a
+    # driver-side override, e.g. in tests)
+    flush_entries = GHH_FLUSH_ENTRIES
 
     def _mg(batches):
         sketches: dict = {}
         totals: dict = {}
+
+        def _rows():
+            return [
+                (g, v, None) for g, cs in sketches.items() for v in cs
+            ] + [(g, None, n) for g, n in totals.items()]
+
         for pdf in batches:
             sub = pdf[[group, col]].dropna()
             # Counter(zip(...)) measured ~1.7x faster than a pandas
@@ -826,10 +899,16 @@ def group_heavy_hitters(
                     sketches[g] = {
                         v: n - d for v, n in counters.items() if n > d
                     }
-        rows = [
-            (g, v, None) for g, cs in sketches.items() for v in cs
-        ] + [(g, None, n) for g, n in totals.items()]
-        yield pd.DataFrame(rows, columns=[group, col, "__pn"])
+            # Per-group dicts are decrement-capped at c entries, so the
+            # live footprint is ≤ (c+1)·len(sketches); flush-and-reset
+            # when it passes the budget (checked per Arrow batch — the
+            # overshoot within one batch is bounded by the batch rows).
+            # Each segment is a valid MG mini-partition (docstring), so
+            # exactness is unaffected.
+            if len(sketches) * (c + 1) > flush_entries:
+                yield pd.DataFrame(_rows(), columns=[group, col, "__pn"])
+                sketches, totals = {}, {}
+        yield pd.DataFrame(_rows(), columns=[group, col, "__pn"])
 
     gtype = df.schema[group].dataType.simpleString()
     vtype = df.schema[col].dataType.simpleString()
