@@ -26,6 +26,78 @@ from .schemas import load_table
 from .sources import latest_ingest
 
 
+class DataQualityError(Exception):
+    """A zone gate failed and the zone write was ABORTED. Carries the
+    zone path and the names of every violated expectation so the run
+    log states exactly which contract broke (the reference surfaces the
+    same conditions as ad-hoc prints/raises scattered through its ELT
+    scripts — SURVEY §5.1; here they are declarative and enforced)."""
+
+    def __init__(self, zone: str, failures: list[str]):
+        self.zone = zone
+        self.failures = failures
+        super().__init__(
+            f"zone '{zone}' expectations violated: {', '.join(failures)}"
+        )
+
+
+def enforce_zone(
+    df: DataFrame,
+    zone: str,
+    rules: list[tuple[str, "F.Column"]] | None = None,
+    unique_key: list[str] | None = None,
+    require_rows: bool = True,
+) -> DataFrame:
+    """Declarative data-quality gate between medallion zones: evaluate
+    every (name, violation_predicate) rule in ``maintenance.dq_check``'s
+    SINGLE aggregate pass (plus one grouped pass for ``unique_key``) and
+    raise :class:`DataQualityError` naming each violated expectation —
+    BEFORE the zone write runs, so a violating batch never lands
+    half-written state downstream.
+
+    This formalizes the reference's ad-hoc runtime checking (empty-input
+    guards ``sql_to_raw.py:39-41``, value clamps
+    ``prescriptive_logic.py:84-85,117``, column prints — SURVEY §5.1) as
+    enforced expectations. Cost model: one conditional-SUM aggregate for
+    all rules together (adding rules adds columns, not passes), one
+    groupBy for uniqueness; every collect here is bounded by the rule
+    count (len(rules) rows / 1 row), never the data."""
+    from . import maintenance
+
+    failures: list[str] = []
+    rows_seen: int | None = None
+    if rules:
+        report = maintenance.dq_check(df, list(rules)).collect()
+        rows_seen = report[0]["n_rows"] if report else 0
+        failures += [r["rule"] for r in report if not r["pass"]]
+    if unique_key:
+        dup = maintenance.dq_unique(df, list(unique_key)).collect()[0]
+        if dup["n_duplicate_keys"] > 0:
+            failures.append(f"unique({','.join(unique_key)})")
+    if require_rows:
+        if rows_seen is None:
+            # bounded probe: LIMIT 1, no full count
+            rows_seen = df.limit(1).count()
+        if rows_seen == 0:
+            failures.append("non_empty")
+    if failures:
+        raise DataQualityError(zone, failures)
+    return df
+
+
+def clean_events_expectations() -> list[tuple[str, "F.Column"]]:
+    """Expectations the clean events zone must satisfy (violation
+    predicates): no NULL timestamps survive the cleaner, and event
+    values are non-negative (the reference clamps negatives ad hoc,
+    ``prescriptive_logic.py:117``; the gate REJECTS them instead —
+    clamping belongs to scoring, a corrupt batch belongs to the
+    source)."""
+    return [
+        ("null_ts", F.col("ts").isNull()),
+        ("negative_value", F.col("value") < 0),
+    ]
+
+
 def ingest(spark: SparkSession, sf_dir: str, lake: str, ingest_ts: str) -> None:
     """Raw zone: land events + dims as an append log stamped with the run's
     ingest_ts (replaces filename-timestamp versioning, SURVEY.md S4)."""
@@ -37,19 +109,30 @@ def ingest(spark: SparkSession, sf_dir: str, lake: str, ingest_ts: str) -> None:
 
 def clean(spark: SparkSession, lake: str) -> None:
     """Clean zone: latest snapshot of each raw log, normalized + coerced +
-    null-filtered, overwritten (the reference's full-refresh semantics)."""
+    null-filtered, GATED by declarative expectations (``enforce_zone``),
+    then overwritten (the reference's full-refresh semantics). A batch
+    that violates an expectation aborts BEFORE the overwrite, so the
+    previous clean state stays intact and serving never reads a corrupt
+    refresh."""
     ev = latest_ingest(sinks.read_table(spark, f"{lake}/raw/events")).drop(
         "ingest_ts"
     )
-    ev = cleaning.drop_null_rows(ev, ["ts"])
-    sinks.overwrite_table(cleaning.normalize_columns(ev), f"{lake}/clean/events")
+    ev = cleaning.normalize_columns(cleaning.drop_null_rows(ev, ["ts"]))
+    enforce_zone(
+        ev,
+        f"{lake}/clean/events",
+        rules=clean_events_expectations(),
+        unique_key=["event_id"],
+    )
+    sinks.overwrite_table(ev, f"{lake}/clean/events")
 
-    cust = latest_ingest(sinks.read_table(spark, f"{lake}/raw/customer")).drop(
-        "ingest_ts"
+    cust = cleaning.normalize_columns(
+        latest_ingest(sinks.read_table(spark, f"{lake}/raw/customer")).drop(
+            "ingest_ts"
+        )
     )
-    sinks.overwrite_table(
-        cleaning.normalize_columns(cust), f"{lake}/clean/customer"
-    )
+    enforce_zone(cust, f"{lake}/clean/customer", unique_key=["c_custkey"])
+    sinks.overwrite_table(cust, f"{lake}/clean/customer")
 
 
 def curate(spark: SparkSession, lake: str, as_of: str | None = None) -> DataFrame:

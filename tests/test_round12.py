@@ -1,0 +1,209 @@
+"""Round-12 review fixes (the group_heavy_hitters executor-memory cap
+plus the coarse approx-distinct pre-gate) and the declarative zone gates
+wired into the medallion pipeline."""
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+import pyspark.sql.functions as F
+
+from .conftest import SF_SMOKE
+
+
+def _ghh_rows():
+    rows = []
+    for g in range(40):
+        rows += [(f"g{g}", "hot")] * 12 + [
+            (f"g{g}", f"v{i}") for i in range(7)
+        ]
+    return rows
+
+
+# ------------------------------ group_heavy_hitters flush segments
+def test_ghh_flush_segments_values_exact(spark, monkeypatch):
+    """With the flush budget forced to 0 every Arrow batch becomes its
+    own MG mini-partition (maximum segmentation) — the candidate set
+    stays a superset, totals rows stay additive, and the recounted
+    output must be byte-identical to the unflushed path AND to the
+    plain-aggregate fallback."""
+    from data_lakehouse_hygiene_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        _ghh_rows(), "g string, v string"
+    ).repartition(8)
+    want = [
+        tuple(r)
+        for r in aggregates.group_heavy_hitters(
+            df, "g", "v", phi=0.3, max_sketch_groups=1
+        ).collect()
+    ]  # fallback truth
+    unflushed = [
+        tuple(r)
+        for r in aggregates.group_heavy_hitters(df, "g", "v", phi=0.3).collect()
+    ]
+    monkeypatch.setattr(aggregates, "GHH_FLUSH_ENTRIES", 0)
+    flushed = [
+        tuple(r)
+        for r in aggregates.group_heavy_hitters(df, "g", "v", phi=0.3).collect()
+    ]
+    assert flushed == unflushed == want
+    assert {t[1] for t in flushed} == {"hot"} and len(flushed) == 40
+
+
+# ----------------------------------- coarse pre-gate (no sketch pass)
+def test_ghh_coarse_pregate_routes_to_fallback_without_sketch(
+    spark, monkeypatch
+):
+    """When the size probe fires and approx G is clearly past the
+    candidate budget, the operator must return the plain-aggregate plan
+    WITHOUT ever building the mapInPandas sketch (the round-11 gate
+    built, materialized, then discarded it). Values are unchanged."""
+    from data_lakehouse_hygiene_spark.operators import aggregates
+
+    df = spark.createDataFrame(_ghh_rows(), "g string, v string")
+    monkeypatch.setattr(aggregates, "GHH_PREGATE_BYTES", 0)
+    out = aggregates.group_heavy_hitters(
+        df, "g", "v", phi=0.3, max_sketch_groups=0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "__pn" not in plan  # no checkpointed sketch scan either
+    got = [tuple(r) for r in out.collect()]
+    monkeypatch.setattr(aggregates, "GHH_PREGATE_BYTES", 1 << 30)
+    want = [
+        tuple(r)
+        for r in aggregates.group_heavy_hitters(df, "g", "v", phi=0.3).collect()
+    ]
+    assert got == want
+
+
+def test_ghh_pregate_under_budget_still_sketches(spark, monkeypatch):
+    """A probe that reads G comfortably UNDER budget must fall through
+    to the sketch path (the pre-gate only short-circuits the clear
+    blowups; borderline inputs keep the observed-candidate gate)."""
+    from data_lakehouse_hygiene_spark.operators import aggregates
+
+    df = spark.createDataFrame(_ghh_rows(), "g string, v string")
+    monkeypatch.setattr(aggregates, "GHH_PREGATE_BYTES", 0)
+    out = aggregates.group_heavy_hitters(df, "g", "v", phi=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the sketch is localCheckpointed by the gate probe, so downstream
+    # plans scan it as an ExistingRDD carrying the __pn side-row column
+    # — that column exists ONLY on the sketch path
+    assert "__pn" in plan
+    assert {t[1] for t in (tuple(r) for r in out.collect())} == {"hot"}
+
+
+# --------------------------------------- medallion zone gates (DQ)
+def test_clean_zone_gate_aborts_on_violating_batch(spark):
+    """A raw batch that violates a clean-zone expectation must abort the
+    zone OVERWRITE with the expectation named — and the previous clean
+    state must survive untouched (serving never reads a corrupt
+    refresh)."""
+    from data_lakehouse_hygiene_spark import pipeline, sinks
+    from data_lakehouse_hygiene_spark.schemas import load_table
+
+    with tempfile.TemporaryDirectory() as lake:
+        pipeline.ingest(spark, SF_SMOKE, lake, "2026-01-01T00:00:00")
+        pipeline.clean(spark, lake)
+        before = sinks.read_table(spark, f"{lake}/clean/events").count()
+        assert before > 0
+
+        corrupt = load_table(spark, SF_SMOKE, "events").withColumn(
+            "value", -F.abs(F.col("value")) - F.lit(1.0)
+        )
+        sinks.append_snapshot(
+            corrupt, f"{lake}/raw/events", "2026-01-02T00:00:00"
+        )
+        with pytest.raises(pipeline.DataQualityError) as exc:
+            pipeline.clean(spark, lake)
+        assert "negative_value" in str(exc.value)
+        assert f"{lake}/clean/events" in str(exc.value)
+
+        # the previous clean zone is intact: same rows, no negatives
+        after = sinks.read_table(spark, f"{lake}/clean/events")
+        assert after.count() == before
+        assert after.where(F.col("value") < 0).count() == 0
+
+
+def test_clean_zone_gate_names_uniqueness_violation(spark):
+    """A duplicate-key batch must abort with the uniqueness expectation
+    named."""
+    from data_lakehouse_hygiene_spark import pipeline, sinks
+    from data_lakehouse_hygiene_spark.schemas import load_table
+
+    with tempfile.TemporaryDirectory() as lake:
+        pipeline.ingest(spark, SF_SMOKE, lake, "2026-01-01T00:00:00")
+        ev = load_table(spark, SF_SMOKE, "events")
+        sinks.append_snapshot(
+            ev.unionByName(ev.limit(5)),
+            f"{lake}/raw/events",
+            "2026-01-02T00:00:00",
+        )
+        with pytest.raises(pipeline.DataQualityError) as exc:
+            pipeline.clean(spark, lake)
+        assert "unique(event_id)" in str(exc.value)
+
+
+def test_enforce_zone_empty_input_and_pass_through(spark):
+    """require_rows trips on an empty frame; a clean frame passes
+    through unchanged (same object, gate adds no plan nodes)."""
+    from data_lakehouse_hygiene_spark import pipeline
+
+    df = spark.createDataFrame([(1, 10.0)], "event_id long, value double")
+    assert pipeline.enforce_zone(df, "z") is df
+    empty = df.where(F.lit(False))
+    with pytest.raises(pipeline.DataQualityError) as exc:
+        pipeline.enforce_zone(empty, "z")
+    assert "non_empty" in str(exc.value)
+
+
+def test_pipeline_green_run_still_passes_gates(spark):
+    """The driver testdata satisfies every default expectation — the
+    gated pipeline runs end-to-end unchanged."""
+    from data_lakehouse_hygiene_spark import pipeline
+
+    with tempfile.TemporaryDirectory() as lake:
+        result = pipeline.run_pipeline(
+            spark, SF_SMOKE, lake, ingest_ts="2026-01-01T00:00:00"
+        )
+        assert len(result.collect()) == 1
+
+
+# ----------------------------- fifth-decade MIH geometry (plan-pinned)
+def test_mih_sub_bit_geometry_grows_past_ten_million(spark):
+    """The SCALING.md geometry contract, pinned from the PLAN (no jobs
+    run — the key-emit array holds n_bands*(1+s) band structs): at 10M
+    fingerprints both MIH twins must leave the s=4 floor (s=7 at 10M by
+    the 500k-rows-per-task target), while small corpora stay on the
+    floor. Executed at full scale in tools/mih_fifth_decade.py
+    (SCALING.md fifth decade: 181/206 s, identical 203,152-pair sets)."""
+    import re
+
+    from data_lakehouse_hygiene_spark.operators import dedup, multimodal
+
+    from .test_round11 import _planted_simhash_agg
+
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    fp = spark.createDataFrame(
+        [(1, "image/bmp", 123)], "doc_id long, media_type string, phash long"
+    )
+    agg = _planted_simhash_agg(spark, {1: 123})
+
+    def s_of(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return len(re.findall(r"struct\(band", plan)) // 4 - 1
+
+    assert s_of(
+        multimodal.media_near_dup(fp, max_hamming=7, n_assets=10_000_000)
+    ) == 7
+    assert s_of(
+        multimodal.media_near_dup(fp, max_hamming=7, n_assets=30_000)
+    ) == 4
+    assert s_of(
+        dedup._simhash_mih_pairs(agg, max_hamming=7, n_docs=10_000_000)
+    ) == 7
+    assert s_of(
+        dedup._simhash_mih_pairs(agg, max_hamming=7, n_docs=30_000)
+    ) == 4
