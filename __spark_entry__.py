@@ -5704,6 +5704,50 @@ _REGISTRY = {
     for n in _R11_PREFIX + [n for n in _REGISTRY if n not in _R11_PREFIX]
 }
 
+# Round-12 rotation (driver samples the FIRST 50 rows). Priority:
+# (a) the 2 rows whose CODE changed this round: group_heavy_hitters
+#     (flush-segment memory cap + coarse approx-distinct pre-gate) and
+#     heavy_hitters (collect-gate partition bound now includes the
+#     session shuffle fan-out);
+# (b) ALL 38 rows whose latest official check is still r8 — after r12
+#     lands, no registry row's latest check is older than r9 (computed
+#     from CORRECTNESS_r01..r11 keys);
+# (c) 10 fills from the r9 cohort: the 6 heaviest by sf0.1 bench time
+#     (ccnet_bucket, salted_join, shard_assign, event_debounce,
+#     fuzzy_dedup, incremental_dedup), then the most compound plans of
+#     the rest (dedup_clusters_star's iterative CC,
+#     streaming_heavy_hitters' stateful recount, media_decode's Arrow
+#     codec kernel) and dq_check, whose operator became load-bearing in
+#     the round-12 pipeline zone gates. 2 + 38 + 10 = 50.
+_R12_MODIFIED = [
+    "group_heavy_hitters", "heavy_hitters",
+]
+_R12_STALE_R8 = [
+    "boilerplate_ngrams", "char_stats", "code_detect", "dedup_keep_best",
+    "doc_fingerprint", "explode_tokens", "fixed_size_sample",
+    "flatten_json", "full_sort", "group_median", "hash_sample",
+    "histogram_bin", "incremental_line_dedup", "kmv_distinct", "lang_id",
+    "latest_row", "latest_snapshot", "mixture_weights", "nested_flatten",
+    "normalize_columns", "null_funcs", "partition_skew",
+    "percentile_disc", "profile_table", "quality_score",
+    "quality_weighted_sample", "sessionize", "source_overlap",
+    "stratified_sample", "streaming_time_bucket", "string_funcs",
+    "substring_dedup", "substring_dedup_apply",
+    "substring_dedup_keep_first", "time_interval_filter", "token_count",
+    "union_distinct", "window_after_event",
+]
+_R12_FILL_R9 = [
+    "ccnet_bucket", "salted_join", "shard_assign", "event_debounce",
+    "fuzzy_dedup", "incremental_dedup", "dedup_clusters_star",
+    "streaming_heavy_hitters", "media_decode", "dq_check",
+]
+_R12_PREFIX = _R12_MODIFIED + _R12_STALE_R8 + _R12_FILL_R9
+assert len(_R12_PREFIX) == 50 and len(set(_R12_PREFIX)) == 50
+_REGISTRY = {
+    n: _REGISTRY[n]
+    for n in _R12_PREFIX + [n for n in _REGISTRY if n not in _R12_PREFIX]
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

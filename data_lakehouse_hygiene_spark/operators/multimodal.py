@@ -1054,9 +1054,14 @@ def media_near_dup(
     # so no variant keys and NO Python stage at all. The interpreted
     # per-pair cost is occupancy²-bounded (n/256 per band), fine at
     # this size, and the ~2 s of Arrow/worker fixed overhead the MIH
-    # kernel pays on a 6k-asset corpus disappears (sf0.1 bench row
-    # ~3.0 → ~1.5 s). Value-identical to the MIH arm (test-asserted);
-    # pass n_assets=None to force the corpus-scale plan.
+    # kernel pays on a 6k-asset corpus disappears. Measured (round-12
+    # interleaved A/B, tools/ab_media_small_arm.py, fingerprints
+    # checkpointed so only the pair stage moves): 0.69 s vs 2.80 s
+    # median at sf0.1 — ~4x on the stage the gate switches. The BENCH
+    # row only moves ~2.1 -> ~4.2 s because the fingerprint pipeline
+    # (~1.4 s) rides every run. Value-identical to the MIH arm
+    # (test-asserted); pass n_assets=None to force the corpus-scale
+    # plan.
     if (
         n_assets is not None
         and n_assets <= MEDIA_MIH_MIN_ASSETS

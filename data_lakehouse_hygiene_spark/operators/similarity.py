@@ -83,6 +83,20 @@ SPLIT_MAX_BLOCKS = 1024  # expanded-block ceiling: bounds the pid-map
 # cluster; anything bigger must use the sub-quadratic paths.
 COSINE_PAIRS_MAX_BYTES = 4 << 30
 
+# Exact-path PLANNED-SHUFFLE ceiling (round 12): the input-bytes gate
+# above missed a real failure — 2M rotated 64-d vectors (~500 MB
+# parquet, well under 4 GiB) planned ~490M replicated cogroup rows
+# (~140 GB) because random-direction clusters have near-π radii and the
+# triangle-inequality pruner kept ~all of the ~30k block pairs; the
+# shuffle spill filled the local disk mid-stage (SCALING.md round-12
+# reading). The cost driver is Σ_{(i,j) kept} (m_i + m_j) · row bytes —
+# fully known on the driver BEFORE launch (block member counts from the
+# radius agg + the surviving pair list) — so the gate now refuses on the
+# PLANNED volume, the quantity that actually kills the job, not a proxy.
+# 64 GiB ≈ a single fat node's comfortable spill budget; raise it
+# explicitly after sizing real cluster shuffle capacity.
+COSINE_SHUFFLE_MAX_BYTES = 64 << 30
+
 # Below this estimated input size the k-means fit/radius jobs cost more
 # than the whole compare — hash-block instead (see cosine_pairs docstring).
 COSINE_SMALL_BYTES = 64 << 20
@@ -253,6 +267,7 @@ def cosine_pairs(
     small_bytes: int = COSINE_SMALL_BYTES,
     fit_iters: int = 2,
     block_rows: int = BLOCK_TARGET_ROWS,
+    max_shuffle_bytes: int = COSINE_SHUFFLE_MAX_BYTES,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (a<b) above a threshold:
     k-means cluster blocking with triangle-inequality block-pair pruning +
@@ -321,6 +336,18 @@ def cosine_pairs(
     with a pointer to the sub-quadratic alternatives (``lsh_near_dup``,
     ``semantic_dedup``, ``lsh_ann``) rather than launching an infeasible
     job.
+
+    SECOND gate, on the PLANNED shuffle (round 12): input bytes are a
+    proxy the pruner can defeat — 2M rotated random-ish 64-d vectors
+    (~500 MB, well under ``max_bytes``) have near-π cluster radii, the
+    triangle bound clears ~nothing, and the cogroup planned ~490M
+    replicated rows ≈ 140 GB of shuffle (measured: local disk filled
+    mid-stage, SCALING.md round-12). The driver already holds the block
+    member counts and the surviving pair list, so the exact replicated
+    volume Σ_{(i,j)} (m_i + m_j)·row_bytes is computed BEFORE launch and
+    refused above ``max_shuffle_bytes`` (default
+    ``COSINE_SHUFFLE_MAX_BYTES``, 64 GiB) — the quantity that actually
+    kills the job, visible only after pruning.
     """
     import numpy as np
     import pandas as pd
@@ -488,6 +515,39 @@ def cosine_pairs(
                             kept.append(
                                 (offsets[pi] + si, offsets[pj] + sj)
                             )
+        # PLANNED-SHUFFLE refusal (round 12, COSINE_SHUFFLE_MAX_BYTES):
+        # every kept pair ships both blocks' member rows to one cogroup
+        # key, so the replicated volume is exactly
+        # Σ_{(i,j)} (m_i + m_j) · row_bytes (m_i once for self-pairs) —
+        # computable here from the radius-agg counts before ANY pair
+        # task launches. The input-bytes gate alone let a 500 MB corpus
+        # of random-direction vectors (near-π cluster radii → pruner
+        # keeps ~everything) plan ~140 GB of shuffle and kill the node
+        # on spill; refusing on the planned volume catches exactly the
+        # pruning-hostile geometries the input size cannot see.
+        blk_rows = [0.0] * p
+        for ci in range(kp):
+            share = counts[ci] / float(max(splits[ci], 1))
+            for si in range(splits[ci]):
+                blk_rows[offsets[ci] + si] = share
+        row_bytes = dim * 8 + 32  # UnsafeRow array + ids/keys overhead
+        planned = (
+            sum(
+                blk_rows[i] + (blk_rows[j] if j != i else 0.0)
+                for i, j in kept
+            )
+            * row_bytes
+        )
+        if planned > max_shuffle_bytes:
+            raise ValueError(
+                f"cosine_pairs planned replicated shuffle ~{planned/2**30:.1f}"
+                f" GiB ({len(kept)} surviving block pairs) exceeds "
+                f"max_shuffle_bytes={max_shuffle_bytes/2**30:.0f} GiB — the "
+                f"block pruner removed too little (pruning-hostile vector "
+                f"geometry). Use lsh_near_dup / semantic_dedup (near-dup "
+                f"thresholds) or lsh_ann (top-k retrieval), or raise "
+                f"max_shuffle_bytes after sizing real shuffle capacity."
+            )
     a_pids: dict[int, list[int]] = {}
     b_pids: dict[int, list[int]] = {}
     for i, j in kept:
@@ -926,7 +986,17 @@ def lsh_near_dup_pairs(
     Exactly-once pairing: the left side carries its own bucket, the right
     side explodes bucket ∪ {bucket⊕2^p}; a pair at bucket-Hamming 0 or 1
     matches exactly one probe, and ``vec_a < vec_b`` fixes orientation.
+
+    The input is ``spread()`` first (round 12): the norm + n_planes
+    hyperplane projections are interpreted higher-order expressions
+    (~n_planes·dim ops per ROW) computed in the scan stage, so a 500 MB
+    parquet's ~7 natural splits serialize the heaviest map work of the
+    whole operator on 7 cores; data-proportional spread fans it to the
+    core count and is a no-op at cluster-scale inputs.
     """
+    from .cleaning import spread
+
+    df = spread(df, key="vec_id")
     n_planes = resolve_planes(df, n_planes)
     n = norms(df, vec_col).withColumn(
         "bucket", lsh_bucket(vec_col, n_planes)
@@ -1154,11 +1224,26 @@ def lsh_ann(
     )
 
 
+# semantic_dedup's within-cluster pair budget: the operator's scale
+# contract is that the CALLER supplies adequately granular clusters
+# (SemDeDup sizes k so clusters fit a task). A coarse cluster column is
+# a silent quadratic bomb — the round-12 sf100 rehearsal planned
+# Σ n_c(n_c−1)/2 ≈ 2·10¹¹ exact dots from 10 replicated labels over 2M
+# vectors. The probe (one column-pruned count agg, only run past
+# SEMANTIC_PROBE_BYTES) computes that pair term exactly and refuses
+# above the budget, naming the re-clustering knob. 2e9 pairs ≈ hours on
+# one node / minutes on a real cluster — raise explicitly after sizing.
+SEMANTIC_DEDUP_MAX_PAIRS = 2_000_000_000
+SEMANTIC_PROBE_BYTES = 4 << 20  # ≈16k vectors; below this the worst
+# case (all one cluster) is ~1e8 pairs — no probe job needed
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
     cluster_col: str = "label",
     threshold: float = 0.45,
+    max_pairs: int = SEMANTIC_DEDUP_MAX_PAIRS,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — no reference-repo counterpart; capability
@@ -1183,7 +1268,42 @@ def semantic_dedup(
     only 2 of the 14 exact cosine≥0.45 pairs share a cluster, so
     semantic dedup drops exactly those 2 (test-pinned). Exactness
     within the blocking is oracle-checked; the blocking loss is the
-    algorithm's published recall trade, not an implementation gap."""
+    algorithm's published recall trade, not an implementation gap.
+
+    Granularity guard (round 12): inputs past ``SEMANTIC_PROBE_BYTES``
+    pay one column-pruned count agg computing the EXACT within-cluster
+    pair term Σ n_c(n_c−1)/2; above ``max_pairs`` the operator refuses
+    with the re-clustering knob named instead of silently launching a
+    quadratic the cluster column cannot support (the sf100 rehearsal's
+    10 replicated labels planned ~2·10¹¹ pairs — SCALING.md)."""
+    from .dedup import _estimated_bytes
+
+    if _estimated_bytes(df) > SEMANTIC_PROBE_BYTES:
+        pair_term = (
+            df.groupBy(cluster_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.sum(
+                    F.col("__c").cast("double")
+                    * (F.col("__c") - 1).cast("double")
+                    / 2.0
+                ).alias("__p")
+            )
+            .collect()[0]["__p"]
+        )
+        if pair_term is not None and pair_term > max_pairs:
+            raise ValueError(
+                f"semantic_dedup within-cluster pair term "
+                f"{pair_term:.2e} exceeds max_pairs={max_pairs:.0e}: the "
+                f"'{cluster_col}' clustering is too coarse for this corpus "
+                f"(SemDeDup's contract sizes clusters to fit a task). "
+                f"Re-cluster with kmeans_assign at k ≈ n/8192 (or a hash "
+                f"split), use lsh_near_dup, or raise max_pairs after "
+                f"sizing the cluster."
+            )
+    from .cleaning import spread
+
+    df = spread(df, key="vec_id")
     v = F.col(vec_col)
     n = df.select(
         "vec_id",

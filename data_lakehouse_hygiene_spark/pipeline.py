@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from . import sinks
 from .operators import cleaning, scoring
 from .schemas import load_table
-from .sources import latest_ingest
+from .sources import latest_partition_scan
 
 
 class DataQualityError(Exception):
@@ -114,9 +114,15 @@ def clean(spark: SparkSession, lake: str) -> None:
     that violates an expectation aborts BEFORE the overwrite, so the
     previous clean state stays intact and serving never reads a corrupt
     refresh."""
-    ev = latest_ingest(sinks.read_table(spark, f"{lake}/raw/events")).drop(
-        "ingest_ts"
-    )
+    # latest_partition_scan resolves the max ingest_ts from the file
+    # index (driver metadata, no job) and injects it as a LITERAL
+    # partition predicate — the planned scan touches only the newest
+    # partition's files (SURVEY §4.2 item 4, the "inject ingest_ts=max"
+    # stretch). latest_ingest's runtime-max form remains for inputs that
+    # arrive as DataFrames without a path.
+    ev = latest_partition_scan(
+        spark, f"{lake}/raw/events", fmt=sinks._FORMAT
+    ).drop("ingest_ts")
     ev = cleaning.normalize_columns(cleaning.drop_null_rows(ev, ["ts"]))
     enforce_zone(
         ev,
@@ -127,9 +133,9 @@ def clean(spark: SparkSession, lake: str) -> None:
     sinks.overwrite_table(ev, f"{lake}/clean/events")
 
     cust = cleaning.normalize_columns(
-        latest_ingest(sinks.read_table(spark, f"{lake}/raw/customer")).drop(
-            "ingest_ts"
-        )
+        latest_partition_scan(
+            spark, f"{lake}/raw/customer", fmt=sinks._FORMAT
+        ).drop("ingest_ts")
     )
     enforce_zone(cust, f"{lake}/clean/customer", unique_key=["c_custkey"])
     sinks.overwrite_table(cust, f"{lake}/clean/customer")

@@ -207,3 +207,54 @@ def test_mih_sub_bit_geometry_grows_past_ten_million(spark):
     assert s_of(
         dedup._simhash_mih_pairs(agg, max_hamming=7, n_docs=30_000)
     ) == 4
+
+
+# ------------------------- cosine_pairs planned-shuffle refusal gate
+def test_cosine_pairs_planned_shuffle_refusal(spark, tmp_path):
+    """The round-12 sf100 finding test-pinned: when the block pruner
+    keeps so many pairs that the planned cogroup replication exceeds the
+    shuffle budget, cosine_pairs must REFUSE with the sub-quadratic
+    alternatives named — before any pair task launches. (The input-bytes
+    gate alone let a 500 MB corpus plan ~140 GB of shuffle and fill the
+    local disk mid-stage.)"""
+    import pytest as _pytest
+
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "emb")
+    emb.write.parquet(path)  # file-backed so _estimated_bytes > 0
+    df = spark.read.parquet(path)
+    with _pytest.raises(ValueError) as exc:
+        similarity.cosine_pairs(
+            df, small_bytes=0, max_shuffle_bytes=0
+        ).collect()
+    msg = str(exc.value)
+    assert "planned replicated shuffle" in msg
+    assert "lsh_near_dup" in msg and "semantic_dedup" in msg
+    # an adequate budget on the same input runs the normal exact path
+    got = similarity.cosine_pairs(df, small_bytes=0).limit(5).collect()
+    assert got is not None
+
+
+def test_semantic_dedup_granularity_guard(spark, monkeypatch):
+    """A cluster column too coarse for the corpus must refuse with the
+    exact pair term and the re-clustering knob named (the sf100
+    10-label corpus planned ~2e11 pairs); adequate granularity passes
+    through to the normal plan."""
+    import pytest as _pytest
+
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    monkeypatch.setattr(similarity, "SEMANTIC_PROBE_BYTES", 0)
+    with _pytest.raises(ValueError) as exc:
+        similarity.semantic_dedup(emb, max_pairs=10)
+    msg = str(exc.value)
+    assert "too coarse" in msg and "kmeans_assign" in msg
+    # default budget: same rows as the unguarded semantics
+    got = {
+        tuple(r)
+        for r in similarity.semantic_dedup(emb).collect()
+    }
+    assert len(got) == 2  # the pinned sf0.01 SemDeDup drop list size
