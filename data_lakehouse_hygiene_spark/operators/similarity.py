@@ -964,6 +964,178 @@ def resolve_planes(
     return int(n_planes)
 
 
+# Above this estimated input size lsh_near_dup_pairs switches from the
+# oracle-shaped explode/join plan to the bucket-grouped Arrow kernel:
+# below it the join finishes in well under a second and the kernel's
+# fixed Arrow/worker overhead dominates; above it the join's
+# per-candidate interpreted HOF dots are the measured bottleneck
+# (918 s at 2M vectors — SCALING.md round 12).
+LSH_KERNEL_BYTES = 8 << 20
+
+
+def _lsh_pairs_kernel(
+    df: DataFrame, vec_col: str, threshold: float, n_planes: int
+) -> DataFrame:
+    """Corpus-scale pair stage for ``lsh_near_dup_pairs`` — identical
+    pair set and cosine bits to the expression join (test-asserted),
+    with the candidate evaluation vectorized and the candidate ROWS
+    never materialized:
+
+    - stage 1 (mapInPandas): per batch, NumPy replays the exact
+      ``_qprod`` integer arithmetic for the self-dot (→ norm, the same
+      bits as ``norms()``) and the ``n_planes`` hyperplane projections
+      (→ bucket, the same bits as ``lsh_bucket``), then emits one EXACT
+      row (kind 0) plus one VARIANT row (kind 1) per SET bucket bit
+      with that bit cleared — the MIH set-bit rule: a bucket-distance-1
+      pair differs in exactly one bit, exactly one side has it set, so
+      the pair meets exactly once, in the cleared side's group; the
+      expected fan-out is 1 + n_planes/2 rows per vector vs the join
+      plan's 1 + n_planes probe rows.
+    - stage 2 (applyInPandas by bucket): exact members E score against
+      E (upper triangle by vec_id — distance-0 pairs, found once) and
+      against variants V (distance-1 pairs, found once); V×V pairs are
+      distance 2 and never scored. Dots are the floor-quantized int64
+      component products summed, cosine the same double divisions and
+      the same floor(x·1e6 + 0.5)/1e6 quantize as the column algebra.
+      NaN cosines (zero-quantized norms) are EXCLUDED — verified
+      empirically against the join plan, whose ``>= threshold``
+      comparison drops NaN (NumPy's NaN-false comparison matches). Row
+      chunks bound the m×n×d temp at ~128 MB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = float(DOT_SCALE)
+    planes_full = np.array(
+        [_plane_values(p) for p in range(n_planes)], dtype=np.float64
+    )
+
+    def _emit(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            dim = V.shape[1]
+            if dim > _MAX_DIM:
+                raise ValueError(
+                    f"vector dim {dim} exceeds the {_MAX_DIM}-component "
+                    f"plane tables (same contract as lsh_bucket)"
+                )
+            ids = pdf["vec_id"].to_numpy()
+            qself = (
+                np.floor(V * V * scale + 0.5).astype(np.int64).sum(axis=1)
+            )
+            nrm = np.sqrt(qself.astype(np.float64) / scale)
+            bucket = np.zeros(len(ids), dtype=np.int64)
+            for p in range(n_planes):
+                proj = (
+                    np.floor(V * planes_full[p, :dim][None, :] * scale + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                bucket |= (proj > 0).astype(np.int64) << p
+            frames = [
+                pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "v": list(V),
+                        "norm": nrm,
+                        "bkt": bucket,
+                        "kind": np.zeros(len(ids), dtype=np.int32),
+                    }
+                )
+            ]
+            for t in range(n_planes):
+                m = (bucket >> t) & 1 == 1
+                if m.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": ids[m],
+                                "v": list(V[m]),
+                                "norm": nrm[m],
+                                "bkt": bucket[m] ^ (1 << t),
+                                "kind": np.ones(
+                                    int(m.sum()), dtype=np.int32
+                                ),
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True)
+
+    keyed = df.select("vec_id", F.col(vec_col).alias(vec_col)).mapInPandas(
+        _emit,
+        "vec_id long, v array<double>, norm double, bkt long, kind int",
+    )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(
+            pdf["kind"].to_numpy() * (1 << 62) + pdf["vec_id"].to_numpy(),
+            kind="stable",
+        )
+        ids = pdf["vec_id"].to_numpy()[order]
+        kinds = pdf["kind"].to_numpy()[order]
+        nrm = pdf["norm"].to_numpy()[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+        )[order]
+        n_e = int((kinds == 0).sum())
+        if n_e == 0 or len(ids) < 2:
+            return _EMPTY
+        outs = [_EMPTY]
+        cols = np.arange(len(ids))[None, :]
+        for c0 in range(0, n_e, 256):
+            c1 = min(c0 + 256, n_e)
+            acc = np.zeros((c1 - c0, len(ids)), dtype=np.int64)
+            for d0 in range(0, V.shape[1], 64):
+                d1 = min(d0 + 64, V.shape[1])
+                acc += (
+                    np.floor(
+                        V[c0:c1, None, d0:d1] * V[None, :, d0:d1] * scale
+                        + 0.5
+                    )
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (acc.astype(np.float64) / scale) / (
+                    nrm[c0:c1, None] * nrm[None, :]
+                )
+                cosq = np.floor(cos * 1e6 + 0.5) / 1e6
+            rows = np.arange(c0, c1)[:, None]
+            m = (((cols < n_e) & (rows < cols)) | (cols >= n_e)) & (
+                cosq >= threshold
+            )
+            rr, cc = np.nonzero(m)
+            if len(rr):
+                a = ids[c0 + rr]
+                b = ids[cc]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(a, b),
+                            "vec_b": np.maximum(a, b),
+                            "cosine": cosq[rr, cc],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy("bkt").applyInPandas(
+        _score, "vec_a long, vec_b long, cosine double"
+    )
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -993,11 +1165,29 @@ def lsh_near_dup_pairs(
     parquet's ~7 natural splits serialize the heaviest map work of the
     whole operator on 7 cores; data-proportional spread fans it to the
     core count and is a no-op at cluster-scale inputs.
+
+    Size-gated twin plans (round 12, the simhash precedent): the
+    expression join above is the ORACLE-SHAPED plan and stays selected
+    below ``LSH_KERNEL_BYTES``; past it, the pair stage runs as the
+    engine's established bucket-grouped Arrow kernel
+    (``_lsh_pairs_kernel``) — the sf100 continuation measured the join
+    plan at 918 s with ~10⁹ interpreted per-candidate HOF dots as the
+    bottleneck. The kernel replays every quantized step bit-identically
+    (the cosine_topk convention), uses the MIH twins' SET-BIT variant
+    transport (each vector emits its bucket + one variant per SET
+    bucket bit, so a bucket-distance-1 pair meets exactly once, in the
+    cleared side's group; distance-0 pairs meet in their shared
+    bucket's exact set), and never materializes candidate pairs as
+    rows. Pair sets and cosine bits are test-asserted equal between the
+    plans.
     """
     from .cleaning import spread
+    from .dedup import _estimated_bytes
 
     df = spread(df, key="vec_id")
     n_planes = resolve_planes(df, n_planes)
+    if _estimated_bytes(df) >= LSH_KERNEL_BYTES:
+        return _lsh_pairs_kernel(df, vec_col, threshold, n_planes)
     n = norms(df, vec_col).withColumn(
         "bucket", lsh_bucket(vec_col, n_planes)
     )

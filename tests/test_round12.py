@@ -258,3 +258,55 @@ def test_semantic_dedup_granularity_guard(spark, monkeypatch):
         for r in similarity.semantic_dedup(emb).collect()
     }
     assert len(got) == 2  # the pinned sf0.01 SemDeDup drop list size
+
+
+# ----------------------------- lsh_near_dup size-gated kernel parity
+def test_lsh_pairs_kernel_equals_join_plan(spark):
+    """The corpus-scale Arrow kernel must produce EXACTLY the
+    expression-join plan's pair set and cosine bits — including the
+    zero-vector corner (NaN cosines are excluded by BOTH plans) and the
+    set-bit single-orientation transport (no pair found twice)."""
+    import numpy as np
+
+    from data_lakehouse_hygiene_spark.operators import similarity as S
+    from data_lakehouse_hygiene_spark.operators.cleaning import spread
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(200)]
+    rows += [
+        (
+            1000 + i,
+            [
+                float(x)
+                for x in base[i]
+                + rng.normal(scale=0.01, size=16).astype("float32")
+            ],
+            0,
+        )
+        for i in range(40)
+    ]
+    rows.append((2000, [0.0] * 16, 0))  # zero vector: NaN cosine corner
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    for planes in (4, 8):
+        join_plan = {
+            tuple(r)
+            for r in S.lsh_near_dup_pairs(df, n_planes=planes).collect()
+        }
+        kernel = {
+            tuple(r)
+            for r in S._lsh_pairs_kernel(
+                spread(df, key="vec_id"), "embedding", 0.45, planes
+            ).collect()
+        }
+        assert join_plan == kernel, planes
+        # exactly-once: no duplicate (a, b) rows out of the kernel
+        ab = [
+            (r.vec_a, r.vec_b)
+            for r in S._lsh_pairs_kernel(
+                spread(df, key="vec_id"), "embedding", 0.45, planes
+            ).collect()
+        ]
+        assert len(ab) == len(set(ab))
