@@ -310,3 +310,34 @@ def test_lsh_pairs_kernel_equals_join_plan(spark):
             ).collect()
         ]
         assert len(ab) == len(set(ab))
+
+
+def test_heavy_hitters_collect_gate_sees_shuffle_fanout(spark):
+    """The collect-gate partition bound must include the session
+    shuffle fan-out (round-11 review: shuffle-output inputs have
+    spark.sql.shuffle.partitions tasks regardless of byte size). With a
+    fan-out large enough that (c+1)·n_parts exceeds HH_COLLECT_MAX, the
+    operator must take the distributed path — and values must be
+    unchanged."""
+    from data_lakehouse_hygiene_spark.operators import aggregates
+
+    rows = [("hot",)] * 60 + [(f"v{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "token string")
+    want = [
+        tuple(r)
+        for r in aggregates.heavy_hitters(df, "token", phi=0.3).collect()
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(aggregates.HH_COLLECT_MAX),  # (c+1)*n_parts >> gate
+    )
+    try:
+        got = [
+            tuple(r)
+            for r in aggregates.heavy_hitters(df, "token", phi=0.3).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert got == want
+    assert [t[0] for t in got] == ["hot"]
