@@ -189,8 +189,13 @@ def dq_check(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
     adding rules adds columns, not passes. Uniqueness/referential rules
     need their own grouped/join form (see ``dq_unique``)."""
     n = F.count(F.lit(1))
+    # Coalesce to 0: SUM over zero rows is NULL, which would make
+    # `pass` NULL (falsy) and report every rule violated on an EMPTY
+    # input — empty inputs must fail only non_empty (round-13 ADVICE).
     aggs = [n.alias("__n")] + [
-        F.sum(F.when(pred, 1).otherwise(0)).alias(f"__v_{i}")
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)).alias(
+            f"__v_{i}"
+        )
         for i, (_, pred) in enumerate(rules)
     ]
     one = df.agg(*aggs)

@@ -518,9 +518,11 @@ def cosine_pairs(
         # PLANNED-SHUFFLE refusal (round 12, COSINE_SHUFFLE_MAX_BYTES):
         # every kept pair ships both blocks' member rows to one cogroup
         # key, so the replicated volume is exactly
-        # Σ_{(i,j)} (m_i + m_j) · row_bytes (m_i once for self-pairs) —
-        # computable here from the radius-agg counts before ANY pair
-        # task launches. The input-bytes gate alone let a 500 MB corpus
+        # Σ_{(i,j)} (m_i + m_j) · row_bytes — self-pairs included at
+        # 2·m_i, because the cogroup explodes block i onto BOTH the
+        # a-side and the b-side of pid i·p+i (round-13 ADVICE fix: the
+        # earlier m_i-once count could under-estimate by up to 2× on
+        # self-pair-dominated plans). The input-bytes gate alone let a 500 MB corpus
         # of random-direction vectors (near-π cluster radii → pruner
         # keeps ~everything) plan ~140 GB of shuffle and kill the node
         # on spill; refusing on the planned volume catches exactly the
@@ -533,7 +535,7 @@ def cosine_pairs(
         row_bytes = dim * 8 + 32  # UnsafeRow array + ids/keys overhead
         planned = (
             sum(
-                blk_rows[i] + (blk_rows[j] if j != i else 0.0)
+                blk_rows[i] + (blk_rows[j] if j != i else blk_rows[i])
                 for i, j in kept
             )
             * row_bytes
@@ -1079,9 +1081,11 @@ def _lsh_pairs_kernel(
     )
 
     def _score(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(
-            pdf["kind"].to_numpy() * (1 << 62) + pdf["vec_id"].to_numpy(),
-            kind="stable",
+        # lexsort, not kind*(1<<62)+id: kind arrives int32 from the
+        # Arrow schema and NumPy>=2.0 (NEP 50) raises OverflowError on
+        # int32_array * out-of-range Python int (round-13 ADVICE).
+        order = np.lexsort(
+            (pdf["vec_id"].to_numpy(), pdf["kind"].to_numpy())
         )
         ids = pdf["vec_id"].to_numpy()[order]
         kinds = pdf["kind"].to_numpy()[order]

@@ -1,0 +1,132 @@
+"""Round-13 pins: the three round-12 ADVICE fixes.
+
+1. cosine_pairs' planned-shuffle gate counts SELF block pairs at
+   2*m_i (the cogroup explodes block i onto BOTH sides of pid i*p+i),
+   so the gate can no longer under-estimate by up to 2x on
+   self-pair-dominated plans.
+2. lsh kernel _score orders with np.lexsort, not int32_kind * (1<<62)
+   (NumPy >= 2.0 / NEP 50 raises OverflowError on that product); pinned
+   by kernel-vs-join parity on vec_ids ABOVE int32 range.
+3. dq_check coalesces violation sums to 0 so an EMPTY input fails only
+   the non_empty expectation, never the value rules.
+"""
+
+import pytest
+
+
+# ------------- ADVICE 1: self pairs counted twice in the shuffle gate
+def test_cosine_gate_counts_self_pairs_twice(spark, tmp_path):
+    """One cluster => the only kept block pair is the self pair (0,0).
+    The cogroup ships every member row to BOTH exploded sides, so the
+    planned volume is 2*n*row_bytes; a budget between 1x and 2x must
+    REFUSE (the pre-fix m_i-once count would have launched)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "emb")
+    emb.write.parquet(path)  # file-backed so _estimated_bytes > 0
+    df = spark.read.parquet(path)
+
+    n, dim = 500, 64
+    row_bytes = dim * 8 + 32  # matches the gate's row-size model
+    between = int(1.5 * n * row_bytes)  # > 1x, < 2x planned volume
+
+    from data_lakehouse_hygiene_spark.operators import similarity
+
+    with pytest.raises(ValueError) as exc:
+        similarity.cosine_pairs(
+            df, n_blocks=1, small_bytes=0, max_shuffle_bytes=between
+        ).collect()
+    assert "planned replicated shuffle" in str(exc.value)
+
+    # a budget ABOVE 2x the self-pair volume runs the exact path and
+    # the result is blocking-invariant (equals the default small path)
+    got = {
+        tuple(r)
+        for r in similarity.cosine_pairs(
+            df,
+            n_blocks=1,
+            small_bytes=0,
+            max_shuffle_bytes=int(3.0 * n * row_bytes),
+        ).collect()
+    }
+    want = {tuple(r) for r in similarity.cosine_pairs(emb).collect()}
+    assert got == want
+
+
+# ------------- ADVICE 2: lexsort ordering, pinned with int64-range ids
+def test_lsh_kernel_lexsort_handles_int64_ids(spark):
+    """The kernel's echelon sort must not depend on fitting
+    kind*(1<<62)+vec_id into the kind column's int32 dtype: vec_ids
+    beyond int32 range must produce exactly the join plan's pair set."""
+    import numpy as np
+
+    from data_lakehouse_hygiene_spark.operators import similarity as S
+    from data_lakehouse_hygiene_spark.operators.cleaning import spread
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(60, 16)).astype("float32")
+    big = 1 << 33  # above int32 range
+    rows = [(big + i, [float(x) for x in base[i]], 0) for i in range(60)]
+    rows += [
+        (
+            big + 1000 + i,
+            [
+                float(x)
+                for x in base[i]
+                + rng.normal(scale=0.01, size=16).astype("float32")
+            ],
+            0,
+        )
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    join_plan = {
+        tuple(r) for r in S.lsh_near_dup_pairs(df, n_planes=6).collect()
+    }
+    kernel = {
+        tuple(r)
+        for r in S._lsh_pairs_kernel(
+            spread(df, key="vec_id"), "embedding", 0.45, 6
+        ).collect()
+    }
+    assert join_plan == kernel
+    assert len(kernel) >= 15  # the planted near-dup pairs were found
+
+
+# ------------- ADVICE 3: dq_check on an empty input
+def test_dq_check_empty_input_passes_value_rules(spark):
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark import maintenance
+
+    empty = spark.createDataFrame([], "ts timestamp, value double")
+    report = maintenance.dq_check(
+        empty,
+        [("null_ts", F.col("ts").isNull()), ("neg", F.col("value") < 0)],
+    ).collect()
+    assert len(report) == 2
+    for r in report:
+        assert r["n_rows"] == 0
+        assert r["n_violations"] == 0
+        assert r["pass"] is True
+
+
+def test_enforce_zone_empty_input_fails_only_non_empty(spark):
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark import pipeline
+
+    empty = spark.createDataFrame([], "ts timestamp, value double")
+    with pytest.raises(pipeline.DataQualityError) as exc:
+        pipeline.enforce_zone(
+            empty,
+            "clean",
+            rules=[
+                ("null_ts", F.col("ts").isNull()),
+                ("neg", F.col("value") < 0),
+            ],
+        )
+    msg = str(exc.value)
+    assert "non_empty" in msg
+    assert "null_ts" not in msg and "neg" not in msg
