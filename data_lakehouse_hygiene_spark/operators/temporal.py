@@ -31,6 +31,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Planned-explode refusal knobs (round 13 — the cosine_pairs pattern,
+# similarity.py:518): range_join and gap_fill were the engine's last
+# data-dependent explode terms with no refusal path. One corrupt
+# open-ended interval (a 9999-12-31 sentinel end_ts) at the default
+# 3600 s bucket plans ~70M exploded rows from ONE input row; one
+# epoch-0 timestamp in a key makes a ~490k-row LOCF spine per key at
+# hourly buckets — both invisible to input-byte estimates. Inputs past
+# the probe floor pay ONE column-pruned aggregate computing the EXACT
+# planned row term before any explode task launches, and refuse above
+# the budget naming the knob.
+RANGE_PROBE_BYTES = 16 << 20  # probe floor: below this, explode is
+# bounded by floor_bytes / interval_row_bytes × per-row expansion and
+# the fixed probe job would dominate the whole operator at toy scale
+RANGE_EXPLODE_MAX_ROWS = 2_000_000_000  # ~2e9 exploded interval rows
+GAP_PROBE_BYTES = 16 << 20
+GAP_SPINE_MAX_ROWS = 2_000_000_000  # ~2e9 spine rows across all keys
+
 
 def asof_join(
     events: DataFrame,
@@ -79,6 +96,7 @@ def range_join(
     start: str = "start_ts",
     end: str = "end_ts",
     bucket_seconds: int = 3600,
+    max_explode_rows: int = RANGE_EXPLODE_MAX_ROWS,
 ) -> DataFrame:
     """Interval-containment join: every (interval, event) pair of the same
     ``key`` with ``start <= event.ts < end``, as a bucketed equi-join.
@@ -90,9 +108,45 @@ def range_join(
     so no post-join dedup is needed. Pick ``bucket_seconds`` near the
     typical interval length: expansion is len/bucket + 1 rows per
     interval, and residual selectivity stays high.
+
+    Planned-explode refusal (round 13): the expansion term is
+    data-dependent — one corrupt open-ended interval (a ``9999-12-31``
+    sentinel ``end_ts``) plans ~70M rows from ONE row at the default
+    bucket, invisible to input-byte estimates. Interval inputs past
+    ``RANGE_PROBE_BYTES`` pay one column-pruned (start, end) aggregate
+    computing the EXACT planned exploded-row count
+    Σ(floor(end/bs) − floor(start/bs) + 1) and refuse above
+    ``max_explode_rows`` naming the knobs, before any explode task
+    launches.
     """
+    from .dedup import _estimated_bytes
+
     i_start = F.unix_timestamp(F.col(start))
     i_end = F.unix_timestamp(F.col(end))
+    if _estimated_bytes(intervals) > RANGE_PROBE_BYTES:
+        planned = (
+            intervals.agg(
+                F.sum(
+                    (
+                        F.floor(i_end / bucket_seconds)
+                        - F.floor(i_start / bucket_seconds)
+                        + 1
+                    ).cast("double")
+                ).alias("__planned")
+            ).collect()[0]["__planned"]
+        )
+        if planned is not None and planned > max_explode_rows:
+            raise ValueError(
+                f"range_join planned interval explosion {planned:.2e} rows "
+                f"exceeds max_explode_rows={max_explode_rows:.0e} at "
+                f"bucket_seconds={bucket_seconds}: the interval table "
+                f"contains intervals spanning far more buckets than the "
+                f"join can afford (often a corrupt open-ended sentinel "
+                f"end_ts, e.g. 9999-12-31). Raise bucket_seconds toward "
+                f"the typical interval length, filter sentinel/corrupt "
+                f"intervals first, or raise max_explode_rows after sizing "
+                f"real shuffle capacity."
+            )
     ibkts = F.sequence(
         F.floor(i_start / bucket_seconds), F.floor(i_end / bucket_seconds)
     )
@@ -124,6 +178,7 @@ def gap_fill(
     value_agg: Column,
     bucket: str = "hour",
     bucket_interval: str = "INTERVAL 1 HOUR",
+    max_spine_rows: int = GAP_SPINE_MAX_ROWS,
 ) -> DataFrame:
     """Regular time-series resample with last-observation-carried-forward.
 
@@ -132,8 +187,56 @@ def gap_fill(
     aggregate onto the spine, and fills empty buckets with the latest
     preceding value (NULL before the first observation). ``filled`` is the
     LOCF column; ``n`` is 0 on synthesized buckets.
+
+    Planned-spine refusal (round 13): the per-key ``sequence(min, max)``
+    spine is data-dependent — ONE corrupt epoch-0 timestamp in a key
+    plans a ~490k-row spine for that key at hourly buckets, invisible to
+    input-byte estimates. Inputs past ``GAP_PROBE_BYTES`` pay one
+    column-pruned (key, ts) grouped aggregate computing the EXACT
+    planned spine-row count Σ_key(floor((max−min)/interval) + 1) and
+    refuse above ``max_spine_rows`` naming the knobs, before any spine
+    task launches. The interval length in seconds is resolved from
+    ``bucket_interval`` via a constant-folded anchor expression; for
+    calendar intervals (MONTH/YEAR) the anchor 1999-02-01 makes the
+    divisor the SHORTEST instance (28-day month), so the planned count
+    is an over-estimate — the gate never under-counts.
     """
+    from .dedup import _estimated_bytes
+
     b = F.date_trunc(bucket, F.col(ts))
+    if _estimated_bytes(df) > GAP_PROBE_BYTES:
+        anchor = "timestamp'1999-02-01 00:00:00'"
+        ival_s = F.expr(
+            f"unix_timestamp({anchor} + {bucket_interval})"
+            f" - unix_timestamp({anchor})"
+        )
+        planned = (
+            df.groupBy(key)
+            .agg(
+                F.min(F.unix_timestamp(b)).alias("__mn"),
+                F.max(F.unix_timestamp(b)).alias("__mx"),
+            )
+            .agg(
+                F.sum(
+                    (
+                        F.floor((F.col("__mx") - F.col("__mn")) / ival_s)
+                        + 1
+                    ).cast("double")
+                ).alias("__planned")
+            )
+            .collect()[0]["__planned"]
+        )
+        if planned is not None and planned > max_spine_rows:
+            raise ValueError(
+                f"gap_fill planned spine {planned:.2e} rows exceeds "
+                f"max_spine_rows={max_spine_rows:.0e} at "
+                f"bucket_interval='{bucket_interval}': some key's "
+                f"[min, max] timestamp span covers far more buckets than "
+                f"the spine can afford (often a corrupt epoch-0 or "
+                f"far-future sentinel timestamp). Use a coarser bucket/"
+                f"bucket_interval, filter corrupt timestamps first, or "
+                f"raise max_spine_rows after sizing real capacity."
+            )
     agg = df.groupBy(F.col(key), b.alias("bucket")).agg(
         value_agg.alias("v"), F.count(F.lit(1)).alias("n")
     )

@@ -130,3 +130,184 @@ def test_enforce_zone_empty_input_fails_only_non_empty(spark):
     msg = str(exc.value)
     assert "non_empty" in msg
     assert "null_ts" not in msg and "neg" not in msg
+
+
+# ===== range_join / gap_fill planned-explode refusal (round-13 item 1)
+def test_range_join_refuses_on_planted_sentinel_interval(
+    spark, monkeypatch
+):
+    """One corrupt open-ended interval (9999-12-31 sentinel end_ts)
+    plans ~70M exploded rows from ONE input row at the default bucket —
+    the probe must compute that planned term and refuse naming
+    bucket_seconds; sane intervals under the budget run unchanged."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    intervals = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-01 06:00:00", "a"),
+            (1, "2024-01-02 00:00:00", "9999-12-31 00:00:00", "corrupt"),
+        ],
+        "k int, start_ts string, end_ts string, tag string",
+    ).selectExpr(
+        "k",
+        "cast(start_ts as timestamp) start_ts",
+        "cast(end_ts as timestamp) end_ts",
+        "tag",
+    )
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 03:00:00"), (1, "2024-01-03 00:00:00")],
+        "k int, ts string",
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+
+    monkeypatch.setattr(temporal, "RANGE_PROBE_BYTES", -1)
+    with pytest.raises(ValueError) as exc:
+        temporal.range_join(
+            events,
+            intervals,
+            key="k",
+            ts="ts",
+            max_explode_rows=1_000_000,
+        )
+    msg = str(exc.value)
+    assert "planned interval explosion" in msg
+    assert "bucket_seconds" in msg and "max_explode_rows" in msg
+
+    # sane intervals: probe fires, stays under budget, result correct
+    sane = intervals.where("tag = 'a'")
+    got = {
+        (r.k, str(r.ts), r.tag)
+        for r in temporal.range_join(
+            events, sane, key="k", ts="ts", max_explode_rows=1_000_000
+        ).collect()
+    }
+    assert got == {(1, "2024-01-01 03:00:00", "a")}
+
+
+def test_range_join_no_probe_job_below_floor(spark):
+    """At oracle scale (input under RANGE_PROBE_BYTES) constructing the
+    join must launch NO job — the gate is planning-time only."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    intervals = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 06:00:00")],
+        "k int, start_ts string, end_ts string",
+    ).selectExpr(
+        "k",
+        "cast(start_ts as timestamp) start_ts",
+        "cast(end_ts as timestamp) end_ts",
+    )
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 03:00:00")], "k int, ts string"
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    sc = spark.sparkContext
+    sc.setJobGroup("r13_range_probe", "no-job assertion")
+    try:
+        out = temporal.range_join(events, intervals, key="k", ts="ts")
+        assert (
+            list(sc.statusTracker().getJobIdsForGroup("r13_range_probe"))
+            == []
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert out.count() == 1  # and the plan still evaluates
+
+
+def test_gap_fill_refuses_on_planted_epoch_zero_ts(spark, monkeypatch):
+    """One epoch-0 corrupt timestamp in a key plans a ~490k-row hourly
+    spine for that key — the probe must compute the exact planned spine
+    term and refuse naming bucket_interval; sane input runs unchanged."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    rows = [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 05:00:00", 2.0)]
+    corrupt = rows + [(1, "1970-01-01 00:00:00", 0.0)]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "k int, ts string, v double"
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+
+    monkeypatch.setattr(temporal, "GAP_PROBE_BYTES", -1)
+    with pytest.raises(ValueError) as exc:
+        temporal.gap_fill(
+            mk(corrupt),
+            key="k",
+            ts="ts",
+            value_agg=F.avg("v"),
+            max_spine_rows=10_000,
+        )
+    msg = str(exc.value)
+    assert "planned spine" in msg
+    assert "bucket_interval" in msg and "max_spine_rows" in msg
+
+    got = {
+        (r.k, str(r.bucket), r.n, r.filled)
+        for r in temporal.gap_fill(
+            mk(rows),
+            key="k",
+            ts="ts",
+            value_agg=F.avg("v"),
+            max_spine_rows=10_000,
+        ).collect()
+    }
+    assert len(got) == 6  # hourly spine 00..05
+    assert (1, "2024-01-01 03:00:00", 0, 1.0) in got  # LOCF gap row
+
+
+def test_gap_fill_no_probe_job_below_floor(spark):
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "k int, ts string, v double"
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    sc = spark.sparkContext
+    sc.setJobGroup("r13_gap_probe", "no-job assertion")
+    try:
+        out = temporal.gap_fill(df, key="k", ts="ts", value_agg=F.avg("v"))
+        assert (
+            list(sc.statusTracker().getJobIdsForGroup("r13_gap_probe"))
+            == []
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert out.count() == 1
+
+
+def test_gap_fill_month_interval_probe_overestimates(spark, monkeypatch):
+    """Calendar intervals resolve against the 1999-02-01 anchor (28-day
+    month), so the planned count is an over-estimate — a 12-month span
+    must read ≥ 13 planned rows, never fewer (the gate cannot
+    under-count)."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(1, "2023-01-15 00:00:00", 1.0), (1, "2024-01-15 00:00:00", 2.0)],
+        "k int, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    monkeypatch.setattr(temporal, "GAP_PROBE_BYTES", -1)
+    # budget 12 (< true 13 monthly buckets): the over-estimating probe
+    # must refuse — proving it never under-counts a calendar span
+    with pytest.raises(ValueError):
+        temporal.gap_fill(
+            df,
+            key="k",
+            ts="ts",
+            value_agg=F.avg("v"),
+            bucket="month",
+            bucket_interval="INTERVAL 1 MONTH",
+            max_spine_rows=12,
+        )
+    # a generous budget passes through and yields the exact 13 buckets
+    out = temporal.gap_fill(
+        df,
+        key="k",
+        ts="ts",
+        value_agg=F.avg("v"),
+        bucket="month",
+        bucket_interval="INTERVAL 1 MONTH",
+        max_spine_rows=1_000,
+    )
+    assert out.count() == 13
