@@ -5748,6 +5748,51 @@ _REGISTRY = {
     for n in _R12_PREFIX + [n for n in _REGISTRY if n not in _R12_PREFIX]
 }
 
+# Round-13 rotation (driver samples the FIRST 50 rows). Priority:
+# (a) the 5 rows whose CODE changed this round: dq_check (empty-input
+#     violation sums coalesced to 0), range_join / gap_fill (planned-
+#     explode refusal gates), embedding_near_dup (the cosine_pairs
+#     self-pair 2x shuffle-gate fix lives on its path), lsh_near_dup
+#     (the pair kernel's lexsort ordering fix);
+# (b) ALL 22 rows whose latest official check is still r9 — after r13
+#     lands, no registry row's latest check is older than r10
+#     (computed from CORRECTNESS_r01..r12 keys);
+# (c) 23 fills from the 39-row r10 cohort: the 14 headline-benched rows
+#     heaviest-first (ngram_jaccard 2.24 s ... topk_per_group 0.21 s,
+#     BENCH_DETAIL.json sf0.1), then the 9 most compound unbenched
+#     plans (the BPE train/encode driver-merge loop, dedup_clusters'
+#     iterative CC, dedup_recall's miner-vs-truth join, the two Arrow
+#     media/binary kernels, contamination_check, pack_sequences,
+#     rolling_agg's DECIMAL window). 5 + 22 + 23 = 50.
+_R13_MODIFIED = [
+    "dq_check", "range_join", "gap_fill", "embedding_near_dup",
+    "lsh_near_dup",
+]
+_R13_STALE_R9 = [
+    "anti_semi_join", "chunk_documents", "cohort_retention",
+    "collocation_lift", "cooccurrence_counts", "dist_drift", "dq_unique",
+    "funnel_conversion", "incremental_agg", "kcenter_sample",
+    "mixture_resample", "ngram_counts", "normalize_text", "orphan_counts",
+    "repetition_metrics", "salted_group_count", "streaming_debounce",
+    "streaming_dedup", "streaming_enrich", "streaming_join",
+    "streaming_session_window", "streaming_sliding_window",
+]
+_R13_FILL_R10 = [
+    "ngram_jaccard", "minhash_near_dup", "bigram_lm_score",
+    "unpivot_metrics", "line_dedup", "asof_join", "vocab_topk",
+    "source_dup_stats", "gopher_quality", "pii_scrub", "corpus_diff",
+    "rollup_counts", "strip_html", "topk_per_group",
+    "bpe_train", "bpe_encode", "dedup_clusters", "dedup_recall",
+    "media_transform", "binary_features", "contamination_check",
+    "pack_sequences", "rolling_agg",
+]
+_R13_PREFIX = _R13_MODIFIED + _R13_STALE_R9 + _R13_FILL_R10
+assert len(_R13_PREFIX) == 50 and len(set(_R13_PREFIX)) == 50
+_REGISTRY = {
+    n: _REGISTRY[n]
+    for n in _R13_PREFIX + [n for n in _REGISTRY if n not in _R13_PREFIX]
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
