@@ -221,6 +221,60 @@ def foreach_batch_recompute(
     q.awaitTermination()
 
 
+def gated_zone_stream(
+    stream_df: DataFrame,
+    zone: str,
+    path: str,
+    rules: list | None = None,
+    unique_key: list[str] | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming counterpart of ``pipeline.enforce_zone`` (round 13):
+    land each micro-batch into a zone directory ONLY after the same
+    declarative expectations pass — the batch medallion's DQ gates
+    (``pipeline.py:44``) applied at the stream boundary, closing the
+    reference's ad-hoc-checking upgrade end-to-end (its streaming
+    equivalent was an hourly cron rerun with scattered prints,
+    ``dags/hygiene_dag.py:53`` + SURVEY §5.1).
+
+    Semantics: a violating micro-batch raises
+    :class:`pipeline.DataQualityError` inside ``foreachBatch``, which
+    FAILS the streaming query before the batch's append runs — every
+    previously committed batch stays landed, the corrupt one never
+    lands half-written, and the error names each violated expectation.
+    Empty micro-batches are skipped (a stream trigger with no new data
+    is not a data-quality violation — ``require_rows`` belongs to batch
+    zone writes).
+
+    Scale: the gate cost per micro-batch is ``enforce_zone``'s one
+    conditional-SUM aggregate over the BATCH (plus one groupBy for
+    ``unique_key``), not the table — per-trigger work stays
+    proportional to new data, the file-source contract."""
+    from .. import pipeline as _pipeline
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _pipeline.enforce_zone(
+            batch_df,
+            zone,
+            rules=rules,
+            unique_key=unique_key,
+            require_rows=False,
+        )
+        batch_df.write.mode("append").parquet(path)
+
+    w = (
+        stream_df.writeStream.foreachBatch(_land)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],

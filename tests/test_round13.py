@@ -311,3 +311,76 @@ def test_gap_fill_month_interval_probe_overestimates(spark, monkeypatch):
         max_spine_rows=1_000,
     )
     assert out.count() == 13
+
+
+# ============ streaming zone gates (round-13 item 5: VERDICT agenda)
+def test_gated_zone_stream_aborts_violating_batch_keeps_prior(
+    spark, tmp_path
+):
+    """A violating micro-batch must fail the streaming query with the
+    expectation named, BEFORE its append lands — and every previously
+    committed batch must survive in the zone directory."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark import pipeline, streaming
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp_ntz, value double"
+    good = [(1, t0, 5.0), (2, t0, 7.0)]
+    bad = [(3, t0, -4.0), (4, None, 1.0)]  # violates BOTH rules
+    src = str(tmp_path / "src")
+    zone = str(tmp_path / "clean")
+    spark.createDataFrame(good, schema).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    spark.createDataFrame(bad, schema).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    rules = [
+        ("null_ts", F.col("ts").isNull()),
+        ("negative_value", F.col("value") < 0),
+    ]
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/f*")
+        )
+        streaming.gated_zone_stream(
+            stream,
+            "clean",
+            zone,
+            rules=rules,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+
+    with pytest.raises(Exception) as exc:
+        start()
+    msg = str(exc.value)
+    assert "null_ts" in msg and "negative_value" in msg
+    assert "clean" in msg and "DataQualityError" in msg
+
+    # prior state survives: batch 1 landed before the abort, batch 2
+    # never landed (half-written state is impossible: the gate runs
+    # before the append)
+    landed = spark.read.parquet(zone)
+    assert {r.event_id for r in landed.collect()} == {1, 2}
+
+    # the sane-only stream lands everything through the same gate
+    zone2 = str(tmp_path / "clean2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f1")
+    )
+    streaming.gated_zone_stream(
+        stream,
+        "clean",
+        zone2,
+        rules=rules,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    assert spark.read.parquet(zone2).count() == 2
