@@ -808,6 +808,47 @@ SIMHASH_MIH_BYTES = 16 << 20
 SIMHASH_BANDS = 8  # 8 disjoint 8-bit bands of the 64-bit signature
 SIMHASH_MAX_HAMMING = 7  # must stay < SIMHASH_BANDS for the recall guarantee
 
+# MIH planned-compare refusal (round 13). The sixth-decade measurement
+# (SCALING.md: 30M fingerprints, in-process interleaved vs the 10M
+# point) showed the band-collision term taking over: wall grew 10.7×
+# on 3× data, tracking the PREDICTED per-bucket compare volume (~11.5×)
+# almost exactly — with 16-bit bands the candidate term is Θ(n²/2^16)
+# per band no matter how the work is kernelized or how s distributes
+# it. That term is invisible to input bytes AND to the s-growth rule
+# (which bounds rows per task, not compares per corpus), but it is
+# computable EXACTLY before any pair task launches from the per-band
+# bucket histogram — a BOUNDED collect (≤ groups·bands·2^16 rows ≈
+# 2 MB, the band-value domain, never the corpus). Inputs past
+# MIH_PROBE_MIN_DOCS pay that one column-pruned agg; plans above
+# MIH_MAX_COMPARES refuse naming the remedies (exact-dedup identical
+# fingerprints — one mass-dup value of c docs plans c²/2 compares from
+# a single bucket — shard the corpus, or raise the budget after sizing
+# the cluster). 1e12 compares ≈ 35 min on this box's 32 cores; the
+# measured 30M corpus plans ~4.7e11 and passes.
+MIH_PROBE_MIN_DOCS = 2_000_000
+MIH_MAX_COMPARES = 1e12
+
+
+def _mih_planned_compares(c, width: int, s: int) -> float:
+    """EXACT planned popcount-compare count for one band's dense exact
+    histogram ``c`` (length 2^width), mirroring the three kernel loops:
+    within-bucket exact×exact triangles, exact×variant top-bit
+    neighbors (variant emitted only when the flipped bit is SET in the
+    origin, landing in the cleared bucket), and low-bit neighbor
+    exact×exact compares evaluated once (v < v^bit)."""
+    import numpy as np
+
+    low = width - s
+    idx = np.arange(c.shape[0], dtype=np.int64)
+    total = float((c * np.maximum(c - 1.0, 0.0)).sum() / 2.0)
+    for i in range(low, width):
+        m = ((idx >> i) & 1) == 0
+        total += float((c[idx[m]] * c[idx[m] + (1 << i)]).sum())
+    for t in range(low):
+        m = ((idx >> t) & 1) == 0
+        total += float((c[idx[m]] * c[idx[m] + (1 << t)]).sum())
+    return total
+
 
 def _np_pop64(x):
     """Branch-free SWAR popcount over a uint64 ndarray (same constants as
@@ -855,7 +896,10 @@ def mih_bands(max_hamming: int) -> int:
 
 
 def _simhash_mih_pairs(
-    agg: DataFrame, max_hamming: int, n_docs: int | None = None
+    agg: DataFrame,
+    max_hamming: int,
+    n_docs: int | None = None,
+    max_compares: float | None = None,
 ) -> DataFrame:
     """Multi-index-hashing pair stage (Norouzi/Punjani/Fleet, CVPR'12):
     the corpus-scale plan shape for simhash_near_dup_pairs, value-equal
@@ -926,6 +970,54 @@ def _simhash_mih_pairs(
     sigs = agg.select(
         "doc_id", _swar_half(0, "sh_lo"), _swar_half(32, "sh_hi")
     ).repartition("doc_id")
+    # PLANNED-COMPARE refusal (round 13, the sixth-decade finding — see
+    # MIH_MAX_COMPARES): one column-pruned per-band bucket histogram
+    # (bounded collect ≤ b·2^w rows, the band-value domain) feeds the
+    # exact kernel compare term before any pair task launches. Applies
+    # to the 16-bit geometry only: 32-bit bands (h ≤ 3) have occupancy
+    # n/2^32 and their collision term stays under 1e12 compares until
+    # ~4e10 docs — far past a single job's corpus.
+    budget = MIH_MAX_COMPARES if max_compares is None else max_compares
+    if w == 16 and n_docs and n_docs >= MIH_PROBE_MIN_DOCS:
+        import numpy as _np
+
+        hsts = []
+        for k in range(b):
+            src = "sh_lo" if (k + 1) * w <= 32 else "sh_hi"
+            shift = (k * w) % 32
+            hsts.append(
+                f"struct({k} AS band,"
+                f" (shiftrightunsigned({src}, {shift}) & {mask}) AS v)"
+            )
+        rows = (
+            sigs.select(
+                F.explode(F.expr("array(" + ",".join(hsts) + ")")).alias(
+                    "bk"
+                )
+            )
+            .groupBy(F.col("bk.band").alias("band"), F.col("bk.v").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        planned = 0.0
+        for k in range(b):
+            c = _np.zeros(1 << w, dtype=_np.float64)
+            for row in rows:
+                if row["band"] == k:
+                    c[int(row["v"])] = float(row["c"])
+            planned += _mih_planned_compares(c, w, s)
+        if planned > budget:
+            raise ValueError(
+                f"simhash MIH planned compare volume {planned:.2e} exceeds "
+                f"max_compares={budget:.0e} at the {b}×{w}-bit band "
+                f"geometry: band-collision work is Θ(n²/2^{w}) per band "
+                f"and this corpus's bucket histogram concentrates it "
+                f"(mass-duplicate or low-entropy signatures are the usual "
+                f"cause — ONE signature value with c docs plans c²/2 "
+                f"compares from a single bucket). Exact-dedup identical "
+                f"signatures first, shard the corpus, or raise "
+                f"max_compares after sizing the cluster."
+            )
     # Key encoding: ONE bigint ``bvk`` = band_val·2 + kind — the kind
     # flag rides the low bit, so the kernel sorts a single key (exacts
     # land before variants of the same bucket for free) and one shipped

@@ -987,6 +987,7 @@ def media_near_dup(
     max_hamming: int = 7,
     n_bands: int = 4,
     n_assets: int | None = None,
+    max_compares: float | None = None,
 ) -> DataFrame:
     """Near-duplicate media pairs from perceptual fingerprints: Hamming
     distance ≤ ``max_hamming`` over the 64-bit ``phash`` column, mined
@@ -1090,6 +1091,70 @@ def media_near_dup(
         ):
             s += 1
     low = width - s
+    # PLANNED-COMPARE refusal (round 13, the sixth-decade finding —
+    # dedup.MIH_MAX_COMPARES): with 16-bit bands the kernel's compare
+    # volume is Θ(n²/2^16) per band per modality — wall tracked that
+    # term, not the emit volume, between the 10M and 30M decades
+    # (SCALING.md). The exact term is computable pre-launch from the
+    # per-(modality, band) bucket histogram: a BOUNDED collect
+    # (≤ modalities·n_bands·2^width rows — the band-value domain times
+    # the media_type enum, never the corpus). Refusal names the
+    # remedies; mass-duplicate fingerprints are the usual cause (the
+    # docstring already mandates exact-dedup on phash first — this
+    # gate ENFORCES the cost of skipping it instead of discovering it
+    # mid-shuffle).
+    from .dedup import (
+        MIH_MAX_COMPARES,
+        MIH_PROBE_MIN_DOCS,
+        _mih_planned_compares,
+    )
+
+    budget = MIH_MAX_COMPARES if max_compares is None else max_compares
+    if width == 16 and n_assets and n_assets >= MIH_PROBE_MIN_DOCS:
+        hsts = [
+            f"struct({k} AS band,"
+            f" (shiftrightunsigned(phash, {width * k}) & {mask}) AS v)"
+            for k in range(n_bands)
+        ]
+        rows = (
+            fp.select(
+                "media_type",
+                F.explode(F.expr("array(" + ",".join(hsts) + ")")).alias(
+                    "bk"
+                ),
+            )
+            .groupBy(
+                "media_type",
+                F.col("bk.band").alias("band"),
+                F.col("bk.v").alias("v"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per: dict[tuple, list] = {}
+        for row in rows:
+            per.setdefault((row["media_type"], row["band"]), []).append(
+                (int(row["v"]), float(row["c"]))
+            )
+        planned = 0.0
+        for vc in per.values():
+            c = np.zeros(1 << width, dtype=np.float64)
+            vals = np.array([v for v, _ in vc], dtype=np.int64)
+            c[vals] = [cnt for _, cnt in vc]
+            planned += _mih_planned_compares(c, width, s)
+        if planned > budget:
+            raise ValueError(
+                f"media_near_dup planned MIH compare volume {planned:.2e} "
+                f"exceeds max_compares={budget:.0e} at the "
+                f"{n_bands}×{width}-bit band geometry: band-collision "
+                f"work is Θ(n²/2^{width}) per band per modality and this "
+                f"corpus's bucket histogram concentrates it "
+                f"(mass-duplicate fingerprints are the usual cause — ONE "
+                f"phash value with c assets plans c²/2 compares from a "
+                f"single bucket). Exact-dedup identical phash values "
+                f"first, shard the corpus per modality/time, or raise "
+                f"max_compares after sizing the cluster."
+            )
     # Key encoding + SET-BIT variant rule (the text twin's round-11
     # transport, dedup._simhash_mih_pairs): ``bvk`` = band_val·2 + kind
     # packs the kind flag into the key's low bit (one sort key, one

@@ -441,3 +441,106 @@ def test_lsh_kernel_recall_bounds_on_planted_pairs(spark):
     assert r8 >= 0.88  # measured 0.917 at this seed/scale
     assert r15 >= 0.70  # measured 0.768
     assert r8 > r15  # planes are the recall knob, monotone down
+
+
+# ====== MIH planned-compare refusal (round-13 sixth-decade finding)
+def test_media_mih_gate_refuses_mass_dup_histogram(spark, monkeypatch):
+    """A mass-duplicate fingerprint corpus concentrates the band-bucket
+    histogram: ONE phash value with c assets plans c(c-1)/2 compares per
+    band from a single bucket. The probe must compute that exact term
+    from the bounded histogram collect and refuse over budget; the
+    default budget runs the same corpus unchanged."""
+    from data_lakehouse_hygiene_spark.operators import dedup, multimodal
+
+    rows = [(i, "image/bmp", 0x0123456789ABCDEF) for i in range(200)]
+    fp = spark.createDataFrame(
+        rows, "doc_id long, media_type string, phash long"
+    )
+    monkeypatch.setattr(dedup, "MIH_PROBE_MIN_DOCS", 0)
+    with pytest.raises(ValueError) as exc:
+        multimodal.media_near_dup(
+            fp, max_hamming=7, n_assets=25_000, max_compares=10_000
+        )
+    msg = str(exc.value)
+    assert "planned MIH compare volume" in msg
+    assert "Exact-dedup identical phash" in msg
+    # exact term: 4 bands x C(200,2) single-bucket triangles
+    assert "7.96e+04" in msg
+
+    got = multimodal.media_near_dup(fp, max_hamming=7, n_assets=25_000)
+    assert got.count() == 200 * 199 // 2  # all-pairs at hamming 0
+
+
+def test_media_mih_gate_no_probe_job_below_floor(spark):
+    from data_lakehouse_hygiene_spark.operators import multimodal
+
+    rows = [
+        (i, "image/bmp", (i * 0x9E3779B97F4A7C15) % (1 << 62))
+        for i in range(50)
+    ]
+    fp = spark.createDataFrame(
+        rows, "doc_id long, media_type string, phash long"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("r13_mih_probe", "no-job assertion")
+    try:
+        out = multimodal.media_near_dup(fp, max_hamming=7, n_assets=25_000)
+        assert (
+            list(sc.statusTracker().getJobIdsForGroup("r13_mih_probe"))
+            == []
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert out.count() >= 0
+
+
+def test_simhash_mih_gate_refuses_mass_dup_corpus(spark, monkeypatch):
+    """The text twin's identical gate, exercised through
+    simhash_near_dup_pairs: identical documents share a signature, so
+    the per-band histogram is one bucket of c docs — the probe refuses
+    over budget, and the default budget mines the same corpus."""
+    from data_lakehouse_hygiene_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact document body for everyone") for i in range(100)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dedup, "SIMHASH_MIH_BYTES", 0)
+    monkeypatch.setattr(dedup, "MIH_PROBE_MIN_DOCS", 0)
+    monkeypatch.setattr(dedup, "MIH_MAX_COMPARES", 10_000)
+    with pytest.raises(ValueError) as exc:
+        dedup.simhash_near_dup_pairs(docs, max_hamming=7)
+    msg = str(exc.value)
+    assert "simhash MIH planned compare volume" in msg
+    assert "Exact-dedup identical signatures" in msg
+
+    monkeypatch.setattr(dedup, "MIH_MAX_COMPARES", 1e12)
+    got = dedup.simhash_near_dup_pairs(docs, max_hamming=7)
+    assert got.count() == 100 * 99 // 2
+
+
+def test_mih_planned_compares_matches_brute_force():
+    """The histogram term must equal a brute-force count of the three
+    kernel loops on a random small-width geometry."""
+    import numpy as np
+
+    from data_lakehouse_hygiene_spark.operators.dedup import (
+        _mih_planned_compares,
+    )
+
+    rng = np.random.default_rng(13)
+    width, s = 6, 2
+    low = width - s
+    c = rng.integers(0, 5, size=1 << width).astype(np.float64)
+    want = float((c * np.maximum(c - 1, 0)).sum() / 2)  # triangles
+    for u in range(1 << width):
+        # exact x variant: variants land in u from set-bit origins
+        for i in range(low, width):
+            if not (u >> i) & 1:
+                want += c[u] * c[u ^ (1 << i)]
+        # low-bit neighbors, evaluated once (v < v^bit)
+        for t in range(low):
+            if not (u >> t) & 1:
+                want += c[u] * c[u ^ (1 << t)]
+    got = _mih_planned_compares(c, width, s)
+    assert got == want
