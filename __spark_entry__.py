@@ -5765,8 +5765,12 @@ _REGISTRY = {
 #     media/binary kernels, contamination_check, pack_sequences,
 #     rolling_agg's DECIMAL window). 5 + 22 + 23 = 50.
 _R13_MODIFIED = [
+    # media_near_dup / simhash_near_dup joined mid-round when the MIH
+    # planned-compare gate landed on their corpus arms; they take the
+    # two lightest r10-fill slots (strip_html, topk_per_group — both
+    # r10-green column algebra, re-verified locally every run).
     "dq_check", "range_join", "gap_fill", "embedding_near_dup",
-    "lsh_near_dup",
+    "lsh_near_dup", "media_near_dup", "simhash_near_dup",
 ]
 _R13_STALE_R9 = [
     "anti_semi_join", "chunk_documents", "cohort_retention",
@@ -5781,7 +5785,7 @@ _R13_FILL_R10 = [
     "ngram_jaccard", "minhash_near_dup", "bigram_lm_score",
     "unpivot_metrics", "line_dedup", "asof_join", "vocab_topk",
     "source_dup_stats", "gopher_quality", "pii_scrub", "corpus_diff",
-    "rollup_counts", "strip_html", "topk_per_group",
+    "rollup_counts",
     "bpe_train", "bpe_encode", "dedup_clusters", "dedup_recall",
     "media_transform", "binary_features", "contamination_check",
     "pack_sequences", "rolling_agg",
