@@ -952,6 +952,98 @@ WHERE {ham} <= 7
 
 SQL_SIMHASH_NEAR_DUP = _sql_simhash_near_dup()
 
+
+def _simhash128_cte() -> str:
+    """128-bit extension of ``_simhash_cte``: the full md5 supplies the
+    bits — hex digit j//4+1 spans digits 1-16 for bits 0-63 (identical
+    to the 64-bit oracle) and digits 17-32 for bits 64-127, with the
+    same within-digit bit mapping. The four packed halves replay
+    ``dedup.simhash128_signatures``'s sh_0..sh_3 exactly."""
+    sums = ",\n         ".join(
+        f"sum(((strpos('{_HEX}', substr(hh, {j // 4 + 1}, 1)) - 1)"
+        f" // {2 ** (j % 4)}) % 2 * 2 - 1) AS s{j}"
+        for j in range(128)
+    )
+    # concat(...) not a||b||... : DuckDB binds the || chain as a
+    # 128-deep binary tree and hits its recursion cap at exactly 128
+    bits = (
+        "concat("
+        + ", ".join(
+            f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)"
+            for j in range(128)
+        )
+        + ")"
+    )
+    halves = ",\n        ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{j} > 0 THEN {2 ** (j - 32 * q)} ELSE 0 END)"
+            for j in range(32 * q, 32 * q + 32)
+        )
+        + f" AS BIGINT) AS sh_{q}"
+        for q in range(4)
+    )
+    return f"""
+tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+shg AS (
+  SELECT DISTINCT t.doc_id, t.ts[g.i] || ' ' || t.ts[g.i+1] || ' ' || t.ts[g.i+2] AS t
+  FROM tok t, LATERAL (SELECT unnest(range(1, len(t.ts) - 1)) AS i) g
+  WHERE len(t.ts) >= 3
+  UNION
+  SELECT doc_id, text AS t FROM tok WHERE len(ts) < 3),
+h AS (SELECT doc_id, md5(t) AS hh FROM shg),
+sm AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {bits} AS simhash_bits,
+        {halves} FROM sm)"""
+
+
+SQL_SIMHASH128_FP = f"""
+WITH {_simhash128_cte()}
+SELECT doc_id, simhash_bits FROM sig
+"""
+
+
+def q_simhash128_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash fingerprints (two md5 SWAR lanes — round 13).
+    The tight-radius code that makes 4×32-bit MIH bands feasible: the
+    sixth-decade measurement showed 64-bit codes' 16-bit bands carry a
+    Θ(n²/2^16)-per-band collision term that dominates past ~10M docs;
+    128-bit codes at the same absolute radius cut it 2^16×. See
+    ``dedup.simhash128_signatures``."""
+    return dedup.simhash128_signatures(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "simhash_bits")
+
+
+def q_simhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 128-bit SimHash Hamming-≤7 pairs. Oracle = the
+    brute-force all-pairs definition over the replayed four halves; the
+    banded plan provably equals it (pigeonhole: h ≤ 7 < 8 disjoint
+    16-bit bands → one identical band)."""
+    return dedup.simhash128_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_simhash128_near_dup() -> str:
+    ham = (
+        "CAST("
+        + " + ".join(
+            f"bit_count(xor(a.sh_{q}, b.sh_{q}))" for q in range(4)
+        )
+        + " AS BIGINT)"
+    )
+    return f"""
+WITH {_simhash128_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {ham} <= 7
+"""
+
+
+SQL_SIMHASH128_NEAR_DUP = _sql_simhash128_near_dup()
+
 _DOT = (
     "CAST(floor(CAST({a}[g.i] AS DOUBLE) * CAST({b}[g.i] AS DOUBLE)"
     " * 1000000000000.0 + 0.5) AS HUGEINT)"
@@ -5325,6 +5417,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
     "simhash_fp": (q_simhash_fp, SQL_SIMHASH_FP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
+    "simhash128_fp": (q_simhash128_fp, SQL_SIMHASH128_FP),
+    "simhash128_near_dup": (q_simhash128_near_dup, SQL_SIMHASH128_NEAR_DUP),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     # -- stale official record: last driver-checked in r01; locally green
     # -- every run (test_oracle_parity) but the official record should
@@ -5764,6 +5858,13 @@ _REGISTRY = {
 #     iterative CC, dedup_recall's miner-vs-truth join, the two Arrow
 #     media/binary kernels, contamination_check, pack_sequences,
 #     rolling_agg's DECIMAL window). 5 + 22 + 23 = 50.
+_R13_NEW = [
+    # first-ever checks: the round-13 128-bit SimHash family (two-lane
+    # SWAR fingerprints + 4×32-bit-band MIH miner — the sixth-decade
+    # band-collision remedy); they take two more r10-fill slots
+    # (rollup_counts, pii_scrub — r10-green column algebra).
+    "simhash128_fp", "simhash128_near_dup",
+]
 _R13_MODIFIED = [
     # media_near_dup / simhash_near_dup joined mid-round when the MIH
     # planned-compare gate landed on their corpus arms; they take the
@@ -5784,13 +5885,12 @@ _R13_STALE_R9 = [
 _R13_FILL_R10 = [
     "ngram_jaccard", "minhash_near_dup", "bigram_lm_score",
     "unpivot_metrics", "line_dedup", "asof_join", "vocab_topk",
-    "source_dup_stats", "gopher_quality", "pii_scrub", "corpus_diff",
-    "rollup_counts",
+    "source_dup_stats", "gopher_quality", "corpus_diff",
     "bpe_train", "bpe_encode", "dedup_clusters", "dedup_recall",
     "media_transform", "binary_features", "contamination_check",
     "pack_sequences", "rolling_agg",
 ]
-_R13_PREFIX = _R13_MODIFIED + _R13_STALE_R9 + _R13_FILL_R10
+_R13_PREFIX = _R13_NEW + _R13_MODIFIED + _R13_STALE_R9 + _R13_FILL_R10
 assert len(_R13_PREFIX) == 50 and len(set(_R13_PREFIX)) == 50
 _REGISTRY = {
     n: _REGISTRY[n]

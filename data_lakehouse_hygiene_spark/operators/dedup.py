@@ -740,11 +740,15 @@ def _swar_bits_sql(j0: int, n_bits: int) -> str:
     terms = []
     for j in range(j0, j0 + n_bits):
         jj = j % 32
-        q = (60 if j < 32 else 28) - 4 * (jj // 4) + jj % 4
+        q = (60 if j % 64 < 32 else 28) - 4 * (jj // 4) + jj % 4
+        # lane prefix: bits 0-63 live in the w0..w15 sums (md5 hex
+        # digits 1-16); bits 64-127 in the x0..x15 sums (digits 17-32,
+        # the simhash128 second lane) with identical in-lane layout
+        pre = "w" if j < 64 else "x"
         lane, shift, weight = q % 16, 16 * (q // 16), 2 ** (j - j0)
         terms.append(
-            f"if(2 * (shiftrightunsigned(w{lane}, {shift}) & 65535) > __n, "
-            f"{weight}L, 0L)"
+            f"if(2 * (shiftrightunsigned({pre}{lane}, {shift}) & 65535)"
+            f" > __n, {weight}L, 0L)"
         )
     return "(" + " + ".join(terms) + ")"
 
@@ -1346,6 +1350,306 @@ def simhash_near_dup_pairs(
         coarse.groupBy("band", "__sub")
         .applyInPandas(
             _bucket_kernel, "doc_a long, doc_b long, hamming long"
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("hamming").alias("hamming"))
+    )
+
+
+def _simhash128_agg(df: DataFrame, text_col: str) -> DataFrame:
+    """Two-lane SWAR aggregate for 128-bit SimHash (round 13): the full
+    md5 supplies 128 bits per shingle — hex digits 1-16 feed lane __w
+    (identical to ``_simhash_agg``), digits 17-32 feed lane __x with the
+    SAME in-lane layout — so one hash aggregate carries 32 packed
+    BIGINT sums (w0..w15, x0..x15) + the count. Everything downstream
+    (``_swar_bits_sql`` with its j ≥ 64 → x-prefix rule, ``_swar_half``)
+    reads both lanes through one position formula."""
+    df = spread(df)
+    ex = shingle_rows(df, text_col, alias="tok").select(
+        "doc_id", F.md5("tok").alias("__h")
+    )
+
+    def _lane(d0: int):
+        return F.shiftleft(
+            F.conv(F.substring("__h", d0, 8), 16, 10).cast("bigint"), 32
+        ).bitwiseOR(
+            F.conv(F.substring("__h", d0 + 8, 8), 16, 10).cast("bigint")
+        )
+
+    hh = ex.select("doc_id", _lane(1).alias("__w"), _lane(17).alias("__x"))
+    sums = [
+        F.expr(
+            f"sum(shiftrightunsigned(__{p}, {k}) & {_SWAR_MASK}) AS {p}{k}"
+        )
+        for p in ("w", "x")
+        for k in range(16)
+    ]
+    return hh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"), *sums)
+
+
+def simhash128_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """128-bit SimHash per document (round 13): the tight-radius
+    fingerprint that makes WIDE MIH bands feasible. Rationale from the
+    sixth-decade measurement (SCALING.md round-13): 64-bit codes at
+    h ≤ 7 force 4×16-bit bands, whose band-collision compare term is
+    Θ(n²/2^16) per band and dominates wall past ~10M docs. 128-bit
+    codes at the same absolute radius give 4×32-bit bands — the
+    collision term drops 2^16× (~560× at the measured 30M corpus) and
+    stays sub-dominant until ~4e10 docs. Output: the 128-char bit
+    string plus four packed 32-bit halves (sh_0 = bits 0-31 ...
+    sh_3 = bits 96-127, LSB-first like the 64-bit family)."""
+    agg = _simhash128_agg(df, text_col)
+    packed = agg.select(
+        "doc_id",
+        _swar_half(0, "sh_0"),
+        _swar_half(32, "sh_1"),
+        _swar_half(64, "sh_2"),
+        _swar_half(96, "sh_3"),
+    )
+    bits = F.concat(
+        *[
+            F.reverse(
+                F.lpad(
+                    F.conv(F.col(f"sh_{i}").cast("string"), 10, 2), 32, "0"
+                )
+            )
+            for i in range(4)
+        ]
+    )
+    return packed.select(
+        "doc_id", bits.alias("simhash_bits"), "sh_0", "sh_1", "sh_2", "sh_3"
+    )
+
+
+def simhash128_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """128-bit SimHash near-dup pairs, Hamming ≤ ``max_hamming`` over
+    the whole corpus — the corpus-scale answer to the sixth-decade
+    band-collision finding (see ``simhash128_signatures``). EXACT over
+    its fingerprint: every plan shape has pigeonhole-guaranteed recall
+    and full 128-bit popcount verification.
+
+    Twin plans (the family convention; value-identical, test-asserted):
+    - SMALL inputs (< SIMHASH_MIH_BYTES): the ORACLE-SHAPED plan —
+      h ≤ 7 < 8 disjoint 16-bit bands means one band is IDENTICAL in
+      any qualifying pair, so exact-match banding with in-row a<b
+      combos suffices; no variant keys, no Python stage. (The 64-bit
+      family's mid-size Arrow bucket kernel is unnecessary here: the
+      8×16 geometry's occupancy is n/65536, not n/256, so the
+      interpreted combo term stays trivial at every size this arm
+      serves.)
+    - LARGE inputs: 4×32-bit-band MIH with the set-bit variant
+      transport and the two-lane popcount kernel
+      (``_simhash128_mih_pairs``). The planned-compare histogram probe
+      is SKIPPED by the w=32 rule (`MIH_MAX_COMPARES` commentary): the
+      collision term is Θ(n²/2^32) per band — under the 1e12 budget
+      until ~4e10 docs.
+    """
+    assert max_hamming <= 7, (
+        "h > 7 needs 8×16-bit MIH bands — the 64-bit family's geometry "
+        "and collision term; use simhash_near_dup_pairs' banding math"
+    )
+    agg = _simhash128_agg(df, text_col)
+    if _estimated_bytes(df) >= SIMHASH_MIH_BYTES:
+        return _simhash128_mih_pairs(agg, max_hamming, n_docs=df.count())
+    bands = F.expr(
+        "array("
+        + ",".join(
+            f"struct({k} AS band, ({_swar_bits_sql(16 * k, 16)})"
+            " AS band_val)"
+            for k in range(8)
+        )
+        + ")"
+    )
+    ex = agg.select(
+        "doc_id",
+        _swar_half(0, "sh_0"),
+        _swar_half(32, "sh_1"),
+        _swar_half(64, "sh_2"),
+        _swar_half(96, "sh_3"),
+        F.explode(bands).alias("bk"),
+    ).select(
+        "doc_id", "sh_0", "sh_1", "sh_2", "sh_3", "bk.band", "bk.band_val"
+    )
+    grp = (
+        ex.groupBy("band", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("doc_id", "sh_0", "sh_1", "sh_2", "sh_3")
+                )
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
+    )
+    ham = " + ".join(f"bit_count(x.sh_{i} ^ y.sh_{i})" for i in range(4))
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        f"cast({ham} as bigint) AS hamming))))"
+    )
+    return (
+        grp.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("hamming").alias("hamming"))
+    )
+
+
+def _simhash128_mih_pairs(
+    agg: DataFrame, max_hamming: int, n_docs: int | None = None
+) -> DataFrame:
+    """4×32-bit-band MIH pair stage for 128-bit signatures — the
+    geometry whose band-collision term is 2^16× smaller than the
+    64-bit family's (the round-13 sixth-decade remedy). Mechanics are
+    the ``_simhash_mih_pairs`` transport ported to two popcount lanes:
+    band k IS the packed half sh_k, the set-bit rule emits one variant
+    orientation per SET top bit, tasks own contiguous 2^(32-s) bucket
+    slices, and verification is the full 128-bit popcount over the
+    four halves. Any s in [1, 31] is value-exact."""
+    import numpy as np
+    import pandas as pd
+
+    b, w = 4, 32
+    r = max_hamming // b
+    s = min(4, w - 1)
+    if n_docs:
+        while s < min(w - 1, 16) and n_docs * (2 + s) * b > 1_000_000 * b * (
+            1 << s
+        ):
+            s += 1
+    low = w - s
+    sigs = agg.select(
+        "doc_id",
+        _swar_half(0, "sh_0"),
+        _swar_half(32, "sh_1"),
+        _swar_half(64, "sh_2"),
+        _swar_half(96, "sh_3"),
+    ).repartition("doc_id")
+    structs = []
+    for k in range(b):
+        bv = f"sh_{k}"
+        structs.append(
+            f"struct({k} AS band, cast({bv} * 2 as bigint) AS bvk)"
+        )
+        if r >= 1:
+            structs.extend(
+                f"if((shiftrightunsigned({bv}, {i}) & 1) = 1,"
+                f" struct({k} AS band,"
+                f" cast(({bv} ^ {1 << i}) * 2 + 1 as bigint) AS bvk),"
+                " null)"
+                for i in range(low, w)
+            )
+    ex = sigs.select(
+        "doc_id",
+        "sh_0",
+        "sh_1",
+        "sh_2",
+        "sh_3",
+        F.explode(
+            F.expr(
+                "filter(array(" + ",".join(structs) + "),"
+                " x -> x is not null)"
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "sh_0", "sh_1", "sh_2", "sh_3", "bk.band", "bk.bvk"
+    )
+
+    _EMPTY = {
+        "doc_a": pd.Series(dtype="int64"),
+        "doc_b": pd.Series(dtype="int64"),
+        "hamming": pd.Series(dtype="int64"),
+    }
+    in_task_bits = low if r >= 1 else 0
+
+    def _mih_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        bvk = pdf["bvk"].to_numpy()
+        order = np.argsort(bvk, kind="stable")
+        bvk = bvk[order]
+        vals = bvk >> 1
+        ids = pdf["doc_id"].to_numpy()[order]
+        halves = [
+            pdf[f"sh_{i}"].to_numpy()[order].astype(np.uint64)
+            for i in range(4)
+        ]
+        uvals, starts = np.unique(vals, return_index=True)
+        bounds = np.append(starts, len(vals))
+        n_exact = np.searchsorted(bvk, uvals * 2 + 1, side="left") - starts
+        idx = {int(v): i for i, v in enumerate(uvals)}
+        outs = [pd.DataFrame(_EMPTY)]
+
+        def ham_block(r0, r1, c0, c1):
+            h = _np_pop64(halves[0][r0:r1, None] ^ halves[0][None, c0:c1])
+            for q in range(1, 4):
+                h = h + _np_pop64(
+                    halves[q][r0:r1, None] ^ halves[q][None, c0:c1]
+                )
+            return h.astype(np.int64)
+
+        def emit(ham, mask_m, ids_r, ids_c):
+            rr, cc = np.nonzero(mask_m)
+            if len(rr):
+                a = ids_r[rr]
+                bb = ids_c[cc]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": np.minimum(a, bb),
+                            "doc_b": np.maximum(a, bb),
+                            "hamming": ham[rr, cc],
+                        }
+                    )
+                )
+
+        for i in range(len(uvals)):
+            s0, s1 = bounds[i], bounds[i + 1]
+            n_e = int(n_exact[i])
+            if n_e == 0:
+                continue
+            if s1 - s0 >= 2:
+                cols = np.arange(s1 - s0)[None, :]
+                for c0 in range(0, n_e, 4096):
+                    c1 = min(c0 + 4096, n_e)
+                    ham = ham_block(s0 + c0, s0 + c1, s0, s1)
+                    rows = np.arange(c0, c1)[:, None]
+                    m = (
+                        ((cols < n_e) & (rows < cols)) | (cols >= n_e)
+                    ) & (ham <= max_hamming)
+                    emit(ham, m, ids[s0 + c0 : s0 + c1], ids[s0:s1])
+            v = int(uvals[i])
+            for t in range(in_task_bits):
+                u = v ^ (1 << t)
+                if u < v:
+                    continue
+                j = idx.get(u)
+                if j is None:
+                    continue
+                t0 = bounds[j]
+                n_e2 = int(n_exact[j])
+                if n_e2 == 0:
+                    continue
+                for c0 in range(0, n_e, 4096):
+                    c1 = min(c0 + 4096, n_e)
+                    ham = ham_block(s0 + c0, s0 + c1, t0, t0 + n_e2)
+                    m = ham <= max_hamming
+                    emit(
+                        ham, m, ids[s0 + c0 : s0 + c1], ids[t0 : t0 + n_e2]
+                    )
+        return pd.concat(outs, ignore_index=True)
+
+    coarse = ex.withColumn(
+        "__sub", F.expr(f"shiftrightunsigned(bvk, {low + 1})")
+    )
+    return (
+        coarse.groupBy("band", "__sub")
+        .applyInPandas(
+            _mih_kernel, "doc_a long, doc_b long, hamming long"
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.max("hamming").alias("hamming"))

@@ -544,3 +544,69 @@ def test_mih_planned_compares_matches_brute_force():
                 want += c[u] * c[u ^ (1 << t)]
     got = _mih_planned_compares(c, width, s)
     assert got == want
+
+
+# ====== simhash128 family (round-13: the band-collision remedy)
+def test_simhash128_twin_plans_equal_brute_force(spark):
+    """Both plan shapes (8×16 exact-band small plan, 4×32 MIH kernel)
+    must equal the NumPy brute-force all-pairs definition over the
+    four packed halves, and the halves must match the bit string."""
+    import numpy as np
+
+    from data_lakehouse_hygiene_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+
+    sig = dedup.simhash128_signatures(docs)
+    rows = sig.collect()
+    assert len(rows[0]["simhash_bits"]) == 128
+    r0 = rows[0]
+    for i in range(4):
+        val = sum(
+            1 << j for j in range(32) if r0["simhash_bits"][32 * i + j] == "1"
+        )
+        assert val == r0[f"sh_{i}"]
+
+    H = np.array(
+        [[r[f"sh_{i}"] for i in range(4)] for r in rows], dtype=np.uint64
+    )
+    ids = np.array([r["doc_id"] for r in rows])
+    want = set()
+    for a in range(len(ids)):
+        ham = dedup._np_pop64(H[a] ^ H).sum(axis=1)
+        for bi in np.nonzero(ham <= 7)[0]:
+            if ids[a] < ids[bi]:
+                want.add((int(ids[a]), int(ids[bi]), int(ham[bi])))
+    assert len(want) > 0  # the fixture's planted near-dups survive 128b
+
+    small = {tuple(r) for r in dedup.simhash128_near_dup_pairs(docs).collect()}
+    assert small == want
+    mih = {
+        tuple(r)
+        for r in dedup._simhash128_mih_pairs(
+            dedup._simhash128_agg(docs, "text"), 7, n_docs=len(ids)
+        ).collect()
+    }
+    assert mih == want
+
+
+def test_simhash128_tighter_than_64_bit_at_same_radius(spark):
+    """128-bit h≤7 is a strictly tighter similarity contract than
+    64-bit h≤7 on the same corpus: its pair set must be a subset (the
+    fixture: 11 of 25)."""
+    from data_lakehouse_hygiene_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    p128 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash128_near_dup_pairs(docs).collect()
+    }
+    p64 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_dup_pairs(docs).collect()
+    }
+    assert p128 and p128 < p64
