@@ -84,6 +84,7 @@ HEADLINE = [
     "simhash_fp",
     "ngram_jaccard",
     "simhash_near_dup",
+    "simhash128_near_dup",
     "embedding_near_dup",
     "quality_score",
     "pii_scrub",
