@@ -610,3 +610,22 @@ def test_simhash128_tighter_than_64_bit_at_same_radius(spark):
         for r in dedup.simhash_near_dup_pairs(docs).collect()
     }
     assert p128 and p128 < p64
+
+
+def test_simhash128_public_gate_routes_to_mih(spark, monkeypatch):
+    """Through the public API: forcing the size gate must route to the
+    4×32 MIH kernel (Python stage present) with the identical pair set
+    as the oracle-shaped exact-band plan."""
+    from data_lakehouse_hygiene_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    small = {
+        tuple(r) for r in dedup.simhash128_near_dup_pairs(docs).collect()
+    }
+    monkeypatch.setattr(dedup, "SIMHASH_MIH_BYTES", 0)
+    out = dedup.simhash128_near_dup_pairs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan or "mapInPandas" in plan.lower()
+    assert {tuple(r) for r in out.collect()} == small
