@@ -1214,8 +1214,10 @@ def simhash_near_dup_pairs(
     with the default geometry — the quadratic term, not the shuffle, is
     what the knob controls).
     """
-    assert 64 % n_bands == 0, "band width must divide the 64-bit signature"
-    assert max_hamming < n_bands, "recall guarantee needs h < n_bands"
+    if 64 % n_bands != 0:
+        raise ValueError("band width must divide the 64-bit signature")
+    if max_hamming >= n_bands:
+        raise ValueError("recall guarantee needs max_hamming < n_bands")
     width = 64 // n_bands
     agg = _simhash_agg(df, text_col)
     # CORPUS-SCALE plan: multi-index hashing (b wide bands + 1-bit-flip
@@ -1425,6 +1427,7 @@ def simhash128_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     max_hamming: int = 7,
+    max_compares: float | None = None,
 ) -> DataFrame:
     """128-bit SimHash near-dup pairs, Hamming ≤ ``max_hamming`` over
     the whole corpus — the corpus-scale answer to the sixth-decade
@@ -1443,18 +1446,26 @@ def simhash128_near_dup_pairs(
       serves.)
     - LARGE inputs: 4×32-bit-band MIH with the set-bit variant
       transport and the two-lane popcount kernel
-      (``_simhash128_mih_pairs``). The planned-compare histogram probe
-      is SKIPPED by the w=32 rule (`MIH_MAX_COMPARES` commentary): the
-      collision term is Θ(n²/2^32) per band — under the 1e12 budget
-      until ~4e10 docs.
+      (``_simhash128_mih_pairs``). The AVERAGE-occupancy collision term
+      is Θ(n²/2^32) per band — under the 1e12 budget until ~4e10 docs —
+      but average occupancy says nothing about CONCENTRATION: one
+      mass-duplicated 128-bit signature of c docs still plans c²/2
+      kernel compares from a single bucket at any band width, so the
+      MIH arm runs a bounded heavy-bucket probe (round 14, per driver
+      advice; see ``_simhash128_mih_pairs``) and refuses above
+      ``max_compares`` (default ``MIH_MAX_COMPARES``).
     """
-    assert max_hamming <= 7, (
-        "h > 7 needs 8×16-bit MIH bands — the 64-bit family's geometry "
-        "and collision term; use simhash_near_dup_pairs' banding math"
-    )
+    if max_hamming > 7:
+        raise ValueError(
+            "simhash128_near_dup_pairs requires max_hamming <= 7: h > 7 "
+            "needs 8×16-bit MIH bands — the 64-bit family's geometry and "
+            "collision term; use simhash_near_dup_pairs' banding math"
+        )
     agg = _simhash128_agg(df, text_col)
     if _estimated_bytes(df) >= SIMHASH_MIH_BYTES:
-        return _simhash128_mih_pairs(agg, max_hamming, n_docs=df.count())
+        return _simhash128_mih_pairs(
+            agg, max_hamming, n_docs=df.count(), max_compares=max_compares
+        )
     bands = F.expr(
         "array("
         + ",".join(
@@ -1502,7 +1513,10 @@ def simhash128_near_dup_pairs(
 
 
 def _simhash128_mih_pairs(
-    agg: DataFrame, max_hamming: int, n_docs: int | None = None
+    agg: DataFrame,
+    max_hamming: int,
+    n_docs: int | None = None,
+    max_compares: float | None = None,
 ) -> DataFrame:
     """4×32-bit-band MIH pair stage for 128-bit signatures — the
     geometry whose band-collision term is 2^16× smaller than the
@@ -1511,7 +1525,21 @@ def _simhash128_mih_pairs(
     band k IS the packed half sh_k, the set-bit rule emits one variant
     orientation per SET top bit, tasks own contiguous 2^(32-s) bucket
     slices, and verification is the full 128-bit popcount over the
-    four halves. Any s in [1, 31] is value-exact."""
+    four halves. Any s in [1, 31] is value-exact.
+
+    Concentration refusal (round 14, per driver advice): wide bands fix
+    the AVERAGE-occupancy term (Θ(n²/2^32) per band, sub-dominant to
+    ~4e10 docs), but a mass-duplicated signature value of c docs still
+    plans c²/2 within-bucket compares regardless of band width — the
+    exact pathology ``MIH_MAX_COMPARES`` refuses in the 16-bit twins.
+    A dense 2^32 histogram is unbuildable, so the probe aggregates the
+    EXACT within-bucket triangle term Σ_buckets c(c−1)/2 per band
+    server-side (groupBy (band, value) → per-band SUM; the collect is
+    ≤ b rows, never the value domain) and refuses above the budget.
+    This is a certified LOWER bound on planned compares — it omits the
+    distance-1 neighbor products, which need a paired mass value at
+    v^bit — so refusal fires only on plans that certainly exceed the
+    budget; the diffuse remainder is the sub-dominant average term."""
     import numpy as np
     import pandas as pd
 
@@ -1531,6 +1559,46 @@ def _simhash128_mih_pairs(
         _swar_half(64, "sh_2"),
         _swar_half(96, "sh_3"),
     ).repartition("doc_id")
+    budget = MIH_MAX_COMPARES if max_compares is None else max_compares
+    if n_docs and n_docs >= MIH_PROBE_MIN_DOCS:
+        vals = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"sh_{k}").alias("v")
+                    )
+                    for k in range(b)
+                ]
+            )
+        ).alias("bk")
+        tri = (
+            sigs.select(vals)
+            .select(F.col("bk.band").alias("band"), F.col("bk.v").alias("v"))
+            .groupBy("band", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+            .groupBy("band")
+            .agg(
+                F.sum(
+                    F.col("c").cast("double")
+                    * (F.col("c") - 1).cast("double")
+                    / 2.0
+                ).alias("tri")
+            )
+            .collect()
+        )
+        planned = sum(float(row["tri"] or 0.0) for row in tri)
+        if planned > budget:
+            raise ValueError(
+                f"simhash128 MIH planned within-bucket compare volume "
+                f"{planned:.2e} exceeds max_compares={budget:.0e} at the "
+                f"{b}×{w}-bit band geometry: the corpus concentrates "
+                f"mass-duplicated signature values (c docs in one bucket "
+                f"plan c²/2 compares at ANY band width). Exact-dedup "
+                f"identical fingerprints first (exact_dedup collapses "
+                f"them to one representative), shard the corpus, or "
+                f"raise max_compares after sizing the cluster."
+            )
     structs = []
     for k in range(b):
         bv = f"sh_{k}"

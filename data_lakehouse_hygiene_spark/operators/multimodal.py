@@ -1041,13 +1041,15 @@ def media_near_dup(
 
     from .dedup import _np_pop64
 
-    assert 64 % n_bands == 0, "band width must divide the 64-bit phash"
+    if 64 % n_bands != 0:
+        raise ValueError("band width must divide the 64-bit phash")
     width = 64 // n_bands
     r = max_hamming // n_bands
-    assert r <= 1, (
-        f"per-band radius {r} > 1: raise n_bands so max_hamming//n_bands"
-        " <= 1 (single-bit variant enumeration)"
-    )
+    if r > 1:
+        raise ValueError(
+            f"per-band radius {r} > 1: raise n_bands so "
+            f"max_hamming//n_bands <= 1 (single-bit variant enumeration)"
+        )
     # SMALL-corpus arm (round 11, the simhash family's gated-plan
     # precedent): below MEDIA_MIH_MIN_ASSETS the whole pair stage runs
     # as in-row expression combos over exact-match pigeonhole bands —

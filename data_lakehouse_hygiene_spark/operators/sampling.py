@@ -106,7 +106,10 @@ def mixture_weights(
     projection, and the diverging prunings of those two consumers
     otherwise make Catalyst re-scan and re-aggregate the corpus twice.
     """
-    assert alpha == 0.5, "only alpha=0.5 (sqrt) is cross-engine bit-stable"
+    if alpha != 0.5:
+        raise ValueError(
+            "only alpha=0.5 (sqrt) is cross-engine bit-stable"
+        )
     counts = (
         df.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("n"))

@@ -41,9 +41,12 @@ from pyspark.sql.window import Window
 # the probe floor pay ONE column-pruned aggregate computing the EXACT
 # planned row term before any explode task launches, and refuse above
 # the budget naming the knob.
-RANGE_PROBE_BYTES = 16 << 20  # probe floor: below this, explode is
-# bounded by floor_bytes / interval_row_bytes × per-row expansion and
-# the fixed probe job would dominate the whole operator at toy scale
+RANGE_PROBE_BYTES = 16 << 20  # probe floor: a COST trade-off, not a
+# bound — per-row expansion is the data-dependent term, so a sub-floor
+# interval table of sentinel rows can still plan a huge explode. The
+# floor only skips the probe when the caller accepted the DEFAULT
+# budget; passing an explicit max_explode_rows/max_spine_rows always
+# runs the probe (round 14, per driver advice).
 RANGE_EXPLODE_MAX_ROWS = 2_000_000_000  # ~2e9 exploded interval rows
 GAP_PROBE_BYTES = 16 << 20
 GAP_SPINE_MAX_ROWS = 2_000_000_000  # ~2e9 spine rows across all keys
@@ -109,27 +112,39 @@ def range_join(
     typical interval length: expansion is len/bucket + 1 rows per
     interval, and residual selectivity stays high.
 
-    Planned-explode refusal (round 13): the expansion term is
-    data-dependent — one corrupt open-ended interval (a ``9999-12-31``
-    sentinel ``end_ts``) plans ~70M rows from ONE row at the default
-    bucket, invisible to input-byte estimates. Interval inputs past
-    ``RANGE_PROBE_BYTES`` pay one column-pruned (start, end) aggregate
-    computing the EXACT planned exploded-row count
-    Σ(floor(end/bs) − floor(start/bs) + 1) and refuse above
-    ``max_explode_rows`` naming the knobs, before any explode task
-    launches.
+    Planned-explode refusal (round 13; hardened round 14): the
+    expansion term is data-dependent — one corrupt open-ended interval
+    (a ``9999-12-31`` sentinel ``end_ts``) plans ~70M rows from ONE row
+    at the default bucket, invisible to input-byte estimates. The probe
+    is one column-pruned (start, end) aggregate computing the EXACT
+    planned exploded-row count Σ(|floor(end/bs) − floor(start/bs)| + 1)
+    — the ABSOLUTE bucket span, because ``sequence(a, b)`` steps −1
+    when a > b, so a corrupt end < start interval (epoch-0 end with a
+    2024 start) still emits |diff|+1 rows; a signed sum would
+    under-count it AND let its negative term cancel genuine explosion
+    elsewhere (round-14 fix, per driver advice). Refusal names the
+    knobs before any explode task launches. The ``RANGE_PROBE_BYTES``
+    floor skips the probe only for small inputs on the DEFAULT budget
+    (probe cost would dominate at toy scale — a cost trade-off, not a
+    bound); callers passing an explicit ``max_explode_rows`` always get
+    the probe.
     """
     from .dedup import _estimated_bytes
 
     i_start = F.unix_timestamp(F.col(start))
     i_end = F.unix_timestamp(F.col(end))
-    if _estimated_bytes(intervals) > RANGE_PROBE_BYTES:
+    if (
+        max_explode_rows != RANGE_EXPLODE_MAX_ROWS
+        or _estimated_bytes(intervals) > RANGE_PROBE_BYTES
+    ):
         planned = (
             intervals.agg(
                 F.sum(
                     (
-                        F.floor(i_end / bucket_seconds)
-                        - F.floor(i_start / bucket_seconds)
+                        F.abs(
+                            F.floor(i_end / bucket_seconds)
+                            - F.floor(i_start / bucket_seconds)
+                        )
                         + 1
                     ).cast("double")
                 ).alias("__planned")
@@ -195,7 +210,11 @@ def gap_fill(
     column-pruned (key, ts) grouped aggregate computing the EXACT
     planned spine-row count Σ_key(floor((max−min)/interval) + 1) and
     refuse above ``max_spine_rows`` naming the knobs, before any spine
-    task launches. The interval length in seconds is resolved from
+    task launches. The ``GAP_PROBE_BYTES`` floor skips the probe only
+    for small inputs on the DEFAULT budget (a probe-cost trade-off, not
+    a bound — per-key span is the data-dependent term); callers passing
+    an explicit ``max_spine_rows`` always get the probe (round 14).
+    The interval length in seconds is resolved from
     ``bucket_interval`` via a constant-folded anchor expression; for
     calendar intervals (MONTH/YEAR) the anchor 1999-02-01 makes the
     divisor the SHORTEST instance (28-day month), so the planned count
@@ -204,7 +223,10 @@ def gap_fill(
     from .dedup import _estimated_bytes
 
     b = F.date_trunc(bucket, F.col(ts))
-    if _estimated_bytes(df) > GAP_PROBE_BYTES:
+    if (
+        max_spine_rows != GAP_SPINE_MAX_ROWS
+        or _estimated_bytes(df) > GAP_PROBE_BYTES
+    ):
         anchor = "timestamp'1999-02-01 00:00:00'"
         ival_s = F.expr(
             f"unix_timestamp({anchor} + {bucket_interval})"

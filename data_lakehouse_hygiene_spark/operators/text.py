@@ -276,7 +276,8 @@ def repetition_metrics(
 
     import pandas as pd
 
-    assert "keep" not in keep, "output column 'keep' is reserved"
+    if "keep" in keep:
+        raise ValueError("output column 'keep' is reserved")
     in_cols = list(dict.fromkeys(["doc_id", *keep, text_col]))
     src = df.select(*in_cols)
     types = {f.name: f.dataType.simpleString() for f in src.schema.fields}

@@ -246,6 +246,16 @@ def gated_zone_stream(
     is not a data-quality violation — ``require_rows`` belongs to batch
     zone writes).
 
+    Idempotent landing (round 14, per driver advice): ``foreachBatch``
+    is at-least-once — a crash between the write and the checkpoint
+    commit replays the batch on restart — so each batch lands under its
+    own ``batch_id=N`` partition directory via DYNAMIC partition
+    overwrite: a replay overwrites exactly its own partition and every
+    other batch's partition is untouched, making the zone exactly-once
+    without a transactional format. The landed table therefore carries
+    a ``batch_id`` partition column alongside the input columns;
+    ``spark.read.parquet(path)`` reads the whole zone.
+
     Scale: the gate cost per micro-batch is ``enforce_zone``'s one
     conditional-SUM aggregate over the BATCH (plus one groupBy for
     ``unique_key``), not the table — per-trigger work stays
@@ -262,7 +272,13 @@ def gated_zone_stream(
             unique_key=unique_key,
             require_rows=False,
         )
-        batch_df.write.mode("append").parquet(path)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     w = (
         stream_df.writeStream.foreachBatch(_land)

@@ -1,0 +1,191 @@
+"""Round-14 pins: driver-advice fixes (range_join reversed-interval
+probe, probe-on-custom-budget floors, simhash128 concentration gate,
+idempotent streaming zone landing) and the public-contract ValueError
+sweep."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------- range_join: reversed (corrupt) intervals are COUNTED
+def test_range_join_gate_counts_reversed_intervals(spark):
+    """sequence(a, b) steps -1 when a > b, so an end_ts < start_ts
+    sentinel still explodes |diff|+1 rows; the probe must count it with
+    ABS (a signed sum under-counts AND cancels genuine explosion)."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, t0)], "k int, ts timestamp"
+    )
+    # one corrupt REVERSED interval: starts 2024, "ends" at epoch 0 —
+    # ~473k hourly buckets in the NEGATIVE direction
+    corrupt = spark.createDataFrame(
+        [(1, t0, dt.datetime(1970, 1, 1))],
+        "k int, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(ValueError) as exc:
+        temporal.range_join(
+            events,
+            corrupt,
+            key="k",
+            ts="ts",
+            max_explode_rows=1_000,
+        ).collect()
+    assert "planned interval explosion" in str(exc.value)
+
+
+def test_range_join_custom_budget_probes_below_floor(spark):
+    """A sub-floor (tiny) interval table with an explicit
+    max_explode_rows must still get the probe — the floor is a
+    probe-cost trade-off that only applies to the DEFAULT budget."""
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame([(1, t0)], "k int, ts timestamp")
+    sentinel = spark.createDataFrame(
+        [(1, t0, dt.datetime(9999, 12, 31))],
+        "k int, start_ts timestamp, end_ts timestamp",
+    )
+    # input is a few hundred bytes — far under RANGE_PROBE_BYTES — yet
+    # the explicit budget must trigger the probe and refuse
+    with pytest.raises(ValueError):
+        temporal.range_join(
+            events, sentinel, key="k", ts="ts", max_explode_rows=1_000
+        ).collect()
+    # sane intervals under the same explicit budget pass
+    sane = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=2))],
+        "k int, start_ts timestamp, end_ts timestamp",
+    )
+    out = temporal.range_join(
+        events, sane, key="k", ts="ts", max_explode_rows=1_000
+    )
+    assert out.count() == 1
+
+
+def test_gap_fill_custom_budget_probes_below_floor(spark):
+    from data_lakehouse_hygiene_spark.operators import temporal
+
+    rows = [
+        (1, dt.datetime(1970, 1, 1), 1.0),
+        (1, dt.datetime(2024, 1, 1), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    with pytest.raises(ValueError) as exc:
+        temporal.gap_fill(
+            df,
+            key="k",
+            ts="ts",
+            value_agg=F.sum("v"),
+            max_spine_rows=10_000,
+        ).collect()
+    assert "planned spine" in str(exc.value)
+
+
+# --------------------------- simhash128: concentration refusal (advice)
+def test_simhash128_mih_refuses_mass_duplicate_concentration(
+    spark, monkeypatch
+):
+    """One mass-duplicated 128-bit signature of c docs plans c(c-1)/2
+    within-bucket compares per band at ANY band width — the w=32 arm
+    must refuse on the aggregated triangle term, not reason from
+    average occupancy."""
+    from data_lakehouse_hygiene_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(100)],
+        "doc_id long, text string",
+    )
+    agg = dedup._simhash128_agg(docs, "text")
+    monkeypatch.setattr(dedup, "MIH_PROBE_MIN_DOCS", 10)
+    # 100 identical sigs -> 4 bands x 4950 = 19800 planned compares
+    with pytest.raises(ValueError) as exc:
+        dedup._simhash128_mih_pairs(
+            agg, 7, n_docs=100, max_compares=1_000
+        ).collect()
+    msg = str(exc.value)
+    assert "max_compares" in msg and "simhash128" in msg
+    # under a budget that fits, the same corpus runs and finds all pairs
+    out = dedup._simhash128_mih_pairs(
+        agg, 7, n_docs=100, max_compares=1e12
+    )
+    assert out.count() == 100 * 99 // 2
+
+
+def test_simhash128_max_hamming_contract_is_valueerror(spark):
+    from data_lakehouse_hygiene_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        dedup.simhash128_near_dup_pairs(docs, max_hamming=8)
+
+
+# ----------------------- public-contract ValueError sweep (round 14 #5)
+def test_public_contracts_raise_valueerror_not_assert(spark):
+    from data_lakehouse_hygiene_spark.operators import (
+        dedup,
+        multimodal,
+        sampling,
+        text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(docs, n_bands=7)
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(docs, n_bands=8, max_hamming=8)
+    with pytest.raises(ValueError):
+        sampling.mixture_resample(docs, "source", alpha=0.7)
+    with pytest.raises(ValueError):
+        text.repetition_metrics(docs, keep=("keep",))
+    fp = spark.createDataFrame([(1, 5)], "doc_id long, phash long")
+    with pytest.raises(ValueError):
+        multimodal.media_near_dup(fp, n_bands=7)
+    with pytest.raises(ValueError):
+        multimodal.media_near_dup(fp, n_bands=2, max_hamming=7)
+
+
+# ------------------ streaming zone: idempotent (exactly-once) landing
+def test_gated_zone_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch (simulated by
+    wiping the checkpoint) must OVERWRITE its own batch_id partition,
+    not append a duplicate copy."""
+    import shutil
+
+    from data_lakehouse_hygiene_spark import streaming
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp_ntz, value double"
+    src = str(tmp_path / "src")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, t0, 5.0), (2, t0, 7.0)], schema
+    ).coalesce(1).write.parquet(src)
+    rules = [("negative_value", F.col("value") < 0)]
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        streaming.gated_zone_stream(
+            stream, "clean", zone, rules=rules, checkpoint=ckpt
+        )
+
+    run()
+    assert spark.read.parquet(zone).count() == 2
+    # simulate the crash-before-checkpoint-commit replay
+    shutil.rmtree(ckpt)
+    run()
+    landed = spark.read.parquet(zone)
+    assert landed.count() == 2
+    assert {r.event_id for r in landed.collect()} == {1, 2}
+    # batch_id is a visible partition column of the landed zone
+    assert "batch_id" in landed.columns
