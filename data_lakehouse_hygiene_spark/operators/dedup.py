@@ -279,12 +279,21 @@ def ngram_jaccard_pairs(
     mirrored verbatim in the oracle SQL. On the test corpus max df is 7,
     so the planted pairs are unaffected (test-asserted).
 
-    Common plan spine: explode shingles once, attach per-shingle df with a
-    COUNT window partitioned by shingle (one hash exchange on the shingle
-    key — no join, and the df≤cap filter runs inside the same stage), then
-    generate the a<b pairs inside the row with array lambdas: the
-    per-shingle doc list is bounded by ``df_cap``, so no unbounded
-    collect_list; pair rows per shingle are bounded by df_cap²/2.
+    Common plan spine: explode shingles, compute per-shingle df as a
+    PARTIAL-AGG rollup (``groupBy(s).count()`` — map-side combine
+    collapses a mass-duplicated shingle to one row per map task before
+    the exchange) filtered to df ≤ cap, and join it back onto the
+    shingle stream (shuffle-hash, so AQE skew-split divides a hot
+    probe partition across tasks). Round 14 de-skew: the previous COUNT
+    window partitioned by the raw shingle stream serialized ALL
+    occurrences of a boilerplate shingle into ONE WindowExec task —
+    windows are never AQE-skew-splittable — which sorted and spilled
+    the hot key before the cap could drop it; the rollup+join shape
+    keeps every task bounded at the cost of a second (column-pruned)
+    scan for the df branch. Then the a<b pairs generate inside the row
+    with array lambdas: the per-shingle doc list is bounded by
+    ``df_cap``, so no unbounded collect_list; pair rows per shingle are
+    bounded by df_cap²/2.
 
     TWO plan shapes for the Jaccard denominator, value-identical
     (test-asserted), selected by ``single_scan`` (None = by the optimizer's
@@ -312,8 +321,12 @@ def ngram_jaccard_pairs(
         single_scan = est > NGRAM_SINGLE_SCAN_BYTES
     df = spread(df)
     sh = shingle_rows(df, text_col)
-    wdf = F.count(F.lit(1)).over(Window.partitionBy("s"))
-    sh_ok = sh.withColumn("df", wdf).where(F.col("df") <= df_cap)
+    dfc = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+    )
+    sh_ok = sh.join(dfc.hint("shuffle_hash"), "s")
     if not single_scan:
         return _ngram_pairs_broadcast_sizes(
             sh_ok, threshold, spread_explode=est > NGRAM_SPREAD_EXPLODE_BYTES
@@ -1746,17 +1759,26 @@ def substring_dedup_spans(
     min_tokens tokens is found" guarantee (a duplicated run of length L
     contains L-min_tokens+1 duplicated shingles, and any shared
     min_tokens-gram IS a duplicated run) with only: one position
-    explode (shuffle-free), ONE hash exchange on the shingle digest
-    carrying a corpus-frequency COUNT window (the ngram_jaccard
-    pattern; the md5 digest is a fixed-width uniform shuffle key), and
-    ONE key-partitioned exchange on doc_id under which both the
-    gaps-and-islands run merge (two windows, same partitioning) and the
-    final per-run aggregate execute — the aggregate's (doc_id, island)
-    grouping is co-located by the doc_id exchange, so it adds no
-    shuffle. The frequency filter keeps only duplicated positions, so
-    the second exchange moves a small fraction of the corpus. Spans
-    merge on strict overlap (pos < previous span end): two adjacent
-    but non-overlapping duplicated shingles are separate runs — their
+    explode (shuffle-free), a PARTIAL-AGG duplicated-digest rollup
+    (``groupBy(gh).count() ≥ 2`` — map-side combine collapses a
+    mass-duplicated shingle to one row per map task before the
+    exchange) LEFT-SEMI-joined back onto the position stream
+    (shuffle-hash on the fixed-width md5 key, so AQE skew-split divides
+    a hot probe partition across tasks), and ONE key-partitioned
+    exchange on doc_id under which both the gaps-and-islands run merge
+    (two windows, same partitioning) and the final per-run aggregate
+    execute — the aggregate's (doc_id, island) grouping is co-located
+    by the doc_id exchange, so it adds no shuffle. Round 14 de-skew:
+    the previous corpus-frequency COUNT window partitioned by the raw
+    position stream serialized ALL occurrences of a 10⁸-copy
+    boilerplate shingle — precisely the data this operator exists to
+    find — into ONE WindowExec task (windows are never
+    AQE-skew-splittable); the rollup+semi-join keeps every task bounded
+    at the cost of a second gh-only-pruned pass over the explode. The
+    frequency filter keeps only duplicated positions, so the doc_id
+    exchange moves a small fraction of the corpus. Spans merge on
+    strict overlap (pos < previous span end): two adjacent but
+    non-overlapping duplicated shingles are separate runs — their
     concatenation was never itself observed twice.
     """
     k = min_tokens
@@ -1779,10 +1801,14 @@ def substring_dedup_spans(
         .select("doc_id", F.explode(safe).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     )
-    hits = (
-        pos.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") >= 2)
-        .select("doc_id", "pos")
+        .select("gh")
+    )
+    hits = pos.join(dup.hint("shuffle_hash"), "gh", "left_semi").select(
+        "doc_id", "pos"
     )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(k)).over(
@@ -1869,14 +1895,23 @@ def substring_dedup_keep_first(
     occurrences are cut — the all-but-one removal policy of
     exact-substring training-data dedup, losing no content entirely.
 
-    The keeper election is one ROW_NUMBER over the shingle-digest
-    partition (ordered by doc_id, pos — deterministic, retry-stable)
-    layered on the same digest exchange that carries the corpus-frequency
-    count, so it costs no extra shuffle over the mining pass. Positions
-    with rank ≥ 2 on a ≥2×-occurring shingle are redundant; their covering
-    tokens merge into strict-overlap islands and are cut exactly as in
-    ``substring_dedup_apply``. A token inside a KEPT occurrence survives
-    unless some other redundant occurrence also covers it.
+    The keeper election packs (doc_id, pos) into one orderable BIGINT
+    (``LINE_STRIDE`` packing, the line_dedup convention — lexicographic
+    (doc_id, pos) order IS packed-key order inside the guarded
+    envelope) and takes MIN per shingle digest in the same PARTIAL-AGG
+    rollup that carries the corpus-frequency count — deterministic,
+    retry-stable, and map-side combinable, so a mass-duplicated shingle
+    collapses to one (digest, count, min) row per map task before the
+    exchange. The rollup joins back onto the position stream
+    (shuffle-hash on the md5 key, AQE-skew-splittable); positions that
+    are not the elected minimum of a ≥2×-occurring shingle are
+    redundant. Round 14 de-skew: the previous COUNT + ROW_NUMBER
+    windows over the raw position stream serialized every occurrence of
+    a boilerplate shingle into one WindowExec task (windows are never
+    AQE-skew-splittable). Redundant positions merge into strict-overlap
+    islands and are cut exactly as in ``substring_dedup_apply``. A
+    token inside a KEPT occurrence survives unless some other redundant
+    occurrence also covers it.
     """
     k = min_tokens
     toks = F.col("__toks")
@@ -1898,13 +1933,23 @@ def substring_dedup_keep_first(
         .select("doc_id", "__toks", F.explode(safe).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     )
-    wg = Window.partitionBy("gh")
+    max_doc = (1 << 63) // LINE_STRIDE - 1
+    pk = F.expr(
+        f"if(assert_true(doc_id >= 0 AND doc_id <= {max_doc} "
+        f"AND pos < {LINE_STRIDE}, "
+        f"'substring_dedup_keep_first key packing needs 0 <= doc_id <= "
+        f"{max_doc} and < {LINE_STRIDE} token positions per document; "
+        f"chunk or re-key first') is null, "
+        f"cast(doc_id * {LINE_STRIDE}L + pos as bigint), null)"
+    )
+    stats = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__c"), F.min(pk).alias("__mk"))
+        .where(F.col("__c") >= 2)
+    )
     redundant = (
-        pos.withColumn("__c", F.count(F.lit(1)).over(wg))
-        .withColumn(
-            "__rn", F.row_number().over(wg.orderBy("doc_id", "pos"))
-        )
-        .where((F.col("__c") >= 2) & (F.col("__rn") >= 2))
+        pos.join(stats.hint("shuffle_hash"), "gh")
+        .where(pk != F.col("__mk"))
         .select("doc_id", "pos")
     )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
@@ -1978,18 +2023,22 @@ def line_dedup(
     ``delim`` must be a plain literal with no regex metacharacters (it is
     passed to ``split``'s pattern position).
 
-    Scale shape (one corpus scan, two exchanges): posexplode lines; the
-    global keep-first election is a MIN window PARTITIONED BY the line
-    string — each partition is one distinct line's occurrence list, which
-    is boilerplate-frequency-bounded, never corpus-bounded, and the
-    (doc_id, pos) pair packs into a single BIGINT so the election is one
-    primitive-typed window aggregate (no struct comparators); then one
-    hash exchange on doc_id rebuilds documents with an array_sort over the
-    per-doc line list (document-length-bounded). No joins, no global
-    windows, no driver state. At 100 TB the only skew risk is a
-    pathological line duplicated across most of the corpus ("\\n" noise is
-    already excluded by ``min_chars``); such a partition still only
-    carries (doc_id-key, flag) longs, ~16 B/occurrence.
+    Scale shape: posexplode lines; the global keep-first election packs
+    (doc_id, pos) into one orderable BIGINT and takes MIN per distinct
+    line as a PARTIAL-AGG rollup keyed by the line's md5 digest
+    (fixed-width uniform exchange key; map-side combine collapses a
+    mass-duplicated line to one row per map task before any exchange),
+    left-joined back onto the line stream (shuffle-hash, so AQE
+    skew-split divides a hot probe partition across tasks); then one
+    hash exchange on doc_id rebuilds documents with an array_sort over
+    the per-doc line list (document-length-bounded). Round 14 de-skew:
+    the previous MIN window PARTITIONED BY the raw line string put a
+    10⁸-copy cookie-banner line — the exact data this operator exists
+    to remove — into ONE WindowExec task with the line text riding
+    every row (windows are never AQE-skew-splittable, and the exchange
+    key itself was the unbounded string); the rollup+join shape keeps
+    every task bounded and exchanges the text only under a
+    skew-splittable join. No driver state.
     """
     lines = spread(df).select(
         "doc_id",
@@ -2012,12 +2061,21 @@ def line_dedup(
         f"first') is null, "
         f"cast(doc_id * {LINE_STRIDE}L + pos as bigint), null)"
     )
-    min_key = F.min(F.when(elig, key)).over(Window.partitionBy("line"))
-    rows = lines.select(
-        "doc_id",
-        "pos",
-        "line",
-        (~elig | (key == min_key)).alias("__kept"),
+    elect = (
+        lines.where(elig)
+        .select(F.md5("line").alias("__h"), key.alias("__k"))
+        .groupBy("__h")
+        .agg(F.min("__k").alias("__mk"))
+    )
+    rows = (
+        lines.withColumn("__h", F.md5("line"))
+        .join(elect.hint("shuffle_hash"), "__h", "left")
+        .select(
+            "doc_id",
+            "pos",
+            "line",
+            (~elig | (key == F.col("__mk"))).alias("__kept"),
+        )
     )
     agg = rows.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("pos", "__kept", "line"))).alias(
@@ -2053,12 +2111,17 @@ def incremental_line_dedup(
     (md5 — 16 bytes per distinct line; in a real deployment this digest
     index is a maintained table appended once per batch, so the daily
     cost reads the NEW batch only, exactly like ``incremental_dedup``'s
-    digest set). New-batch lines are posexploded once; the batch-internal
-    keep-first election reuses ``line_dedup``'s packed-BIGINT MIN window
-    (line-frequency-bounded partitions); history membership is ONE
-    digest equi-join — uniform md5 keys, no skew, broadcastable while
-    the index is small and hash-partitioned beyond that. One corpus
-    scan of the batch, three exchanges total.
+    digest set). New-batch lines are posexploded; the batch-internal
+    keep-first election reuses ``line_dedup``'s round-14 de-skewed
+    shape — packed-BIGINT MIN as a PARTIAL-AGG rollup keyed by the line
+    digest (map-side combine collapses a mass-duplicated line before
+    the exchange), joined back shuffle-hash so AQE skew-split bounds
+    the hot-key tasks (the previous MIN window partitioned by the raw
+    line string serialized them into one task); history membership is
+    ONE digest equi-join on the SAME ``__hline`` key, so the two joins
+    share the probe-side partitioning — uniform md5 keys,
+    broadcastable while the index is small and hash-partitioned beyond
+    that.
     """
     hist = (
         spread(history_df)
@@ -2085,16 +2148,22 @@ def incremental_line_dedup(
         f"re-key first') is null, "
         f"cast(doc_id * {LINE_STRIDE}L + pos as bigint), null)"
     )
-    min_key = F.min(F.when(elig, key)).over(Window.partitionBy("line"))
+    elect = (
+        lines.where(elig)
+        .select(F.md5("line").alias("__hline"), key.alias("__k"))
+        .groupBy("__hline")
+        .agg(F.min("__k").alias("__mk"))
+    )
     flagged = (
         lines.select(
             "doc_id",
             "pos",
             "line",
             elig.alias("__elig"),
-            (key == min_key).alias("__first"),
+            key.alias("__k"),
             F.md5("line").alias("__hline"),
         )
+        .join(elect.hint("shuffle_hash"), "__hline", "left")
         .join(
             hist.withColumn("__dup", F.lit(True)), "__hline", "left"
         )
@@ -2104,7 +2173,10 @@ def incremental_line_dedup(
             "line",
             (
                 ~F.col("__elig")
-                | (F.col("__first") & F.col("__dup").isNull())
+                | (
+                    (F.col("__k") == F.col("__mk"))
+                    & F.col("__dup").isNull()
+                )
             ).alias("__kept"),
         )
     )

@@ -189,3 +189,141 @@ def test_gated_zone_stream_replay_is_idempotent(spark, tmp_path):
     assert {r.event_id for r in landed.collect()} == {1, 2}
     # batch_id is a visible partition column of the landed zone
     assert "batch_id" in landed.columns
+
+
+# ================== round-14 headline: de-skewed dedup elections
+def _line_dedup_reference(docs, delim="\n", min_chars=1):
+    """Pure-Python keep-first line dedup (the operator's contract)."""
+    occs = {}
+    for doc_id, text in docs:
+        for pos, line in enumerate(text.split(delim)):
+            if len(line) >= min_chars:
+                occs.setdefault(line, []).append((doc_id, pos))
+    first = {ln: min(ps) for ln, ps in occs.items()}
+    out = {}
+    for doc_id, text in docs:
+        kept, removed = [], 0
+        for pos, line in enumerate(text.split(delim)):
+            if len(line) < min_chars or first[line] == (doc_id, pos):
+                kept.append(line)
+            else:
+                removed += 1
+        out[doc_id] = (delim.join(kept), removed)
+    return out
+
+
+def test_line_dedup_mass_duplicate_matches_reference(spark):
+    """Planted mass-dup skew: ONE boilerplate line occurring 5000x
+    across the corpus — the pre-round-14 window plan serialized all
+    occurrences into one task; the agg+join plan must return the same
+    keep-first answer."""
+    import random
+
+    from data_lakehouse_hygiene_spark.operators import dedup
+
+    rng = random.Random(14)
+    hot = "all rights reserved by the example corporation"
+    docs = []
+    for d in range(500):
+        lines = []
+        for i in range(10):
+            lines.append(hot)  # 5000 occurrences corpus-wide
+            lines.append(f"unique line {d} {i} {rng.randrange(1 << 30)}")
+        docs.append((d, "\n".join(lines)))
+    ref = _line_dedup_reference(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_removed)
+        for r in dedup.line_dedup(df).collect()
+    }
+    assert got == ref
+    # the hot line survives exactly once corpus-wide
+    survivors = sum(t.split("\n").count(hot) for t, _ in got.values())
+    assert survivors == 1
+
+
+def _substring_keep_first_reference(docs, k):
+    """Pure-Python all-but-first exact-substring dedup."""
+    occ = {}
+    toks = {d: t.split() for d, t in docs}
+    for d, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(" ".join(ts[p : p + k]), []).append((d, p))
+    out = {}
+    for d, ts in toks.items():
+        cut = set()
+        for g, ps in occ.items():
+            if len(ps) < 2:
+                continue
+            keeper = min(ps)
+            for dd, p in ps:
+                if dd == d and (dd, p) != keeper:
+                    cut.update(range(p, p + k))
+        kept = [t for i, t in enumerate(ts) if i not in cut]
+        out[d] = (" ".join(kept), len(ts) - len(kept))
+    return out
+
+
+def test_substring_keep_first_mass_duplicate_matches_reference(spark):
+    """Same planted skew for the token-shingle family: a license header
+    repeated across every document. The packed-BIGINT min election
+    (agg+join) must equal the old ROW_NUMBER-window semantics, which
+    the pure-Python reference encodes."""
+    import random
+
+    from data_lakehouse_hygiene_spark.operators import dedup
+
+    rng = random.Random(41)
+    header = "licensed under the apache license version two point zero"
+    docs = []
+    for d in range(120):
+        body = " ".join(
+            f"w{rng.randrange(200)}" for _ in range(rng.randrange(10, 30))
+        )
+        docs.append((d, f"{header} {body}"))
+    k = 8
+    ref = _substring_keep_first_reference(docs, k)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed)
+        for r in dedup.substring_dedup_keep_first(df, min_tokens=k).collect()
+    }
+    assert got == ref
+    # doc 0 keeps the header (its occurrence is the global keeper)
+    assert got[0][0].startswith(header)
+    assert all(not got[d][0].startswith(header) for d in range(1, 120))
+
+
+def test_dedup_elections_have_no_hot_key_windows(spark):
+    """Plan pins for the round-14 de-skew: the keeper/frequency
+    elections must be partial aggregates joined back (AQE-splittable),
+    never WindowExec over the raw shingle/line stream. Windows
+    partitioned by doc_id (gaps-and-islands) are document-bounded and
+    stay."""
+    import re
+
+    from .conftest import SF_ORACLE
+    import __spark_entry__ as entrymod
+
+    def plan(name):
+        df = entrymod.queries()[name](spark, SF_ORACLE)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # line elections: no Window at all
+    for name in ("line_dedup", "incremental_line_dedup"):
+        p = plan(name)
+        assert "Window" not in p, (name, p)
+    # substring family: only doc_id-partitioned islands windows remain
+    for name in (
+        "substring_dedup",
+        "substring_dedup_apply",
+        "substring_dedup_keep_first",
+        "ngram_jaccard",
+    ):
+        p = plan(name)
+        for spec in re.findall(r"windowspecdefinition\((\w+)#", p):
+            assert spec == "doc_id", (name, spec)
