@@ -4037,6 +4037,41 @@ SELECT DISTINCT rolling_fp FROM ({SQL_DOC_FINGERPRINT}) f
 """
 
 
+def q_streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LINE-level dedup (round 14): the documents stream —
+    pseudo-line-broken like the batch ``line_dedup`` row — doubled (every
+    doc arrives twice), posexploded to lines, and collapsed by
+    ``dropDuplicatesWithinWatermark`` on the line digest. Output = the
+    distinct eligible-line digest set (arrival-order-free, so
+    batch-SQL-checkable); the doubled input proves the stateful
+    suppression actually fires. See ``streaming.line_dedup_stream``."""
+    from data_lakehouse_hygiene_spark import streaming
+
+    pin_session(spark)
+
+    def pseudo(s: DataFrame) -> DataFrame:
+        return s.withColumn(
+            "text",
+            F.regexp_replace(F.col("text"), _PSEUDO_LINE_PAT, "$1\n"),
+        )
+
+    s1 = pseudo(streaming.load_stream_table(spark, sf_dir, "documents"))
+    s2 = pseudo(streaming.load_stream_table(spark, sf_dir, "documents"))
+    out = streaming.line_dedup_stream(s1.union(s2))
+    return streaming.run_to_memory(out, output_mode="append")
+
+
+SQL_STREAMING_LINE_DEDUP = r"""
+WITH pl AS (
+  SELECT regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+           AS text
+  FROM documents)
+SELECT DISTINCT md5(line) AS line_hash
+FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM pl)
+WHERE length(line) >= 1
+"""
+
+
 def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-proportional deterministic sampling: survival probability =
     the doc's quality score, coin = the portable key hash (no RNG). See
@@ -5386,6 +5421,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "streaming_near_dup": (q_streaming_near_dup, SQL_STREAMING_NEAR_DUP),
+    "streaming_line_dedup": (
+        q_streaming_line_dedup,
+        SQL_STREAMING_LINE_DEDUP,
+    ),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "incremental_near_dup": (
         q_incremental_near_dup,
@@ -5895,6 +5934,52 @@ assert len(_R13_PREFIX) == 50 and len(set(_R13_PREFIX)) == 50
 _REGISTRY = {
     n: _REGISTRY[n]
     for n in _R13_PREFIX + [n for n in _REGISTRY if n not in _R13_PREFIX]
+}
+
+# Round-14 rotation (driver samples the FIRST 50 rows). Priority:
+# (a) this round's new row (never checked): streaming_line_dedup;
+# (b) the 13 rows whose code paths changed this round — the de-skewed
+#     elections (substring family, line family, ngram_jaccard), the
+#     probe-gate fixes (range_join, gap_fill), the simhash128
+#     concentration gate + its 64-bit/media twins, and the
+#     assert→ValueError contract rows (mixture_resample,
+#     repetition_metrics);
+# (c) all 20 rows whose latest official check is r10 — the oldest
+#     cohort (after this prefix the rotation floor rises to r11, the
+#     round-13 target);
+# (d) 16 fills from the r11 cohort, heaviest-benched first
+#     (BENCH_DETAIL_sf0.1 ordering), streaming_near_dup taking the
+#     last slot as the heaviest unbenched stateful row.
+# 1 + 13 + 20 + 16 = 50. Everything else re-verifies locally every run
+# via tests/test_oracle_parity.py regardless of this order.
+_R14_NEW = ["streaming_line_dedup"]
+_R14_MODIFIED = [
+    "substring_dedup", "substring_dedup_apply",
+    "substring_dedup_keep_first", "line_dedup", "incremental_line_dedup",
+    "ngram_jaccard", "range_join", "gap_fill", "simhash128_near_dup",
+    "simhash_near_dup", "media_near_dup", "mixture_resample",
+    "repetition_metrics",
+]
+_R14_STALE_R10 = [
+    "approx_quantiles", "bloom_prune", "cast_timestamp",
+    "collect_set_agg", "cube_counts", "date_format", "datetime_diff",
+    "lag_diff", "ntile_quartiles", "pii_scrub", "pivot_counts",
+    "price_qty_corr", "regex_funcs", "rollup_counts", "running_total",
+    "set_ops", "strip_html", "tfidf_top_terms", "topk_per_group",
+    "vocab_encode",
+]
+_R14_FILL_R11 = [
+    "incremental_near_dup", "ivfpq_ann", "mad_outliers", "simhash_fp",
+    "curation_funnel", "hygiene_score", "cosine_topk", "winsorize",
+    "cdc_apply", "global_sum", "fact_dim_join", "time_bucket_avg",
+    "group_count_ordered", "distinct_count", "since_last_event",
+    "streaming_near_dup",
+]
+_R14_PREFIX = _R14_NEW + _R14_MODIFIED + _R14_STALE_R10 + _R14_FILL_R11
+assert len(_R14_PREFIX) == 50 and len(set(_R14_PREFIX)) == 50
+_REGISTRY = {
+    n: _REGISTRY[n]
+    for n in _R14_PREFIX + [n for n in _REGISTRY if n not in _R14_PREFIX]
 }
 
 

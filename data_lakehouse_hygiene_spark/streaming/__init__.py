@@ -354,6 +354,67 @@ def near_dup_stream(
     )
 
 
+def line_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    delay: str = "365 days",
+    delim: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Streaming LINE-level dedup (round 14, completing the dedup family
+    streaming-side the way ``near_dup_stream`` did for fingerprints):
+    each arriving document posexplodes to lines (a pure per-row
+    projection — runs on an unbounded stream), and
+    ``dropDuplicatesWithinWatermark`` keyed on the line's md5 digest
+    emits only the FIRST occurrence of each distinct line seen inside
+    the watermark horizon. This is the streaming half of the line-dedup
+    trio — ``line_dedup`` (batch corpus), ``incremental_line_dedup``
+    (batch vs a maintained digest index), and this (unbounded feed): the
+    digest index the incremental form reads IS this operator's state
+    store, built continuously instead of per batch.
+
+    Emitted columns are (line_hash) only: WHICH document first carried a
+    line is an arrival-order fact, the SET of distinct lines is not —
+    keeping the output deterministic and batch-SQL-checkable (distinct
+    eligible-line digests). Lines shorter than ``min_chars`` are dropped
+    (separator structure, not content — they are never deduped by the
+    batch twin either). State is one digest per distinct line inside the
+    watermark horizon — bounded by the delay window and the corpus's
+    distinct-line count, never the stream length; a mass-duplicated
+    boilerplate line costs ONE state row no matter its multiplicity (the
+    skew story of the round-14 batch de-skew, for free, because state
+    lookup is a hash probe, not a partition sort).
+
+    ``ts_col=None`` synthesizes a deterministic event time from doc_id
+    (corpus tables carry no timestamp); real feeds pass their ingest
+    column. ``delim`` must be a plain literal (split pattern position).
+    """
+    cols = ["doc_id"] + ([ts_col] if ts_col else [])
+    lines = docs.select(
+        *cols,
+        F.explode(F.split(F.col(text_col), delim, -1)).alias("line"),
+    ).where(F.length("line") >= min_chars)
+    if ts_col is None:
+        lines = lines.withColumn(
+            "__ts",
+            F.expr(
+                "timestampadd(SECOND, cast(doc_id % 86400 as int),"
+                " timestamp'2024-01-01 00:00:00')"
+            ),
+        )
+        ts_col = "__ts"
+    return (
+        lines.select(
+            F.md5("line").alias("line_hash"),
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+        )
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["line_hash"])
+        .select("line_hash")
+    )
+
+
 def debounce_stream(
     events: DataFrame,
     *,

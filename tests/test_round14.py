@@ -327,3 +327,44 @@ def test_dedup_elections_have_no_hot_key_windows(spark):
         p = plan(name)
         for spec in re.findall(r"windowspecdefinition\((\w+)#", p):
             assert spec == "doc_id", (name, spec)
+
+
+# ---------------- streaming line dedup (round-14 stretch item 8)
+def test_line_dedup_stream_suppresses_duplicates_across_batches(
+    spark, tmp_path
+):
+    """The doubled stream (every doc twice, one file per trigger) must
+    emit each eligible line digest exactly once — state carries across
+    micro-batches — and equal the batch DISTINCT set."""
+    from data_lakehouse_hygiene_spark import streaming
+
+    docs = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta\n"),  # trailing '' line: ineligible, dropped
+        (3, "alpha\nalpha\nepsilon"),
+    ]
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    df = spark.createDataFrame(docs, schema)
+    df.coalesce(1).write.parquet(src + "/f1")
+    df.coalesce(1).write.parquet(src + "/f2")  # the replay copy
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f*")
+    )
+    out = streaming.run_to_memory(
+        streaming.line_dedup_stream(stream), output_mode="append"
+    )
+    got = sorted(r.line_hash for r in out.collect())
+    expected = sorted(
+        r.h
+        for r in spark.createDataFrame(docs, schema)
+        .selectExpr("explode(split(text, '\\n', -1)) AS line")
+        .where("length(line) >= 1")
+        .selectExpr("md5(line) AS h")
+        .distinct()
+        .collect()
+    )
+    assert got == expected
+    assert len(got) == 5  # alpha beta gamma delta epsilon

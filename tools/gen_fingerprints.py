@@ -75,11 +75,60 @@ def swar_lanes(sigs: np.ndarray) -> list[np.ndarray]:
     return lanes
 
 
+def gen_signatures128(
+    n: int, dup_frac: float, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """n 128-bit fingerprints as (lo, hi) uint64 halves — the round-14
+    extension for the simhash128 family's decade measurements: same
+    planted structure as the 64-bit corpus (dup_frac near-dup variants
+    at Hamming 1..7, radius spent across the FULL 128 bits so every
+    band of the 4×32 geometry sees distance-0 and distance-1 pairs),
+    rest uniform random. Expected random collisions at h≤7 over 128
+    bits: ~n²/2 · C(128,≤7)/2^128 ≈ 0 at any corpus this tool writes —
+    the planted pairs are the whole signal."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_dup = int(n * dup_frac)
+    lo = rng.integers(0, 1 << 64, size=n - n_dup, dtype=np.uint64)
+    hi = rng.integers(0, 1 << 64, size=n - n_dup, dtype=np.uint64)
+    src = rng.integers(0, n - n_dup, size=n_dup)
+    radius = rng.integers(1, 8, size=n_dup)
+    vlo, vhi = lo[src].copy(), hi[src].copy()
+    for r in range(7):
+        live = radius > r
+        bits = rng.integers(0, 128, size=n_dup)
+        blo = (bits < 64) & live
+        bhi = (bits >= 64) & live
+        vlo[blo] ^= np.uint64(1) << bits[blo].astype(np.uint64)
+        vhi[bhi] ^= np.uint64(1) << (bits[bhi] - 64).astype(np.uint64)
+    lo_all = np.concatenate([lo, vlo])
+    hi_all = np.concatenate([hi, vhi])
+    perm = rng.permutation(n)
+    return lo_all[perm], hi_all[perm]
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/mih10m"
     dup_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.02
+    bits = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     os.makedirs(out, exist_ok=True)
+
+    if bits == 128:
+        lo, hi = gen_signatures128(n, dup_frac, seed=42)
+        cols: dict = {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "__n": np.ones(n, dtype=np.int64),
+        }
+        # bits 0-63 -> w lanes, bits 64-127 -> x lanes: the inverse of
+        # _swar_bits_sql's j >= 64 -> x-prefix rule with identical
+        # in-lane position math per 64-bit half
+        for k, lane in enumerate(swar_lanes(lo)):
+            cols[f"w{k}"] = lane.view(np.int64)
+        for k, lane in enumerate(swar_lanes(hi)):
+            cols[f"x{k}"] = lane.view(np.int64)
+        pq.write_table(pa.table(cols), f"{out}/simhash128_agg.parquet")
+        print(f"wrote {n} 128-bit fingerprints (dup_frac={dup_frac}) to {out}")
+        return
 
     sigs = gen_signatures(n, dup_frac, seed=42)
     doc_id = np.arange(n, dtype=np.int64)
