@@ -92,7 +92,17 @@ def compound_predicate(
     return (metric > F.lit(threshold)) | F.lower(label).contains(needle)
 
 
-def spread(df, key: str = "doc_id"):
+# Bytes of (estimated) input per spread() fan-out task at cost=1. Read
+# at call time (module global) so width experiments can interleave arms
+# in one process by patching it. Round 14: 256 KB → 128 KB after an
+# interleaved A/B over all 24 spread-using headline rows (sf0.1,
+# median-of-5 per arm in ONE process): totals 15.52 s @256 KB /
+# 14.43 s @128 KB / 14.92 s @64 KB — 128 KB wins overall and no single
+# row regresses past its noise envelope.
+SPREAD_BYTES_PER_TASK = 128 << 10
+
+
+def spread(df, key: str = "doc_id", cost: int = 1):
     """Repartition small under-split inputs before CPU-heavy per-row work.
 
     A single small Parquet file arrives as ONE input partition, serializing
@@ -108,14 +118,24 @@ def spread(df, key: str = "doc_id"):
     scan planner would leave under-split; anything bigger — or any plan
     whose size Catalyst can't estimate — is left untouched.
 
-    The fan-out is DATA-PROPORTIONAL, one task per ~256 KB of input
+    The fan-out is DATA-PROPORTIONAL, one task per ~128 KB of input
     capped at the core count, not a flat ``defaultParallelism``: the
     per-row CPU work saturates long before the scan planner would split
     the file, and a flat 32-task stage over a sub-MB corpus is pure
-    scheduling floor (an interleaved A/B over the eight spread-using
-    headline rows measured −3.0 s of −10.2 s at sf0.1, −30%, with the
-    data-proportional count; every input ≥ 8 MB still fans out to all
-    cores, and the 100 TB no-op behavior is unchanged).
+    scheduling floor (the round-12 interleaved A/B measured −30% for the
+    data-proportional count vs flat 32; the round-14 A/B above moved the
+    divisor to 128 KB).
+
+    ``cost`` scales the width for call sites whose PER-BYTE CPU far
+    exceeds the typical shingle projection — the SWAR fingerprint
+    aggregates evaluate 16 (64-bit) / 32 (128-bit) shift-mask sums per
+    exploded shingle row, so their optimal task size is proportionally
+    smaller. Width-sweep medians at sf0.1 (one process, interleaved):
+    simhash128 1.48 s @width 3 → 0.99 s @16; simhash64 1.11 → 0.84;
+    minhash 0.44 → 0.36 @8-10. cost multiplies the estimated size, so a
+    cost-4 site reaches the core-count cap at 1/4 the input bytes; the
+    ≥ target×128 MB no-op early-exit is unchanged (at cluster scale the
+    scan planner's own splits already exceed the core count).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
@@ -124,5 +144,5 @@ def spread(df, key: str = "doc_id"):
         return df
     if size >= target * (128 << 20):
         return df
-    n = min(target, max(2, int(size // (256 << 10)) + 1))
+    n = min(target, max(2, int(size * cost // SPREAD_BYTES_PER_TASK) + 1))
     return df.repartition(n, key)

@@ -153,7 +153,10 @@ def minhash_signatures(
     each) — composing them from Column calls cost ~0.5 s of driver-side
     py4j round-trips per query call (see _swar_bits_sql for the measured
     pattern)."""
-    df = spread(df)
+    # cost=2: 16 LCG rehash aggregates per shingle row (see spread()'s
+    # round-14 width sweep — minhash median 0.44 → 0.36 s at the 2×
+    # width at sf0.1, value-identical output).
+    df = spread(df, cost=2)
     ex = shingle_rows(df, text_col).select(
         "doc_id", (base_hash(F.col("s")) % F.lit(2**31)).alias("h")
     )
@@ -700,7 +703,9 @@ def _simhash_agg(df: DataFrame, text_col: str) -> DataFrame:
     harmless: lanes are extracted with ``shiftrightunsigned``, and the
     session pins ANSI off so SUM wraps instead of erroring.
     """
-    df = spread(df)
+    # cost=2: 16 SWAR shift-mask sums per shingle row (round-14 width
+    # sweep: simhash64 median 1.11 s @width 3 → 0.84 s @16 at sf0.1).
+    df = spread(df, cost=2)
     ex = shingle_rows(df, text_col, alias="tok").select(
         "doc_id", F.md5("tok").alias("__h")
     )
@@ -1379,7 +1384,10 @@ def _simhash128_agg(df: DataFrame, text_col: str) -> DataFrame:
     BIGINT sums (w0..w15, x0..x15) + the count. Everything downstream
     (``_swar_bits_sql`` with its j ≥ 64 → x-prefix rule, ``_swar_half``)
     reads both lanes through one position formula."""
-    df = spread(df)
+    # cost=4: 32 SWAR shift-mask sums per shingle row — twice the
+    # 64-bit lane count (round-14 width sweep: simhash128 median 1.48 s
+    # @width 3 → 0.99 s @16 at sf0.1).
+    df = spread(df, cost=4)
     ex = shingle_rows(df, text_col, alias="tok").select(
         "doc_id", F.md5("tok").alias("__h")
     )
@@ -1929,7 +1937,11 @@ def substring_dedup_keep_first(
     )
     base = df.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
     pos = (
-        spread(base)
+        # cost=2: the k-token gram build + md5 per position row is the
+        # heaviest per-byte projection in the substring family (round-14
+        # width sweep: keep_first median 1.05 s @128 KB/task → 0.84 s at
+        # the 2× width at sf0.1).
+        spread(base, cost=2)
         .select("doc_id", "__toks", F.explode(safe).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     )
