@@ -227,53 +227,126 @@ def mixture_resample(
     )
 
 
+# One rank bucket per ~this many estimated input bytes (capped at the
+# requested n_parts): below one bucket's worth the percentile probe and
+# the offsets branch are pure fixed latency — a single partitioned-window
+# task sorts the whole (small) input and the plan is scan → one window.
+GR_BYTES_PER_BUCKET = 8 << 20
+
+
 def global_rank(
-    df: DataFrame, order: list[Column], n_parts: int = 32
+    df: DataFrame,
+    order: list[Column],
+    n_parts: int = 32,
+    bucket_on: tuple[str, bool] | None = None,
 ) -> DataFrame:
     """Distributed dense global 1-based rank by ``order`` (must be a
     TOTAL order — include a unique tiebreak column) — the scale-safe
     replacement for ``row_number() OVER (ORDER BY ...)``'s single-task
-    global window: range-partition on the sort key, rank WITHIN each
-    partition, then add each partition's start offset (one
-    #partitions-row collect — bounded driver traffic, the
-    kmeans-centroid convention).
+    global window. ``bucket_on=(col_name, ascending)`` names the FIRST
+    sort column (must be percentile-able: numeric/temporal) and its
+    direction.
 
     The rank VALUES are a pure function of the data (the total order
-    fixes them), so the result is identical under any partition layout;
-    only the work distribution depends on ``n_parts``. Size it to the
-    cluster — each range partition sorts independently.
+    fixes them), so the result is identical under any bucket layout;
+    only the work distribution depends on the bucket count. Mechanics:
+    split the first sort column's value domain into ordered ranges via
+    approx-percentile cuts baked into the plan as LITERALS, rank within
+    each bucket with a partitioned window, and add per-bucket start
+    offsets computed IN-PLAN (cumulative sum over the ≤ n_parts-row
+    bucket counts, broadcast-joined back). Rows equal to a cut share a
+    bucket, so bucket order is monotone in the sort order; NULLs get
+    sentinel bucket −1, which sorts first under ascending and last
+    under descending cumulative order — matching Spark's ASC NULLS
+    FIRST / DESC NULLS LAST window defaults.
+
+    Round 14 — REPLACES the ``repartitionByRange`` +
+    ``spark_partition_id()`` + offsets-``collect()`` construction,
+    which was WRONG at scale: range-partition boundaries are sampled
+    per ACTION (the sampler's seed incorporates the RDD id), so the
+    counts job and the ranking job could place rows into different
+    partitions — at 500k synthetic rows 483k of 500k ranks were off
+    (test-pinned vs the single-window truth; invisible at oracle scale,
+    where the boundary sample is effectively exact). Percentile cuts
+    are plan literals, so every consumer of ``__bkt`` computes the SAME
+    bucket for a row in every branch and every retry. The rewrite also
+    shuffles the data ONCE instead of twice (the old shape paid the
+    range exchange AND the window's hash exchange on the opaque
+    partition id) and runs no driver collect over data-sized frames.
+
+    The bucket count is data-proportional (est bytes /
+    ``GR_BYTES_PER_BUCKET``, capped at ``n_parts``, floor 1): small
+    inputs skip the percentile probe job entirely and rank in one
+    window task; unknown-stats inputs defensively use all ``n_parts``
+    buckets (the probe is one cheap pass; a single-task sort of an
+    actually-huge input would not be).
     """
+    from functools import reduce
+    from operator import add
+
     from pyspark.sql.window import Window
 
-    part = df.repartitionByRange(n_parts, *order)
-    pid = F.spark_partition_id()
-    w = Window.partitionBy("__pid").orderBy(*order)
-    ranked = part.withColumn("__pid", pid).withColumn(
-        "__local", F.row_number().over(w)
-    )
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranked.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    if not offsets:
-        return df.withColumn("rank", F.lit(None).cast("bigint")).where(
-            F.lit(False)
+    from .dedup import _estimated_bytes
+
+    if bucket_on is None:
+        raise ValueError(
+            "global_rank requires bucket_on=(first_order_col, ascending): "
+            "the first sort column's name and direction drive the "
+            "percentile range-bucketing"
         )
-    off_map = F.create_map(
-        *[F.lit(x) for p in sorted(offsets) for x in (p, offsets[p])]
+    name, asc = bucket_on
+    est = _estimated_bytes(df)
+    if est <= 0:
+        n_buckets = n_parts  # stats unknown: assume big, keep parallel
+    else:
+        n_buckets = min(n_parts, int(est // GR_BYTES_PER_BUCKET) + 1)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts: list = []
+    if probs:
+        # collect(), not first(): first() is take(1), which runs the
+        # 1-row aggregate as TWO incremental-limit jobs.
+        rows = df.select(
+            F.percentile_approx(name, probs, 10000).alias("c")
+        ).collect()
+        cuts = sorted(set(rows[0]["c"] or [])) if rows else []
+    if not cuts:
+        # single bucket (small or constant-valued input): every row —
+        # NULLs included, the window's own NULLS FIRST/LAST ordering
+        # places them — shares bucket 0, the offset is identically 0,
+        # and the counts/offsets branch and its broadcast join are
+        # skipped outright: the plan is scan → one partitioned window.
+        bucketed = df.withColumn("__bkt", F.lit(0))
+        w = Window.partitionBy("__bkt").orderBy(*order)
+        return bucketed.withColumn(
+            "__local", F.row_number().over(w)
+        ).select(
+            *df.columns, F.col("__local").cast("bigint").alias("rank")
+        )
+    val_bkt = reduce(
+        add,
+        [(F.col(name) > F.lit(c)).cast("int") for c in cuts],
+        F.lit(0),
     )
-    return ranked.select(
+    bucketed = df.withColumn(
+        "__bkt",
+        F.when(F.col(name).isNull(), F.lit(-1)).otherwise(val_bkt),
+    )
+    w = Window.partitionBy("__bkt").orderBy(*order)
+    ranked = bucketed.withColumn("__local", F.row_number().over(w))
+    counts = bucketed.groupBy("__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    bkt_order = F.col("__bkt").asc() if asc else F.col("__bkt").desc()
+    woff = Window.orderBy(bkt_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+    )
+    return ranked.join(F.broadcast(offs), "__bkt").select(
         *df.columns,
-        (
-            F.col("__local").cast("bigint")
-            + F.element_at(off_map, F.col("__pid"))
-        ).alias("rank"),
+        (F.col("__local").cast("bigint") + F.col("__off")).alias("rank"),
     )
 
 
@@ -305,6 +378,7 @@ def shard_assign(
     ranked = global_rank(
         df.select(id_col, size_col),
         [F.col(size_col).desc(), F.col(id_col).asc()],
+        bucket_on=(size_col, False),
     )
     return ranked.select(
         id_col,

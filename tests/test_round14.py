@@ -368,3 +368,45 @@ def test_line_dedup_stream_suppresses_duplicates_across_batches(
     )
     assert got == expected
     assert len(got) == 5  # alpha beta gamma delta epsilon
+
+
+# ------------------- round 14: global_rank percentile-bucket correctness
+def test_global_rank_bucket_path_matches_truth_at_scale(spark, monkeypatch):
+    """Regression for the pre-round-14 ``sampling.global_rank``: the
+    ``repartitionByRange`` + ``spark_partition_id()`` + offsets-collect
+    construction mis-ranked 483k of 500k rows at 500k synthetic rows,
+    because range-partition boundaries are re-SAMPLED per action (the
+    sampler seed incorporates the RDD id) — the counts job and the
+    ranking job could disagree on row placement. The percentile-bucket
+    plan bakes the cuts in as literals; with the bucket budget shrunk so
+    MULTIPLE buckets (and the NULL sentinel bucket) are genuinely in
+    play, every rank must equal the single-window truth."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_hygiene_spark.operators import sampling
+
+    monkeypatch.setattr(sampling, "GR_BYTES_PER_BUCKET", 1 << 14)
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 97 == 0, F.lit(None)).otherwise(
+            F.pmod(F.xxhash64("id"), 5000) + 50
+        ).alias("n_chars"),
+    )
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ranked = sampling.global_rank(
+        docs, order, n_parts=8, bucket_on=("n_chars", False)
+    )
+    # the plan must really use >1 bucket (the regression only bites
+    # then): the offsets broadcast join only exists on the multi-bucket
+    # path
+    assert "__bkt" in ranked._jdf.queryExecution().optimizedPlan().toString()
+    got = {r["doc_id"]: r["rank"] for r in ranked.collect()}
+    rows = docs.collect()
+    # single-window truth: n_chars DESC NULLS LAST, doc_id ASC
+    srt = sorted(
+        ((r["n_chars"], r["doc_id"]) for r in rows),
+        key=lambda t: (t[0] is None, -(t[0] or 0), t[1]),
+    )
+    want = {doc: i + 1 for i, (_, doc) in enumerate(srt)}
+    assert got == want

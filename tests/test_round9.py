@@ -288,7 +288,8 @@ def test_global_rank_matches_single_window_and_is_layout_invariant(spark):
     got = {
         r["doc_id"]: r["rank"]
         for r in sampling.global_rank(
-            docs.select("doc_id", "n_chars"), order
+            docs.select("doc_id", "n_chars"), order,
+            bucket_on=("n_chars", False),
         ).collect()
     }
     rows = sorted(
@@ -301,7 +302,8 @@ def test_global_rank_matches_single_window_and_is_layout_invariant(spark):
     got3 = {
         r["doc_id"]: r["rank"]
         for r in sampling.global_rank(
-            docs.select("doc_id", "n_chars"), order, n_parts=3
+            docs.select("doc_id", "n_chars"), order, n_parts=3,
+            bucket_on=("n_chars", False),
         ).collect()
     }
     assert got3 == want
@@ -320,19 +322,33 @@ def test_shard_assign_balances_sizes(spark):
     assert max(totals.values()) / min(totals.values()) < 1.05
 
 
-def test_shard_assign_has_no_single_task_global_window(spark):
-    """The plan must not contain a global (empty-partition-spec) window —
-    the whole point of the two-phase rank."""
+def test_shard_assign_has_no_single_task_global_window(spark, monkeypatch):
+    """Above the per-bucket byte budget, the plan must not funnel the
+    DATA through a global (empty-partition-spec) window — the whole
+    point of the two-phase rank. Round 14: the per-bucket row_number
+    window is partitioned by the explicit percentile-derived ``__bkt``
+    column (one data shuffle; see ``sampling.global_rank``); the
+    start-offset cumulative sum is allowed to be a global window
+    because its input is the ≤ n_parts-row per-bucket COUNT aggregate,
+    never the data. Below the budget a single-task window IS the chosen
+    plan (the budget bounds what one task sorts), so the partitioned
+    shape is pinned with the budget shrunk under the fixture size."""
     from data_lakehouse_hygiene_spark.operators import sampling
 
+    monkeypatch.setattr(sampling, "GR_BYTES_PER_BUCKET", 1 << 10)
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     plan = (
         sampling.shard_assign(docs, 8)
         ._jdf.queryExecution().executedPlan().toString()
     )
     import re
+    data_windows = 0
     for mline in re.finditer(r"Window \[.*", plan):
-        assert "__pid" in mline.group(0)  # every window is pid-partitioned
+        line = mline.group(0)
+        if "n_chars" in line:  # the window over raw data rows
+            data_windows += 1
+            assert "__bkt" in line
+    assert data_windows >= 1
 
 
 # --------------------------------------------- ngram_counts / BPE (r9 adds)
