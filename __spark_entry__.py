@@ -4113,9 +4113,14 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents")
-    g = text_ops.gopher_quality(docs, keep=("text",)).select(
-        "doc_id", "text", "passes"
-    )
+    # spread_input=False: the funnel ends in 1-row aggregates behind a
+    # lazy checkpoint, and fanning the per-row gates out measured a NET
+    # LOSS here (interleaved A/B 1.20 s → 1.40 s at sf0.1) — the extra
+    # exchange and wider checkpoint partitioning cost more than the
+    # parallelized gate compute saves, unlike the standalone gopher row.
+    g = text_ops.gopher_quality(
+        docs, keep=("text",), spread_input=False
+    ).select("doc_id", "text", "passes")
     # The fused gate row is NARROW (digest, two booleans — text never
     # leaves the projection) and its HOF gate compute is the expensive
     # term, with two consumers below — lazy-checkpoint so it runs once
