@@ -49,6 +49,30 @@ def base_hash(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
+def content_key128(col: Column) -> tuple[Column, Column]:
+    """128-bit content-equality key as TWO independent xxhash64 lanes —
+    for INTERNAL digests only (keys that never appear in output and are
+    never replayed by an oracle; equality is their whole contract).
+
+    Round 14 (optimization guide §2.3, narrower types / §1.2, per-task
+    work): md5-hex cost ~0.19 s per position-stream pass at sf0.1 vs
+    ~0 for xxhash64 (crypto vs non-crypto), and its 32-char hex string
+    is ~3x the wire width of two longs on every exchange and join key
+    compare. Two lanes keep md5-class collision safety: the probability
+    two distinct contents share BOTH lanes is ~2^-128-ish, so at 10^12
+    keys (100 TB position streams) expected collisions stay ~1e-15 —
+    one 64-bit lane alone would expect ~10^4 there, which for exact
+    operators is a wrong answer, not a slowdown.
+
+    The seed-PREFIX trick makes the lanes independent:
+    ``xxhash64(lit(1), s)`` folds the literal into the running seed
+    BEFORE the content bytes, i.e. lane 2 = XxHash64(s, seed') with a
+    different effective seed. (``xxhash64(s, lit(1))`` would post-mix
+    lane 1's value and inherit every lane-1 collision.)
+    """
+    return F.xxhash64(col), F.xxhash64(F.lit(1), col)
+
+
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -323,13 +347,21 @@ def ngram_jaccard_pairs(
     if single_scan is None:
         single_scan = est > NGRAM_SINGLE_SCAN_BYTES
     df = spread(df)
-    sh = shingle_rows(df, text_col)
+    # Key the exploded shingle stream by the 128-bit xxhash pair instead
+    # of the raw shingle string (round 14): "s" is equality-only from
+    # here on (it never reaches output), and the pair gives fixed-width
+    # 16-byte exchange/join keys in place of variable-length strings —
+    # see content_key128 for the collision math.
+    s1, s2 = content_key128(F.col("s"))
+    sh = shingle_rows(df, text_col).select(
+        "doc_id", s1.alias("s1"), s2.alias("s2")
+    )
     dfc = (
-        sh.groupBy("s")
+        sh.groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= df_cap)
     )
-    sh_ok = sh.join(dfc.hint("shuffle_hash"), "s")
+    sh_ok = sh.join(dfc.hint("shuffle_hash"), ["s1", "s2"])
     if not single_scan:
         return _ngram_pairs_broadcast_sizes(
             sh_ok, threshold, spread_explode=est > NGRAM_SPREAD_EXPLODE_BYTES
@@ -339,7 +371,7 @@ def ngram_jaccard_pairs(
     )
     pair_lists = (
         sh_n.where(F.col("df") >= 2)
-        .groupBy("s")
+        .groupBy("s1", "s2")
         .agg(
             F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
         )
@@ -353,7 +385,7 @@ def ngram_jaccard_pairs(
     # tiny narrow-row shuffle; an explicit numPartitions is exempt from AQE
     # coalescing, so the explode's fan-out lands evenly across the cluster.
     pair_lists = pair_lists.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "s"
+        df.sparkSession.sparkContext.defaultParallelism, "s1", "s2"
     )
     combos = F.expr(
         "flatten(transform(ds, (x, i) -> "
@@ -404,7 +436,7 @@ def _ngram_pairs_broadcast_sizes(
 ) -> DataFrame:
     """Small-input ngram_jaccard tail: per-doc sizes as a broadcast size
     table (see ngram_jaccard_pairs docstring for the crossover analysis).
-    ``sh_ok`` is the capped (doc_id, s, df) shingle stream.
+    ``sh_ok`` is the capped (doc_id, s1, s2, df) shingle stream.
 
     ``spread_explode``: redistribute the pair lists before the candidate
     explode (same AQE-coalesce rationale as the single-scan path). Gated
@@ -415,13 +447,13 @@ def _ngram_pairs_broadcast_sizes(
     ds = F.array_sort(F.collect_list("doc_id"))
     pair_lists = (
         sh_ok.where(F.col("df") >= 2)
-        .groupBy("s")
+        .groupBy("s1", "s2")
         .agg(ds.alias("ds"))
         .where(F.size("ds") >= 2)
     )
     if spread_explode:
         pair_lists = pair_lists.repartition(
-            sh_ok.sparkSession.sparkContext.defaultParallelism, "s"
+            sh_ok.sparkSession.sparkContext.defaultParallelism, "s1", "s2"
         )
     combos = F.expr(
         "flatten(transform(ds, (x, i) -> "
@@ -1771,7 +1803,7 @@ def substring_dedup_spans(
     (``groupBy(gh).count() ≥ 2`` — map-side combine collapses a
     mass-duplicated shingle to one row per map task before the
     exchange) LEFT-SEMI-joined back onto the position stream
-    (shuffle-hash on the fixed-width md5 key, so AQE skew-split divides
+    (shuffle-hash on the fixed-width 128-bit hash-pair key, so AQE skew-split divides
     a hot probe partition across tasks), and ONE key-partitioned
     exchange on doc_id under which both the gaps-and-islands run merge
     (two windows, same partitioning) and the final per-run aggregate
@@ -1791,33 +1823,43 @@ def substring_dedup_spans(
     """
     k = min_tokens
     toks = F.col("__toks")
-    grams = F.transform(
+    # Build the gram strings once (array<string>), then key each with the
+    # 128-bit xxhash pair (round 14: was md5-hex — ~0.19 s/pass dearer at
+    # sf0.1 and 3x the exchange-key width; see content_key128). The
+    # two-level transform binds the gram string to ONE lambda variable so
+    # both hash lanes read a single evaluation of the concat.
+    gram_strs = F.transform(
         F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
-        lambda i: F.struct(
+        lambda i: F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(k)]),
+    )
+    grams = F.transform(
+        gram_strs,
+        lambda g, i: F.struct(
             i.alias("pos"),
-            F.md5(
-                F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(k)])
-            ).alias("gh"),
+            *(
+                c.alias(n)
+                for c, n in zip(content_key128(g), ("g1", "g2"))
+            ),
         ),
     )
     safe = F.when(F.size(toks) >= k, grams).otherwise(
-        F.array().cast("array<struct<pos:int,gh:string>>")
+        F.array().cast("array<struct<pos:int,g1:bigint,g2:bigint>>")
     )
     pos = (
         spread(df)
         .select("doc_id", tokens(F.col(text_col)).alias("__toks"))
         .select("doc_id", F.explode(safe).alias("g"))
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+        .select("doc_id", "g.pos", "g.g1", "g.g2")
     )
     dup = (
-        pos.groupBy("gh")
+        pos.groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") >= 2)
-        .select("gh")
+        .select("g1", "g2")
     )
-    hits = pos.join(dup.hint("shuffle_hash"), "gh", "left_semi").select(
-        "doc_id", "pos"
-    )
+    hits = pos.join(
+        dup.hint("shuffle_hash"), ["g1", "g2"], "left_semi"
+    ).select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(k)).over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)
@@ -1911,7 +1953,7 @@ def substring_dedup_keep_first(
     retry-stable, and map-side combinable, so a mass-duplicated shingle
     collapses to one (digest, count, min) row per map task before the
     exchange. The rollup joins back onto the position stream
-    (shuffle-hash on the md5 key, AQE-skew-splittable); positions that
+    (shuffle-hash on the fixed-width hash-pair key, AQE-skew-splittable); positions that
     are not the elected minimum of a ≥2×-occurring shingle are
     redundant. Round 14 de-skew: the previous COUNT + ROW_NUMBER
     windows over the raw position stream serialized every occurrence of
@@ -1923,27 +1965,34 @@ def substring_dedup_keep_first(
     """
     k = min_tokens
     toks = F.col("__toks")
-    grams = F.transform(
+    # Same 128-bit xxhash-pair gram key as substring_dedup_spans (round
+    # 14: was md5-hex; see content_key128 for the cost/collision math).
+    gram_strs = F.transform(
         F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
-        lambda i: F.struct(
+        lambda i: F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(k)]),
+    )
+    grams = F.transform(
+        gram_strs,
+        lambda g, i: F.struct(
             i.alias("pos"),
-            F.md5(
-                F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(k)])
-            ).alias("gh"),
+            *(
+                c.alias(n)
+                for c, n in zip(content_key128(g), ("g1", "g2"))
+            ),
         ),
     )
     safe = F.when(F.size(toks) >= k, grams).otherwise(
-        F.array().cast("array<struct<pos:int,gh:string>>")
+        F.array().cast("array<struct<pos:int,g1:bigint,g2:bigint>>")
     )
     base = df.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
     pos = (
-        # cost=2: the k-token gram build + md5 per position row is the
+        # cost=2: the k-token gram build + hash per position row is the
         # heaviest per-byte projection in the substring family (round-14
         # width sweep: keep_first median 1.05 s @128 KB/task → 0.84 s at
         # the 2× width at sf0.1).
         spread(base, cost=2)
         .select("doc_id", "__toks", F.explode(safe).alias("g"))
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+        .select("doc_id", "g.pos", "g.g1", "g.g2")
     )
     max_doc = (1 << 63) // LINE_STRIDE - 1
     pk = F.expr(
@@ -1955,12 +2004,12 @@ def substring_dedup_keep_first(
         f"cast(doc_id * {LINE_STRIDE}L + pos as bigint), null)"
     )
     stats = (
-        pos.groupBy("gh")
+        pos.groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("__c"), F.min(pk).alias("__mk"))
         .where(F.col("__c") >= 2)
     )
     redundant = (
-        pos.join(stats.hint("shuffle_hash"), "gh")
+        pos.join(stats.hint("shuffle_hash"), ["g1", "g2"])
         .where(pk != F.col("__mk"))
         .select("doc_id", "pos")
     )
@@ -2037,7 +2086,7 @@ def line_dedup(
 
     Scale shape: posexplode lines; the global keep-first election packs
     (doc_id, pos) into one orderable BIGINT and takes MIN per distinct
-    line as a PARTIAL-AGG rollup keyed by the line's md5 digest
+    line as a PARTIAL-AGG rollup keyed by the line's 128-bit hash-pair digest
     (fixed-width uniform exchange key; map-side combine collapses a
     mass-duplicated line to one row per map task before any exchange),
     left-joined back onto the line stream (shuffle-hash, so AQE
@@ -2073,15 +2122,19 @@ def line_dedup(
         f"first') is null, "
         f"cast(doc_id * {LINE_STRIDE}L + pos as bigint), null)"
     )
+    # 128-bit xxhash-pair line digest (round 14: was md5-hex — dearer to
+    # compute and 3x the exchange-key width; see content_key128)
+    h1, h2 = content_key128(F.col("line"))
     elect = (
         lines.where(elig)
-        .select(F.md5("line").alias("__h"), key.alias("__k"))
-        .groupBy("__h")
+        .select(h1.alias("__h1"), h2.alias("__h2"), key.alias("__k"))
+        .groupBy("__h1", "__h2")
         .agg(F.min("__k").alias("__mk"))
     )
     rows = (
-        lines.withColumn("__h", F.md5("line"))
-        .join(elect.hint("shuffle_hash"), "__h", "left")
+        lines.withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .join(elect.hint("shuffle_hash"), ["__h1", "__h2"], "left")
         .select(
             "doc_id",
             "pos",
@@ -2120,28 +2173,31 @@ def incremental_line_dedup(
     n_lines_removed) for every new document.
 
     Scale shape: the history side collapses to DISTINCT line digests
-    (md5 — 16 bytes per distinct line; in a real deployment this digest
+    (xxhash64 pair — 16 bytes per distinct line; in a real deployment this digest
     index is a maintained table appended once per batch, so the daily
     cost reads the NEW batch only, exactly like ``incremental_dedup``'s
     digest set). New-batch lines are posexploded; the batch-internal
     keep-first election reuses ``line_dedup``'s round-14 de-skewed
-    shape — packed-BIGINT MIN as a PARTIAL-AGG rollup keyed by the line
-    digest (map-side combine collapses a mass-duplicated line before
+    shape — packed-BIGINT MIN as a PARTIAL-AGG rollup keyed by the line's
+    hash-pair digest (map-side combine collapses a mass-duplicated line before
     the exchange), joined back shuffle-hash so AQE skew-split bounds
     the hot-key tasks (the previous MIN window partitioned by the raw
     line string serialized them into one task); history membership is
-    ONE digest equi-join on the SAME ``__hline`` key, so the two joins
-    share the probe-side partitioning — uniform md5 keys,
+    ONE digest equi-join on the SAME hash-pair key, so the two joins
+    share the probe-side partitioning — uniform fixed-width keys,
     broadcastable while the index is small and hash-partitioned beyond
     that.
     """
+    # 128-bit xxhash-pair line digest for the history index and the
+    # batch election (round 14: was md5-hex; see content_key128)
+    lh1, lh2 = content_key128(F.col("line"))
     hist = (
         spread(history_df)
         .select(
             F.explode(F.split(F.col(text_col), delim, -1)).alias("line")
         )
         .where(F.length("line") >= min_chars)
-        .select(F.md5("line").alias("__hline"))
+        .select(lh1.alias("__hl1"), lh2.alias("__hl2"))
         .distinct()
     )
     lines = spread(new_df).select(
@@ -2162,8 +2218,8 @@ def incremental_line_dedup(
     )
     elect = (
         lines.where(elig)
-        .select(F.md5("line").alias("__hline"), key.alias("__k"))
-        .groupBy("__hline")
+        .select(lh1.alias("__hl1"), lh2.alias("__hl2"), key.alias("__k"))
+        .groupBy("__hl1", "__hl2")
         .agg(F.min("__k").alias("__mk"))
     )
     flagged = (
@@ -2173,11 +2229,14 @@ def incremental_line_dedup(
             "line",
             elig.alias("__elig"),
             key.alias("__k"),
-            F.md5("line").alias("__hline"),
+            lh1.alias("__hl1"),
+            lh2.alias("__hl2"),
         )
-        .join(elect.hint("shuffle_hash"), "__hline", "left")
+        .join(elect.hint("shuffle_hash"), ["__hl1", "__hl2"], "left")
         .join(
-            hist.withColumn("__dup", F.lit(True)), "__hline", "left"
+            hist.withColumn("__dup", F.lit(True)),
+            ["__hl1", "__hl2"],
+            "left",
         )
         .select(
             "doc_id",

