@@ -2779,18 +2779,23 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are replayed from the hash grid by ``SQL_MEDIA_NEAR_DUP``; the
     recall/precision property stays pinned in ``tests/test_round9.py``."""
     docs = _t(spark, sf_dir, "documents")
-    base = multimodal.synthesize_structured_media(docs)
-    # plant from a FILTERED INPUT: a where() above the synthesis kernel
-    # cannot push through mapInPandas, so the variants arm would
-    # re-synthesize the whole corpus to keep 20% of it; filtering the
-    # doc_id scan first synthesizes only the planted 20% (payloads are
-    # a pure per-row function of doc_id, so the result is identical —
-    # +10^9 keeps parity, hence modality)
-    planted = multimodal.synthesize_structured_media(
-        docs.where(F.col("doc_id") % 10 < 2)
-    ).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
-    variants = multimodal.transform_media(planted, scale_div=2, sample_every=4)
-    fp = multimodal.media_phash(base.unionByName(variants))
+    # Round 14 (guide §4.1/§8): both fingerprint arms run FUSED
+    # synthesize→(transform)→phash kernels (multimodal.structured_phash)
+    # — the same synthesis/resize/decimate/decode byte path as chaining
+    # the three public operators (test-pinned value-equal), but the
+    # ~12 KB payloads never cross the JVM↔Python boundary: one Python
+    # stage per arm instead of two/three, and only (doc_id, media_type,
+    # phash) ever leaves the worker. Planting still reads a FILTERED
+    # doc_id scan (payloads are a pure per-row function of doc_id, so
+    # synthesizing only the planted 20% is identical; +10^9 keeps
+    # parity, hence modality).
+    base = multimodal.structured_phash(docs)
+    variants = multimodal.structured_phash(
+        docs.where(F.col("doc_id") % 10 < 2),
+        transform=(2, 4),
+        id_offset=1_000_000_000,
+    )
+    fp = base.unionByName(variants)
     # n_assets from the documents parquet footer (metadata-only count —
     # never re-runs the phash pipeline): one asset per doc + the ~20%
     # planted variants. n_assets both SELECTS the plan (corpora at or

@@ -360,76 +360,87 @@ def transform_media(
     """
 
     def _tx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
-            out = [b""] * len(payloads)
-            groups: dict = {}
-            for i, p in enumerate(payloads):
-                if p[:2] != b"BM":
-                    out[i] = _decimate_wav(p, sample_every)
-                    continue
-                w = int.from_bytes(p[18:22], "little", signed=True)
-                h = int.from_bytes(p[22:26], "little", signed=True)
-                bpp = int.from_bytes(p[28:30], "little")
-                off = int.from_bytes(p[10:14], "little")
-                stride = (3 * w + 3) // 4 * 4
-                if bpp == 24 and 0 < w and 0 < h and (
-                    off + stride * h <= len(p)
-                ):
-                    groups.setdefault((len(p), w, h, off), []).append(i)
-                else:
-                    out[i] = _resize_bmp(p, scale_div)
-            # same-geometry BMPs resize as one strided gather per group
-            # (the scalar per-pixel Python loop was ~1k iterations per
-            # 64→32 asset); byte output identical by construction
-            for (L, w, h, off), idxs in groups.items():
-                in_stride = (3 * w + 3) // 4 * 4
-                ow, oh = max(1, w // scale_div), max(1, h // scale_div)
-                out_stride = (3 * ow + 3) // 4 * 4
-                rows_idx = (np.arange(oh) * h) // oh
-                byte_idx = (
-                    ((np.arange(ow) * w) // ow)[:, None] * 3
-                    + np.arange(3)[None, :]
-                ).reshape(-1)
-                size = 54 + out_stride * oh
-                hdr = (
-                    b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
-                    + (54).to_bytes(4, "little")
-                    + (40).to_bytes(4, "little")
-                    + ow.to_bytes(4, "little", signed=True)
-                    + oh.to_bytes(4, "little", signed=True)
-                    + (1).to_bytes(2, "little")
-                    + (24).to_bytes(2, "little")
-                    + (0).to_bytes(4, "little")
-                    + (out_stride * oh).to_bytes(4, "little")
-                    + b"\x00" * 16
-                )
-                for c0 in range(0, len(idxs), _PHASH_CHIP):
-                    chip = idxs[c0 : c0 + _PHASH_CHIP]
-                    raw = np.frombuffer(
-                        b"".join(payloads[i] for i in chip), dtype=np.uint8
-                    ).reshape(len(chip), L)
-                    px = raw[:, off : off + in_stride * h].reshape(
-                        len(chip), h, in_stride
-                    )
-                    body = px[:, rows_idx][:, :, byte_idx]
-                    buf = np.zeros(
-                        (len(chip), oh, out_stride), dtype=np.uint8
-                    )
-                    buf[:, :, : 3 * ow] = body
-                    for i, b in zip(chip, buf):
-                        out[i] = hdr + b.tobytes()
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "media_type": pdf["media_type"],
-                    "payload": out,
+                    "payload": _tx_payloads(
+                        payloads, scale_div, sample_every
+                    ),
                 }
             )
 
     return media.mapInPandas(_tx, schema=MEDIA_SCHEMA)
+
+
+def _tx_payloads(
+    payloads: list, scale_div: int, sample_every: int
+) -> list:
+    """Batch core of ``transform_media``: raw payload list → transformed
+    payload list, in input order. Same-geometry BMPs resize as one
+    strided gather per group (the scalar per-pixel Python loop was ~1k
+    iterations per 64→32 asset); byte output identical by construction.
+    Shared by the chained operator and ``structured_phash``'s fused
+    kernel."""
+    import numpy as np
+
+    out = [b""] * len(payloads)
+    groups: dict = {}
+    for i, p in enumerate(payloads):
+        if p[:2] != b"BM":
+            out[i] = _decimate_wav(p, sample_every)
+            continue
+        w = int.from_bytes(p[18:22], "little", signed=True)
+        h = int.from_bytes(p[22:26], "little", signed=True)
+        bpp = int.from_bytes(p[28:30], "little")
+        off = int.from_bytes(p[10:14], "little")
+        stride = (3 * w + 3) // 4 * 4
+        if bpp == 24 and 0 < w and 0 < h and (
+            off + stride * h <= len(p)
+        ):
+            groups.setdefault((len(p), w, h, off), []).append(i)
+        else:
+            out[i] = _resize_bmp(p, scale_div)
+    for (L, w, h, off), idxs in groups.items():
+        in_stride = (3 * w + 3) // 4 * 4
+        ow, oh = max(1, w // scale_div), max(1, h // scale_div)
+        out_stride = (3 * ow + 3) // 4 * 4
+        rows_idx = (np.arange(oh) * h) // oh
+        byte_idx = (
+            ((np.arange(ow) * w) // ow)[:, None] * 3
+            + np.arange(3)[None, :]
+        ).reshape(-1)
+        size = 54 + out_stride * oh
+        hdr = (
+            b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + ow.to_bytes(4, "little", signed=True)
+            + oh.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + (out_stride * oh).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        for c0 in range(0, len(idxs), _PHASH_CHIP):
+            chip = idxs[c0 : c0 + _PHASH_CHIP]
+            raw = np.frombuffer(
+                b"".join(payloads[i] for i in chip), dtype=np.uint8
+            ).reshape(len(chip), L)
+            px = raw[:, off : off + in_stride * h].reshape(
+                len(chip), h, in_stride
+            )
+            body = px[:, rows_idx][:, :, byte_idx]
+            buf = np.zeros(
+                (len(chip), oh, out_stride), dtype=np.uint8
+            )
+            buf[:, :, : 3 * ow] = body
+            for i, b in zip(chip, buf):
+                out[i] = hdr + b.tobytes()
+    return out
 
 
 # Fixed-point DCT-II cosine table, COS_Q16[t] = round(cos(pi*t/32) *
@@ -850,36 +861,6 @@ def synthesize_structured_media(
     exactly. The perceptual-fingerprint test corpus for
     ``media_near_dup``; ``synthesize_media`` remains the decode-path
     corpus. Arrow ``mapInPandas``, payloads built executor-side."""
-    import numpy as np
-
-    # constant container headers (all images are 64×64 BMPs, all audio
-    # 4096-sample WAVs — only the content bytes vary per doc)
-    _bmp_data_len = 64 * 192
-    _bmp_hdr = (
-        b"BM" + (54 + _bmp_data_len).to_bytes(4, "little") + b"\0\0\0\0"
-        + (54).to_bytes(4, "little")
-        + (40).to_bytes(4, "little")
-        + (64).to_bytes(4, "little", signed=True)
-        + (64).to_bytes(4, "little", signed=True)
-        + (1).to_bytes(2, "little")
-        + (24).to_bytes(2, "little")
-        + (0).to_bytes(4, "little")
-        + _bmp_data_len.to_bytes(4, "little")
-        + b"\0" * 16
-    )
-    _fmt = (
-        b"fmt " + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")
-        + (1).to_bytes(2, "little")
-        + (8000).to_bytes(4, "little")
-        + (8000).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")
-        + (8).to_bytes(2, "little")
-    )
-    _wav_hdr = (
-        b"RIFF" + (4 + len(_fmt) + 8 + 4096).to_bytes(4, "little")
-        + b"WAVE" + _fmt + b"data" + (4096).to_bytes(4, "little")
-    )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -887,37 +868,10 @@ def synthesize_structured_media(
             # yield in _YIELD_ROWS chunks: each yielded frame becomes one
             # Arrow batch, and 10k payload rows × 12 KB per input batch
             # OOM'd the 500k-doc rehearsal — payload memory must be
-            # bounded per yield, not per input batch. Content bytes are
-            # computed BATCHED per chunk (one avalanche/upscale pass for
-            # every even id, one amplitude pass for every odd id); only
-            # the per-row tobytes() stays a Python loop.
+            # bounded per yield, not per input batch.
             for c0 in range(0, len(ids_all), _YIELD_ROWS):
                 ids = ids_all[c0 : c0 + _YIELD_ROWS]
-                ev = ids[ids % 2 == 0]
-                od = ids[ids % 2 == 1]
-                payload: dict = {}
-                if len(ev):
-                    g = _hash_grid_batch(ev, 16, 16)
-                    img = np.repeat(np.repeat(g, 4, axis=1), 4, axis=2)
-                    data = np.repeat(img, 3, axis=2)  # (E, 64, 192) BGR
-                    for i, d in zip(ev, data):
-                        payload[int(i)] = _bmp_hdr + d.tobytes()
-                if len(od):
-                    # integer amplitudes (round 11): 10 + g*100//255 in
-                    # [10, 110], so samples are exactly 128±amp and the
-                    # frame energy IS the amplitude — the oracle SQL
-                    # replays `10 + (g*100)//255` from the hash grid
-                    g = (
-                        _hash_grid_batch(od, 8, 8)
-                        .reshape(len(od), 64)
-                        .astype(np.int64)
-                    )
-                    amp = 10 + (g * 100) // 255
-                    frames = np.repeat(amp, 64, axis=1)  # (O, 4096)
-                    sgn = np.tile([1, -1], 2048)[None, :]
-                    s = (128 + frames * sgn).astype(np.uint8)
-                    for i, d in zip(od, s):
-                        payload[int(i)] = _wav_hdr + d.tobytes()
+                payload = _synth_structured_chunk(ids)
                 yield pd.DataFrame(
                     {
                         "doc_id": [int(i) for i in ids],
@@ -930,6 +884,123 @@ def synthesize_structured_media(
                 )
 
     return df.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+# Constant container headers for the structured corpus (all images are
+# 64×64 BMPs, all audio 4096-sample WAVs — only the content bytes vary
+# per doc). Module-level so the chained operator and the fused
+# fingerprint kernel share one definition.
+_SBMP_DATA_LEN = 64 * 192
+_SBMP_HDR = (
+    b"BM" + (54 + _SBMP_DATA_LEN).to_bytes(4, "little") + b"\0\0\0\0"
+    + (54).to_bytes(4, "little")
+    + (40).to_bytes(4, "little")
+    + (64).to_bytes(4, "little", signed=True)
+    + (64).to_bytes(4, "little", signed=True)
+    + (1).to_bytes(2, "little")
+    + (24).to_bytes(2, "little")
+    + (0).to_bytes(4, "little")
+    + _SBMP_DATA_LEN.to_bytes(4, "little")
+    + b"\0" * 16
+)
+_SWAV_FMT = (
+    b"fmt " + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")
+    + (1).to_bytes(2, "little")
+    + (8000).to_bytes(4, "little")
+    + (8000).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")
+    + (8).to_bytes(2, "little")
+)
+_SWAV_HDR = (
+    b"RIFF" + (4 + len(_SWAV_FMT) + 8 + 4096).to_bytes(4, "little")
+    + b"WAVE" + _SWAV_FMT + b"data" + (4096).to_bytes(4, "little")
+)
+
+
+def _synth_structured_chunk(ids) -> dict:
+    """Batch core of ``synthesize_structured_media``: doc ids →
+    {doc_id: payload bytes}. Content bytes are computed BATCHED (one
+    avalanche/upscale pass for every even id, one amplitude pass for
+    every odd id); only the per-row tobytes() stays a Python loop."""
+    import numpy as np
+
+    ev = ids[ids % 2 == 0]
+    od = ids[ids % 2 == 1]
+    payload: dict = {}
+    if len(ev):
+        g = _hash_grid_batch(ev, 16, 16)
+        img = np.repeat(np.repeat(g, 4, axis=1), 4, axis=2)
+        data = np.repeat(img, 3, axis=2)  # (E, 64, 192) BGR
+        for i, d in zip(ev, data):
+            payload[int(i)] = _SBMP_HDR + d.tobytes()
+    if len(od):
+        # integer amplitudes (round 11): 10 + g*100//255 in
+        # [10, 110], so samples are exactly 128±amp and the
+        # frame energy IS the amplitude — the oracle SQL
+        # replays `10 + (g*100)//255` from the hash grid
+        g = (
+            _hash_grid_batch(od, 8, 8)
+            .reshape(len(od), 64)
+            .astype(np.int64)
+        )
+        amp = 10 + (g * 100) // 255
+        frames = np.repeat(amp, 64, axis=1)  # (O, 4096)
+        sgn = np.tile([1, -1], 2048)[None, :]
+        s = (128 + frames * sgn).astype(np.uint8)
+        for i, d in zip(od, s):
+            payload[int(i)] = _SWAV_HDR + d.tobytes()
+    return payload
+
+
+def structured_phash(
+    df: DataFrame,
+    transform: tuple[int, int] | None = None,
+    id_offset: int = 0,
+) -> DataFrame:
+    """FUSED synthesize → (transform) → phash over the structured
+    corpus: one Python stage instead of two (or three, with a
+    transform), so the ~12 KB payloads never cross the JVM↔Python
+    boundary at all — only (doc_id, media_type, phash) leaves the
+    worker (optimization guide §4.1: control how many columns cross;
+    §8: move heavy bytes zero times when the decision needs only a
+    proxy). Byte path is IDENTICAL to chaining the public operators —
+    the same ``_synth_structured_chunk`` builds the container, the same
+    ``_tx_payloads`` resizes/decimates it, the same ``_phash_payloads``
+    decodes and fingerprints it (test-pinned value-equal to the chained
+    plan) — so the real codec work all still runs; only the transport
+    between the stages is gone.
+
+    ``transform=(scale_div, sample_every)`` applies ``transform_media``'s
+    kernel between synthesis and fingerprinting; ``id_offset`` re-labels
+    output doc_ids (the planted-variant convention) without an extra
+    projection on the payload stream.
+    """
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_all = pdf["doc_id"].to_numpy()
+            for c0 in range(0, len(ids_all), _YIELD_ROWS):
+                ids = ids_all[c0 : c0 + _YIELD_ROWS]
+                pmap = _synth_structured_chunk(ids)
+                payloads = [pmap[int(i)] for i in ids]
+                if transform is not None:
+                    payloads = _tx_payloads(
+                        payloads, transform[0], transform[1]
+                    )
+                hs = _phash_payloads(payloads)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [int(i) + id_offset for i in ids],
+                        "media_type": [
+                            "image/bmp" if i % 2 == 0 else "audio/wav"
+                            for i in ids
+                        ],
+                        "phash": pd.Series(hs, dtype="int64"),
+                    }
+                )
+
+    return df.select("doc_id").mapInPandas(_fused, schema=PHASH_SCHEMA)
 
 
 # Below this many assets the banded expression plan (no Python stage)

@@ -451,3 +451,35 @@ def test_content_key128_lanes_are_independent_and_plans_dropped_md5(spark):
     }.items():
         plan = mk()._jdf.queryExecution().executedPlan().toString()
         assert "md5" not in plan, (name, plan[:400])
+
+
+# -------- round 14 optimization: fused structured media fingerprint path
+def test_structured_phash_fused_equals_chained_operators(spark):
+    """q_media_near_dup's fingerprint arms moved to
+    multimodal.structured_phash — ONE mapInPandas running the same
+    synthesize/transform/decode/fingerprint batch cores as the chained
+    public operators, so payloads never cross the JVM↔Python boundary
+    (measured 2.7-5.4x at 200k assets; the chained form re-batches
+    ~12 KB payloads between every Python stage). The fused plan must be
+    value-identical to the chained plan, transform and no-transform
+    arms both, including the id_offset re-labeling."""
+    from data_lakehouse_hygiene_spark.operators import multimodal as M
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    chained = M.media_phash(M.synthesize_structured_media(docs))
+    fused = M.structured_phash(docs)
+    assert sorted(map(tuple, chained.collect())) == sorted(
+        map(tuple, fused.collect())
+    )
+    planted = M.synthesize_structured_media(docs).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    chained_tx = M.media_phash(
+        M.transform_media(planted, scale_div=2, sample_every=4)
+    )
+    fused_tx = M.structured_phash(
+        docs, transform=(2, 4), id_offset=1_000_000_000
+    )
+    assert sorted(map(tuple, chained_tx.collect())) == sorted(
+        map(tuple, fused_tx.collect())
+    )
