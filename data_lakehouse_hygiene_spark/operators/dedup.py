@@ -1777,6 +1777,81 @@ def _simhash128_mih_pairs(
     )
 
 
+def _island_spans(ps: str, k: int) -> Column:
+    """Merge a SORTED per-document duplicated-position array ``ps`` into
+    maximal strict-overlap islands, in-row — array<struct<span_start,
+    span_end, n_grams>> (all bigint), ascending and disjoint by
+    construction.
+
+    Round 15 (guide §1.2 per-task work / §2.4 remove passes): the
+    gaps-and-islands merge previously ran as TWO running-frame windows
+    plus a (doc_id, island) aggregate under the doc_id exchange — a
+    per-partition sort and three operator passes over the position
+    stream. Because positions are per-document and document-length-
+    bounded (the same bound the rebuild's collect_list already relies
+    on), ONE sorted per-doc list + this O(n + islands) expression
+    computes the identical spans: with ``ps`` ascending and constant
+    gram length k, the running max(pos + k) over preceding rows is just
+    ps[i-1] + k, so an island breaks exactly where ps[i] >= ps[i-1] + k.
+    ``ps`` must be non-empty (guaranteed: it comes from a groupBy over
+    the hit stream, so every doc_id present has >= 1 position).
+
+    The array(bs) wrapper binds the break-index list to ONE lambda
+    variable so it is evaluated once per row (the module's two-level
+    transform convention)."""
+    bs = (
+        f"filter(sequence(0, size({ps}) - 1), "
+        f"i -> i = 0 OR {ps}[i] >= {ps}[i-1] + {k})"
+    )
+    return F.expr(
+        f"flatten(transform(array({bs}), bs -> "
+        f"transform(bs, (b, t) -> struct("
+        f"cast({ps}[b] as bigint) AS span_start, "
+        f"cast({ps}[if(t + 1 < size(bs), bs[t + 1], size({ps})) - 1] "
+        f"+ {k} as bigint) AS span_end, "
+        f"cast(if(t + 1 < size(bs), bs[t + 1], size({ps})) - b "
+        f"as bigint) AS n_grams))))"
+    )
+
+
+def _cut_spans(base: DataFrame, sp: DataFrame) -> DataFrame:
+    """Shared rebuild of the substring-dedup appliers: cut every token
+    covered by a span out of ``base``'s token arrays. ``sp`` is
+    (doc_id, __ss) with __ss SORTED and DISJOINT (the _island_spans
+    contract).
+
+    Round 15 (guide §1.2): the kept tokens are the concatenation of the
+    gap segments BETWEEN the spans, so one slice() per gap rebuilds the
+    document in O(tokens + spans) — the previous per-token
+    covered-by-any-span filter lambda was O(tokens × spans) per
+    document."""
+    empty = (
+        "cast(array() as array<struct<"
+        "span_start:bigint,span_end:bigint,n_grams:bigint>>)"
+    )
+    gap_start = "if(g = 0, 0L, ss[g - 1].span_end)"
+    gap_end = (
+        "if(g < size(ss), ss[g].span_start, cast(size(__toks) as bigint))"
+    )
+    kept = F.expr(
+        f"flatten(transform(array(coalesce(__ss, {empty})), ss -> "
+        f"flatten(transform(sequence(0, size(ss)), g -> "
+        f"slice(__toks, cast({gap_start} as int) + 1, "
+        f"cast({gap_end} - {gap_start} as int))))))"
+    )
+    return (
+        base.join(sp, "doc_id", "left")
+        .select("doc_id", "__toks", kept.alias("__kept"))
+        .select(
+            "doc_id",
+            F.array_join("__kept", " ").alias("clean_text"),
+            (F.size("__toks") - F.size("__kept"))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def substring_dedup_spans(
     df: DataFrame, text_col: str = "text", min_tokens: int = 8
 ) -> DataFrame:
@@ -1820,7 +1895,39 @@ def substring_dedup_spans(
     strict overlap (pos < previous span end): two adjacent but
     non-overlapping duplicated shingles are separate runs — their
     concatenation was never itself observed twice.
+
+    Round 15 (guide §1.2/§2.4): the gaps-and-islands merge moved from
+    two running-frame windows + a (doc_id, island) aggregate to one
+    per-doc sorted position list + the in-row ``_island_spans``
+    expression — the doc_id exchange now feeds a single aggregate and
+    the per-partition window sort disappears (plan diff in
+    plans/r15/substring_dedup_{before,after}.txt).
     """
+    return (
+        _dup_span_lists(df, text_col, min_tokens)
+        .select("doc_id", F.explode("__ss").alias("s"))
+        .select(
+            "doc_id",
+            "s.span_start",
+            "s.span_end",
+            (F.col("s.span_end") - F.col("s.span_start")).alias(
+                "span_tokens"
+            ),
+            "s.n_grams",
+        )
+    )
+
+
+def _dup_span_lists(
+    df: DataFrame, text_col: str, min_tokens: int
+) -> DataFrame:
+    """Shared mining core of the substring-dedup family: per document,
+    the SORTED, DISJOINT list of maximal duplicated-run spans —
+    (doc_id, __ss: array<struct<span_start, span_end, n_grams>>), one
+    row per document that has at least one duplicated position. See
+    ``substring_dedup_spans`` for the scale design of the position
+    explode + duplicated-digest rollup + semi-join; ``_island_spans``
+    for the in-row run merge."""
     k = min_tokens
     toks = F.col("__toks")
     # Build the gram strings once (array<string>), then key each with the
@@ -1860,31 +1967,10 @@ def substring_dedup_spans(
     hits = pos.join(
         dup.hint("shuffle_hash"), ["g1", "g2"], "left_semi"
     ).select("doc_id", "pos")
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(k)).over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    brk = F.when(
-        prev_end.isNull() | (F.col("pos") >= prev_end), F.lit(1)
-    ).otherwise(F.lit(0))
-    isl = hits.withColumn("__brk", brk).withColumn(
-        "__island",
-        F.sum("__brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
-    )
     return (
-        isl.groupBy("doc_id", "__island")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + F.lit(k)).cast("bigint").alias("span_end"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
-            "n_grams",
-        )
+        hits.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
+        .select("doc_id", _island_spans("__ps", k).alias("__ss"))
     )
 
 
@@ -1903,37 +1989,19 @@ def substring_dedup_apply(
     ``dedup_keep_best``). Deterministic, so the DuckDB oracle replays it
     bit-for-bit.
 
-    Scale shape: the span table (small — duplicated positions only)
-    aggregates per doc under the doc_id partitioning it already has,
-    then hash-joins back onto the corpus on doc_id; the token cut is one
-    in-row filter lambda, O(n_tokens × n_spans_in_doc) per row with no
+    Scale shape: the span-list table (small — documents with duplicated
+    positions only) hash-joins back onto the corpus on doc_id; the token
+    cut slices the gap segments between the sorted spans (``_cut_spans``,
+    round 15 — O(n_tokens + n_spans) per row vs the previous per-token
+    covered-by-any-span filter's O(n_tokens × n_spans)), with no
     additional shuffle. A left join keeps span-free documents untouched.
+    Round 15: the span lists come straight from ``_dup_span_lists`` —
+    the explode-to-rows + re-collect round trip the old
+    ``substring_dedup_spans`` + groupBy composition paid is gone.
     """
-    spans = substring_dedup_spans(df, text_col, min_tokens)
-    sp = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("__ss")
-    )
+    sp = _dup_span_lists(df, text_col, min_tokens)
     base = df.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
-    empty = (
-        "cast(array() as array<struct<span_start:bigint,span_end:bigint>>)"
-    )
-    kept = F.expr(
-        "transform(filter(sequence(0, size(__toks) - 1), "
-        f"i -> size(filter(coalesce(__ss, {empty}), "
-        "x -> i >= x.span_start and i < x.span_end)) = 0), "
-        "i -> __toks[i])"
-    )
-    return (
-        base.join(sp, "doc_id", "left")
-        .select("doc_id", "__toks", kept.alias("__kept"))
-        .select(
-            "doc_id",
-            F.array_join("__kept", " ").alias("clean_text"),
-            (F.size("__toks") - F.size("__kept"))
-            .cast("bigint")
-            .alias("n_tokens_removed"),
-        )
-    )
+    return _cut_spans(base, sp)
 
 
 def substring_dedup_keep_first(
@@ -2013,50 +2081,17 @@ def substring_dedup_keep_first(
         .where(pk != F.col("__mk"))
         .select("doc_id", "pos")
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(k)).over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    # Round 15: same in-row islands merge + gap-slice rebuild as the
+    # spans/apply pair (guide §1.2/§2.4 — the two running-frame windows,
+    # their per-partition sort, and the (doc_id, island) aggregate are
+    # replaced by one per-doc sorted list + _island_spans; the rebuild
+    # goes O(tokens × spans) → O(tokens + spans) via _cut_spans).
+    sp = (
+        redundant.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
+        .select("doc_id", _island_spans("__ps", k).alias("__ss"))
     )
-    brk = F.when(
-        prev_end.isNull() | (F.col("pos") >= prev_end), F.lit(1)
-    ).otherwise(F.lit(0))
-    spans = (
-        redundant.withColumn("__brk", brk)
-        .withColumn(
-            "__island",
-            F.sum("__brk").over(
-                w_doc.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .groupBy("doc_id", "__island")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + F.lit(k)).cast("bigint").alias("span_end"),
-        )
-    )
-    sp = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("__ss")
-    )
-    empty = (
-        "cast(array() as array<struct<span_start:bigint,span_end:bigint>>)"
-    )
-    kept = F.expr(
-        "transform(filter(sequence(0, size(__toks) - 1), "
-        f"i -> size(filter(coalesce(__ss, {empty}), "
-        "x -> i >= x.span_start and i < x.span_end)) = 0), "
-        "i -> __toks[i])"
-    )
-    return (
-        base.join(sp, "doc_id", "left")
-        .select("doc_id", "__toks", kept.alias("__kept"))
-        .select(
-            "doc_id",
-            F.array_join("__kept", " ").alias("clean_text"),
-            (F.size("__toks") - F.size("__kept"))
-            .cast("bigint")
-            .alias("n_tokens_removed"),
-        )
-    )
+    return _cut_spans(base, sp)
 
 
 # Positions-per-document bound for packing (doc_id, pos) into one orderable
