@@ -5220,8 +5220,14 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full-vocabulary aggregate when the distinct count is 10^10. The
     output is EXACT, so the oracle is a plain GROUP BY ... HAVING."""
     from data_lakehouse_hygiene_spark.operators.aggregates import heavy_hitters
+    from data_lakehouse_hygiene_spark.operators.cleaning import spread
 
-    toks = _t(spark, sf_dir, "documents").select(
+    # spread BEFORE the explode (round 15): a one-row-group parquet file
+    # arrives as one partition, serializing the sketch pass (a per-
+    # PARTITION mapInPandas) onto one core; the exact two-pass output is
+    # partitioning-independent (more partitions only means more false
+    # candidates, which the recount filters).
+    toks = spread(_t(spark, sf_dir, "documents")).select(
         F.explode(F.split("text", " ")).alias("token")
     )
     return heavy_hitters(toks, "token", phi=0.03)
@@ -5250,8 +5256,12 @@ def q_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_hygiene_spark.operators.aggregates import (
         group_heavy_hitters,
     )
+    from data_lakehouse_hygiene_spark.operators.cleaning import spread
 
-    toks = _t(spark, sf_dir, "documents").select(
+    # spread before the explode — same one-core-sketch rationale as
+    # q_heavy_hitters (round 15); per-group exactness is partitioning-
+    # independent.
+    toks = spread(_t(spark, sf_dir, "documents")).select(
         "lang", F.explode(F.split("text", " ")).alias("token")
     )
     return group_heavy_hitters(toks, "lang", "token", phi=0.02)

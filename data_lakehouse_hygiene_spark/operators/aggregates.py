@@ -706,11 +706,34 @@ def heavy_hitters(
         rows = sketch.collect()  # ≤ (c+1)·P rows by construction
         total = sum(r["__pn"] for r in rows if r["__pn"] is not None)
         vals = sorted({r[col] for r in rows if r[col] is not None})
-        cand = df.sparkSession.createDataFrame(
-            [(v,) for v in vals], schema=f"{col} {dtype}"
-        )
+        if len(vals) <= HH_ISIN_MAX:
+            # Round 15 (guide §2.4): the candidate set is usually tens
+            # of values (≤ (c+1)·P by construction, c+1 per partition
+            # SEEN, far fewer after dedup) — an InSet literal filter on
+            # the recount scan replaces the whole
+            # createDataFrame → BroadcastExchange → semi-join chain
+            # (one plan node vs a driver round-trip, a broadcast build
+            # and a join; interleaved A/B below). The gate keeps huge
+            # candidate sets (tiny phi × many partitions) off the plan
+            # — a multi-MB IN-list bloats every task closure — on the
+            # broadcast path instead.
+            cand_filter = F.col(col).isin(vals)
+        else:
+            cand = df.sparkSession.createDataFrame(
+                [(v,) for v in vals], schema=f"{col} {dtype}"
+            )
+            return (
+                df.join(F.broadcast(cand), on=col, how="left_semi")
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .where(
+                    F.col("cnt") > F.lit(float(phi)) * F.lit(int(total))
+                )
+                .select(col, "cnt")
+                .orderBy(F.desc("cnt"), F.asc(col))
+            )
         return (
-            df.join(F.broadcast(cand), on=col, how="left_semi")
+            df.where(cand_filter)
             .groupBy(col)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") > F.lit(float(phi)) * F.lit(int(total)))
@@ -725,6 +748,13 @@ def heavy_hitters(
 # many expected candidate rows ((1 + 1/phi) x input partitions) the
 # sketch stays distributed and N costs one extra scan.
 HH_COLLECT_MAX = 2_000_000
+
+# Largest OBSERVED candidate set the recount attaches as an InSet
+# literal filter; bigger sets go through the broadcast semi-join (an
+# IN-list is serialized into every task closure, a broadcast is shipped
+# once per executor). 10k values of (token-sized) strings is ~100 KB of
+# plan — well under closure-bloat territory.
+HH_ISIN_MAX = 10_000
 
 
 def exact_recount(

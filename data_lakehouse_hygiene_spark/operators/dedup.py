@@ -469,9 +469,24 @@ def _ngram_pairs_broadcast_sizes(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    # LEFT joins, not inner (round 15, guide §2.4): an INNER size attach
+    # pushes IsNotNull(doc_id) into the size table's subtree all the way
+    # down to the scan, which makes the sizes branch's scan + split +
+    # shingle + hash + exchange chain canonicalize differently from the
+    # pair branch's — AQE then materializes BOTH chains (3 parquet scans
+    # in the final plan). With LEFT joins nothing is pushed, the probe
+    # exchange is reused, and the whole sizes branch reads the already-
+    # materialized shingle stage (2 scans; plan evidence in
+    # plans/r15/ngram_jaccard_after.txt). Value-identical either way:
+    # every inter row's docs own >= 1 capped shingle so the join always
+    # matches, and even a hypothetical miss yields NULL jaccard, which
+    # the >= threshold filter drops exactly like the inner join did.
+    # Bench-neutral at sf0.1 (idle cores hid the duplicate chain:
+    # interleaved medians 1.326 vs 1.317 s); at corpus scale the removed
+    # chain is a full extra pass over the input.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(F.broadcast(sa), "doc_a", "left")
+        .join(F.broadcast(sb), "doc_b", "left")
         .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -1000,7 +1000,29 @@ def structured_phash(
                     }
                 )
 
-    return df.select("doc_id").mapInPandas(_fused, schema=PHASH_SCHEMA)
+    from .cleaning import spread
+
+    # Round 15 (guide §2.2): the input rows are 8-byte doc_ids but each
+    # synthesizes a ~12 KB payload plus a DCT/energy fingerprint in the
+    # kernel (~150 µs/row), so a one-row-group corpus runs the whole
+    # fused pipeline on ONE Python worker. The width sweep at sf0.1
+    # (5k assets, interleaved medians) read 0.96 s unspread / 1.19 @2 /
+    # 0.63 @8 / 0.77 @16 / 0.83 @32 — wide fan-outs pay worker/task
+    # fixed costs faster than they amortize the kernel, so the cost
+    # factor targets ~700 rows (~0.1 s of kernel) per task rather than
+    # the core count. Values are per-row pure functions of doc_id, so
+    # partitioning cannot change them.
+    return (
+        spread(df.select("doc_id"), cost=_SYNTH_COST)
+        .mapInPandas(_fused, schema=PHASH_SCHEMA)
+    )
+
+
+# spread() work multiplier for the fused synthesize→phash kernel: sized
+# from the measured ~150 µs/row kernel against spread's 128 KB/task
+# target on ~23 estimated bytes/row id projections (see the width sweep
+# in structured_phash).
+_SYNTH_COST = 8
 
 
 # Below this many assets the banded expression plan (no Python stage)
