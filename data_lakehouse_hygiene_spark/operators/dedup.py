@@ -58,11 +58,25 @@ def content_key128(col: Column) -> tuple[Column, Column]:
     work): md5-hex cost ~0.19 s per position-stream pass at sf0.1 vs
     ~0 for xxhash64 (crypto vs non-crypto), and its 32-char hex string
     is ~3x the wire width of two longs on every exchange and join key
-    compare. Two lanes keep md5-class collision safety: the probability
-    two distinct contents share BOTH lanes is ~2^-128-ish, so at 10^12
-    keys (100 TB position streams) expected collisions stay ~1e-15 —
-    one 64-bit lane alone would expect ~10^4 there, which for exact
-    operators is a wrong answer, not a slowdown.
+    compare. Two lanes keep md5-class collision safety FOR
+    NON-ADVERSARIAL DATA: the probability two distinct contents share
+    BOTH lanes is ~2^-128-ish, so at 10^12 keys (100 TB position
+    streams) expected collisions stay ~1e-15 — one 64-bit lane alone
+    would expect ~10^4 there, which for exact operators is a wrong
+    answer, not a slowdown.
+
+    NON-ADVERSARIAL-INPUT ASSUMPTION (round-15, per the round-14
+    advisory): xxhash64 is not cryptographic and lane 2 is the same
+    function under a derived seed, so the ~2^-128 math holds for
+    random/benign content only — an adversary who studies the function
+    could in principle CRAFT corpus content that collides in both lanes
+    simultaneously, silently merging distinct lines/spans in the exact
+    operators keyed here (line_dedup, the substring family,
+    incremental_line_dedup, ngram_jaccard's shingle keys). Pipelines
+    that dedup hostile/untrusted submissions where an attacker benefits
+    from forcing a merge should swap this for a keyed or cryptographic
+    digest (md5/sha/SipHash with a secret key) at the call sites — the
+    keys are internal, so the swap changes no output contract.
 
     The seed-PREFIX trick makes the lanes independent:
     ``xxhash64(lit(1), s)`` folds the literal into the running seed
@@ -2181,6 +2195,7 @@ def line_dedup(
         .groupBy("__h1", "__h2")
         .agg(F.min("__k").alias("__mk"))
     )
+    kept = ~elig | (key == F.col("__mk"))
     rows = (
         lines.withColumn("__h1", h1)
         .withColumn("__h2", h2)
@@ -2188,8 +2203,14 @@ def line_dedup(
         .select(
             "doc_id",
             "pos",
-            "line",
-            (~elig | (key == F.col("__mk"))).alias("__kept"),
+            # Round 15 (guide §2.3, shuffle fewer bytes): a REMOVED
+            # line's text never reaches the output — only its count
+            # does — so null it out before the doc_id rebuild exchange.
+            # At corpus scale the mass-duplicated lines this operator
+            # exists to remove are exactly the rows that no longer ship
+            # their text.
+            F.when(kept, F.col("line")).alias("line"),
+            kept.alias("__kept"),
         )
     )
     agg = rows.groupBy("doc_id").agg(
@@ -2291,7 +2312,16 @@ def incremental_line_dedup(
         .select(
             "doc_id",
             "pos",
-            "line",
+            # removed lines ship no text into the rebuild exchange —
+            # see line_dedup (round 15, guide §2.3)
+            F.when(
+                ~F.col("__elig")
+                | (
+                    (F.col("__k") == F.col("__mk"))
+                    & F.col("__dup").isNull()
+                ),
+                F.col("line"),
+            ).alias("line"),
             (
                 ~F.col("__elig")
                 | (

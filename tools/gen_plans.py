@@ -48,7 +48,30 @@ def audit(plan: str) -> dict[str, int]:
     }
 
 
+def parse_notes(path: str) -> dict[str, str]:
+    """Per-row notes from an existing PLANS.md-style table: the LAST
+    pipe-delimited cell of each ``| name | ... |`` data row. Used to
+    merge hand-curated notes across regenerations (the round-14 regen
+    wiped ~20 of them — round-15 advisory fix)."""
+    notes: dict[str, str] = {}
+    for line in open(path):
+        line = line.strip()
+        if not line.startswith("|") or line.startswith("|---"):
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) >= 7 and cells[0] != "query" and cells[6]:
+            notes[cells[0]] = cells[6]
+    return notes
+
+
 def main() -> None:
+    # --merge-notes f1 [f2 ...]: carry per-row notes forward from prior
+    # table versions (later files win on conflict).
+    merged_notes: dict[str, str] = {}
+    args = sys.argv[1:]
+    if args and args[0] == "--merge-notes":
+        for path in args[1:]:
+            merged_notes.update(parse_notes(path))
     spark = get_spark(app_name="gen_plans")
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
@@ -67,7 +90,7 @@ def main() -> None:
     print("| query | shuffles | bcast | smj | pushed_scans | codegen | notes |")
     print("|---|---|---|---|---|---|---|")
     for name, a in rows:
-        note = (
+        note = merged_notes.get(name) or (
             "arrow-python"
             if name
             in (
