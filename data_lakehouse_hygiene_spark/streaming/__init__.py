@@ -78,7 +78,16 @@ def run_to_memory(
     The memory sink holds its rows in driver memory keyed by the temp-view
     name; to keep long-lived sessions from accumulating one materialized
     table per call, the rows are copied out and the sink view dropped
-    before returning (results here are small aggregates by construction)."""
+    before returning.
+
+    Round 15 (guide §5 — the driver should do almost no data work): the
+    copy-out is a JVM-side ``localCheckpoint`` instead of
+    ``collect()`` + ``createDataFrame``. The old shape pulled every sink
+    row into Python and re-uploaded it row-at-a-time — for the
+    million-row passthrough rows (streaming_enrich/debounce at sf1) that
+    driver round trip dominated the whole stream's wall. The checkpoint
+    materializes the same rows once in executor storage; the returned
+    DataFrame is independent of the dropped view."""
     spark = stream_df.sparkSession
     sink = f"stream_sink_{uuid.uuid4().hex[:12]}"
     q = (
@@ -89,10 +98,9 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
-    out = spark.table(sink)
-    rows, schema = out.collect(), out.schema
+    out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 def time_bucket_stream(
