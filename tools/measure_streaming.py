@@ -54,10 +54,9 @@ def _instrumented(stream_df, output_mode="complete"):
     q.awaitTermination()
     if q.lastProgress:
         _PROGRESS.append(q.lastProgress)
-    out = spark.table(sink)
-    rows, schema = out.collect(), out.schema
+    out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 def main() -> None:
